@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** A named bundle of driver-contract queries plus their DuckDB oracle
+  * SQL. `SparkEntry` concatenates all packs.
+  *
+  * Conventions that keep the Spark result hash-identical to the DuckDB
+  * oracle (the driver sorts columns by name, then hashes values):
+  *  - money/measure sums are computed in exact DECIMAL(18,2) arithmetic
+  *    (cast BEFORE the sum, so parallel aggregation order can't change
+  *    the result), rounded, then cast to DOUBLE for a canonical binary
+  *    representation;
+  *  - averages/ratios are derived from the exact decimal sum via double
+  *    division + round (identical IEEE ops on identical inputs);
+  *  - never emit a raw nanosecond timestamp (Spark truncates parquet
+  *    NANOS to micros, DuckDB keeps ns) — cast to DATE or derive from
+  *    `ts_ns div 1000` on both sides;
+  *  - every result has a total deterministic ORDER BY (unique sort key)
+  *    in both engines.
+  */
+trait QueryPack {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  def oracle: Map[String, String]
+}
+
+object QueryPack {
+  /** Exact decimal view of a 2-decimal money/measure column. */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Canonical output form for a decimal aggregate: round + double. */
+  def money(c: Column): Column = round(c, 2).cast("double")
+}
