@@ -1,0 +1,323 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import graft.QueryPack.{dec, money}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's ingest/analytics dataflow re-expressed over the
+  * driver's `events` table (event_id, ts, user_id, event_type, value,
+  * props-JSON) — `events` plays FactEvent (FIXTURES.md §5 mapping).
+  *
+  * Coverage vs SURVEY.md §2: scoreboard goal/pace/color (A3-A5),
+  * JSON boundary parsing (P1), calendar derivation (P11), first-wins
+  * dedup (D1), ledger anti-join replay (D2), pivot, sessionization,
+  * as-of join.
+  *
+  * Timestamp convention: the parquet column is TIMESTAMP(NANOS);
+  * Spark reads µs (graft.Tables truncates), DuckDB reads ns. All
+  * instants compared or emitted go through microsecond longs —
+  * `unix_micros(ts)` / `epoch_ns(ts)//1000` — or day/hour truncation,
+  * so both engines see identical values.
+  *
+  * Scale notes (100 TB): every aggregation is a partial+final hash
+  * agg keyed on low-skew keys; the goal dim is a 5-row broadcast;
+  * windows partition by user_id (high-cardinality ⇒ parallel); the
+  * as-of join pre-filters both sides before the range condition.
+  */
+object EventsQueries extends QueryPack {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+
+  /** Goal dim: the DimMetric analog (MetricID, DefaultGoal,
+    * DefaultYellowFloorPct — FIXTURES.md §4), sized to the synthetic
+    * per-user daily volumes. */
+  private def goals(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      ("click", 2L, 0.85), ("view", 2L, 0.85), ("signup", 2L, 0.85),
+      ("purchase", 1L, 0.90), ("error", 1L, 0.80)
+    ).toDF("event_type", "goal", "yellow_floor")
+  }
+
+  private val goalsSqlValues =
+    """(VALUES ('click',2,0.85),('view',2,0.85),('signup',2,0.85),
+      |        ('purchase',1,0.90),('error',1,0.80))
+      |  AS g(event_type, goal, yellow_floor)""".stripMargin
+
+  /** e1 — agent scoreboard (SURVEY §2.5 A3+A4+A5): count events per
+    * (user, day, type), join the goal dim (broadcast), compute
+    * %-of-goal and the GREEN/YELLOW/RED bucket. */
+  private def e1(s: SparkSession, dir: String): DataFrame = {
+    val counts = ev(s, dir)
+      .groupBy(col("user_id"), date_trunc("DAY", col("ts")).cast("date").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    counts.join(broadcast(goals(s)), "event_type")
+      .withColumn("pct_goal",
+        round(col("n_events").cast("double") / col("goal").cast("double"), 6))
+      .withColumn("color",
+        when(col("pct_goal") >= 1.0, "GREEN")
+          .when(col("pct_goal") >= col("yellow_floor"), "YELLOW")
+          .otherwise("RED"))
+      .select(col("user_id"), col("day"), col("event_type"), col("n_events"),
+        col("pct_goal"), col("color"))
+      .orderBy(col("user_id"), col("day"), col("event_type"))
+  }
+
+  private val e1Sql =
+    s"""SELECT user_id, CAST(ts AS DATE) AS day, events.event_type,
+      |  COUNT(*) AS n_events,
+      |  ROUND(CAST(COUNT(*) AS DOUBLE) / g.goal, 6) AS pct_goal,
+      |  CASE WHEN ROUND(CAST(COUNT(*) AS DOUBLE) / g.goal, 6) >= 1.0 THEN 'GREEN'
+      |       WHEN ROUND(CAST(COUNT(*) AS DOUBLE) / g.goal, 6) >= g.yellow_floor THEN 'YELLOW'
+      |       ELSE 'RED' END AS color
+      |FROM events
+      |JOIN $goalsSqlValues ON events.event_type = g.event_type
+      |GROUP BY user_id, CAST(ts AS DATE), events.event_type, g.goal, g.yellow_floor
+      |ORDER BY user_id, day, events.event_type""".stripMargin
+
+  /** e2 — JSON boundary parsing (SURVEY §2.2 P1): extract `props.k`
+    * from the raw JSON column, aggregate per type. */
+  private def e2(s: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    ev(s, dir)
+      .withColumn("k", k)
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("k")).as("sum_k"),
+        round(sum(col("k")).cast("double") / count(col("k")), 6).as("avg_k"),
+        sum(when(col("k") > 50, 1L).otherwise(0L)).as("n_high"))
+      .orderBy(col("event_type"))
+  }
+
+  private val e2Sql =
+    """SELECT event_type,
+      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  ROUND(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+      |        / COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+      |  SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 THEN 1 ELSE 0 END) AS n_high
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** e3 — calendar-window filter + hourly rollup (SURVEY §2.9
+    * "windows" are calendar filters, not streaming windows): one ISO
+    * week of activity bucketed by hour. */
+  private def e3(s: SparkSession, dir: String): DataFrame = {
+    ev(s, dir)
+      .filter(col("ts") >= lit("2024-01-08").cast("timestamp") &&
+        col("ts") < lit("2024-01-15").cast("timestamp"))
+      .groupBy(date_trunc("HOUR", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        money(sum(dec(col("value")))).as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  private val e3Sql =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      |  AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+      |GROUP BY date_trunc('hour', ts), event_type
+      |ORDER BY hour, event_type""".stripMargin
+
+  /** e4 — first-wins within-batch dedup (SURVEY §2.4 D1): exactly one
+    * surviving row per (user, type, day), chosen by arrival order
+    * (ts, then event_id) — the reference's order-preserving Set scan
+    * as a rank-per-key window. */
+  private def e4(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"),
+        date_trunc("DAY", col("ts")).cast("date"))
+      .orderBy(col("tsu"), col("event_id"))
+    ev(s, dir)
+      .withColumn("tsu", unix_micros(col("ts")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_type"),
+        date_trunc("DAY", col("ts")).cast("date").as("day"),
+        col("event_id"), col("tsu"))
+      .orderBy(col("user_id"), col("event_type"), col("day"))
+  }
+
+  private val e4Sql =
+    """SELECT user_id, event_type, day, event_id, tsu
+      |FROM (
+      |  SELECT user_id, event_type, CAST(ts AS DATE) AS day, event_id,
+      |    epoch_ns(ts)//1000 AS tsu,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type, CAST(ts AS DATE)
+      |                       ORDER BY epoch_ns(ts)//1000, event_id) AS rk
+      |  FROM events) t
+      |WHERE rk = 1
+      |ORDER BY user_id, event_type, day""".stripMargin
+
+  /** e5 — cross-request ledger dedup, batch replay shape (SURVEY §2.4
+    * D2): the ledger is every (user, type) key seen on day 1; day-2
+    * events anti-join it, so only first-ever keys pass the gate. */
+  private def e5(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val ledger = e.filter(col("ts") < lit("2024-01-02").cast("timestamp"))
+      .select(col("user_id"), col("event_type")).distinct()
+    e.filter(col("ts") >= lit("2024-01-02").cast("timestamp") &&
+        col("ts") < lit("2024-01-03").cast("timestamp"))
+      .join(ledger, Seq("user_id", "event_type"), "left_anti")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_new"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
+  private val e5Sql =
+    """SELECT event_type, COUNT(*) AS n_new, COUNT(DISTINCT user_id) AS n_users
+      |FROM events e
+      |WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+      |  AND ts <  TIMESTAMP '2024-01-03 00:00:00'
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM events l
+      |    WHERE l.ts < TIMESTAMP '2024-01-02 00:00:00'
+      |      AND l.user_id = e.user_id AND l.event_type = e.event_type)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** e6 — gap-based sessionization: a new session starts after >6h of
+    * user inactivity (lag + running sum — the standard distributed
+    * sessionize; partitions by user so it parallelizes). */
+  private def e6(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("event_id"))
+    val frame = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(s, dir)
+      .withColumn("tsu", unix_micros(col("ts")))
+      .withColumn("prev_tsu", lag(col("tsu"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_tsu").isNull ||
+          col("tsu") - col("prev_tsu") > 6L * 3600 * 1000000, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(frame))
+      .groupBy(col("user_id"))
+      .agg(max(col("session_id")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  private val e6Sql =
+    """SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
+      |FROM (
+      |  SELECT user_id,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM (
+      |    SELECT user_id, event_id, tsu,
+      |      CASE WHEN prev_tsu IS NULL OR tsu - prev_tsu > CAST(6*3600 AS BIGINT)*1000000
+      |           THEN 1 ELSE 0 END AS is_new
+      |    FROM (
+      |      SELECT user_id, event_id, epoch_ns(ts)//1000 AS tsu,
+      |        LAG(epoch_ns(ts)//1000) OVER (PARTITION BY user_id
+      |                                      ORDER BY epoch_ns(ts)//1000, event_id) AS prev_tsu
+      |      FROM events) a) b) c
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** e7 — pivot (metric columns per agent, the dashboard's wide
+    * scoreboard): groupBy(user).pivot(event_type).count. */
+  private def e7(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = ev(s, dir).groupBy(col("user_id"))
+      .pivot("event_type", types).count()
+    types.foldLeft(p)((d, t) => d.withColumn(t, coalesce(col(t), lit(0L))))
+      .orderBy(col("user_id"))
+  }
+
+  private val e7Sql =
+    """SELECT user_id,
+      |  SUM(CASE WHEN event_type='click'    THEN 1 ELSE 0 END) AS click,
+      |  SUM(CASE WHEN event_type='error'    THEN 1 ELSE 0 END) AS error,
+      |  SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS purchase,
+      |  SUM(CASE WHEN event_type='signup'   THEN 1 ELSE 0 END) AS signup,
+      |  SUM(CASE WHEN event_type='view'     THEN 1 ELSE 0 END) AS view
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** e8 — DimDate derivation (SURVEY §2.2 P11): the calendar
+    * attributes the reference seeds ±5 years, derived from observed
+    * dates. ISO day-of-week (1=Mon..7=Sun) per the reference's
+    * DimDate spec. */
+  private def e8(s: SparkSession, dir: String): DataFrame = {
+    ev(s, dir)
+      .select(date_trunc("DAY", col("ts")).cast("date").as("date")).distinct()
+      .select(col("date"),
+        year(col("date")).as("year"), month(col("date")).as("month"),
+        dayofmonth(col("date")).as("day"),
+        date_format(col("date"), "MMMM").as("month_name"),
+        quarter(col("date")).as("quarter"),
+        (weekday(col("date")) + 1).as("day_of_week"),
+        date_format(col("date"), "EEEE").as("day_name"),
+        (weekday(col("date")) >= 5).as("is_weekend"))
+      .orderBy(col("date"))
+  }
+
+  private val e8Sql =
+    """SELECT date, year(date) AS year, month(date) AS month,
+      |  dayofmonth(date) AS day, monthname(date) AS month_name,
+      |  quarter(date) AS quarter, isodow(date) AS day_of_week,
+      |  dayname(date) AS day_name, isodow(date) >= 6 AS is_weekend
+      |FROM (SELECT DISTINCT CAST(ts AS DATE) AS date FROM events) d
+      |ORDER BY date""".stripMargin
+
+  /** e9 — as-of join (backward): for each purchase, the user's most
+    * recent prior click. Composed from existing ops (SURVEY's
+    * preference order for custom operators): equi-join on user +
+    * range predicate + max-per-key — at scale both sides are
+    * pre-filtered and the join is partitioned by user_id. */
+  private def e9(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).withColumn("tsu", unix_micros(col("ts")))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("tsu").as("p_tsu"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("tsu").as("c_tsu"))
+    purchases.join(clicks,
+        col("c_user") === col("user_id") && col("c_tsu") <= col("p_tsu"),
+        "left")
+      .groupBy(col("p_id"), col("user_id"), col("p_tsu"))
+      .agg(max(col("c_tsu")).as("last_click_tsu"))
+      .select(col("p_id").as("event_id"), col("user_id"), col("p_tsu").as("tsu"),
+        col("last_click_tsu"))
+      .orderBy(col("event_id"))
+  }
+
+  private val e9Sql =
+    """SELECT p.event_id, p.user_id, epoch_ns(p.ts)//1000 AS tsu,
+      |  MAX(epoch_ns(c.ts)//1000) AS last_click_tsu
+      |FROM events p
+      |LEFT JOIN events c
+      |  ON c.user_id = p.user_id AND c.event_type = 'click'
+      | AND epoch_ns(c.ts)//1000 <= epoch_ns(p.ts)//1000
+      |WHERE p.event_type = 'purchase'
+      |GROUP BY p.event_id, p.user_id, epoch_ns(p.ts)//1000
+      |ORDER BY p.event_id""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e1_scoreboard"     -> e1,
+    "e2_json_extract"   -> e2,
+    "e3_hourly_rollup"  -> e3,
+    "e4_firstwins_dedup" -> e4,
+    "e5_ledger_antijoin" -> e5,
+    "e6_sessionize"     -> e6,
+    "e7_pivot"          -> e7,
+    "e8_dim_date"       -> e8,
+    "e9_asof_join"      -> e9)
+
+  override def oracle: Map[String, String] = Map(
+    "e1_scoreboard"     -> e1Sql,
+    "e2_json_extract"   -> e2Sql,
+    "e3_hourly_rollup"  -> e3Sql,
+    "e4_firstwins_dedup" -> e4Sql,
+    "e5_ledger_antijoin" -> e5Sql,
+    "e6_sessionize"     -> e6Sql,
+    "e7_pivot"          -> e7Sql,
+    "e8_dim_date"       -> e8Sql,
+    "e9_asof_join"      -> e9Sql)
+}
