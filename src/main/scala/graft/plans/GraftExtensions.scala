@@ -1,0 +1,34 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.SafeDateKey
+
+/** Session extension wiring for graft's native expressions. Use via
+  * `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`; for an already
+  * built session call [[GraftExtensions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val functions: Seq[FunctionDescription] = Seq(
+    (new FunctionIdentifier("graft_date_key"),
+      new ExpressionInfo(classOf[SafeDateKey].getName, "graft_date_key"),
+      (args: Seq[Expression]) => SafeDateKey(args(0), args(1))))
+
+  /** Register on a live session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+}

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+import graft.etl.{Adapters, Dedup, RosterGate}
+
+/** Structured-Streaming form of the ingest dataflow (SURVEY §2.9).
+  *
+  * The batch transforms are reused verbatim — adapters and gate are
+  * pure DataFrame functions; only the ledger changes shape: the
+  * DynamoDB conditional-put ledger becomes watermarked state dedup
+  * (state TTL = the reference's 14-day window), and the Power BI push
+  * sink becomes `foreachBatch` so any batch writer (parquet/REST)
+  * terminates the stream.
+  *
+  * Micro-batch trigger stays well under the reference's ≤15 min
+  * freshness SLA (`docs/quill_dashboard_schema_design_doc.md:185`).
+  */
+object StreamingIngest {
+
+  /** File-drop source of raw webhook JSON (the S3/landing-zone
+    * deployment of SURVEY §2.1 S1-S3): one JSON object per line. */
+  def fileSource(spark: SparkSession, dir: String, source: String): DataFrame =
+    spark.readStream
+      .schema("value STRING")
+      .text(dir)
+      .select(
+        lit(source).as("source"),
+        map().cast("map<string,string>").as("headers"),
+        col("value").as("body"),
+        current_timestamp().as("receivedAt"))
+
+  /** envelope stream → admitted FactEvent stream (dedup incl. the
+    * 14-day cross-batch ledger window). */
+  def transform(
+      envelopes: DataFrame, roster: Option[DataFrame],
+      ttlDays: Int = 14): DataFrame = {
+    val adapted = Adapters.route(envelopes)
+    val gated = RosterGate(adapted, roster)
+    // D1 and D2 collapse into one stateful dedup: within-batch and
+    // cross-batch duplicates are the same key in the state store.
+    Dedup.streamingLedgerDedup(gated, "receivedAt", ttlDays)
+  }
+
+  /** K1 — append sink via foreachBatch: parquet here; swap the body
+    * for the Power BI REST pusher in production (same contract —
+    * at-least-once per micro-batch, idempotent by eventId). */
+  def parquetSink(
+      facts: DataFrame, outPath: String, checkpoint: String,
+      triggerMs: Long = 10000): DataStreamWriter[Row] =
+    facts.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outPath)
+      }
+}
