@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EventsQueries, RelationalQueries}
+import graft.queries.{DedupQueries, EventsQueries, RelationalQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -11,7 +11,7 @@ import graft.queries.{EventsQueries, RelationalQueries}
   */
 object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
-    RelationalQueries, EventsQueries)
+    RelationalQueries, EventsQueries, TextQueries, DedupQueries, SimilarityQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

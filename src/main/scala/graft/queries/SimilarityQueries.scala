@@ -1,0 +1,148 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`embedding: array<float>[64]`).
+  *
+  * s1 is the exact brute-force baseline (query set × corpus, ranked);
+  * s2 is the IVF scale path: a coarse quantizer (per-label centroids
+  * — k-means cells in a real pipeline) prunes the corpus to one cell
+  * before the exact rerank. At 100 TB the cell assignment is a
+  * broadcast join on nearest-centroid and only ~1/k of the corpus is
+  * scanned per query — the centroids table is tiny and cached.
+  *
+  * All vector math is `zip_with`/`aggregate` fold over
+  * double-upcast arrays — codegen'd, no UDFs.
+  */
+object SimilarityQueries extends QueryPack {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("norm", expr(
+        "sqrt(aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x))"))
+
+  private val dotAB =
+    "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+
+  /** s1 — brute-force top-k cosine: queries are vec_id < 10, k = 5
+    * nearest corpus vectors (self excluded), rank-per-query window. */
+  private def s1(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("v"), col("norm"))
+    val q = e.filter(col("vec_id") < 10)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    q.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"),
+        round(expr(dotAB) / (col("a.norm") * col("b.norm")), 6).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("rk").cast("long").as("rk"), col("nid"), col("cos"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  private val s1Sql =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),
+      |scored AS (
+      |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+      |    ROUND(list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]))
+      |          / (a.norm * b.norm), 6) AS cos
+      |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+      |  WHERE a.vec_id < 10),
+      |ranked AS (
+      |  SELECT qid, nid, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+      |  FROM scored)
+      |SELECT qid, CAST(rk AS BIGINT) AS rk, nid, cos
+      |FROM ranked WHERE rk <= 5
+      |ORDER BY qid, rk""".stripMargin
+
+  /** s2 — IVF-style ANN: per-label centroids as the coarse quantizer;
+    * each query (vec_id < 10) is assigned to its nearest centroid and
+    * reranked only within that cell — top-3 per query. */
+  private def s2(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("label"), col("v"), col("norm"))
+    // centroids: mean per dimension within each label cell
+    val cents = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("m"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("cv"))
+      .withColumn("cnorm", expr(
+        "sqrt(aggregate(transform(cv, x -> x * x), 0D, (acc, x) -> acc + x))"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
+    // assign each query to nearest centroid (broadcast: k cells)
+    val wAssign = Window.partitionBy(col("qid"))
+      .orderBy(col("ccos").desc, col("label"))
+    val assigned = q.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
+          (col("qnorm") * col("cnorm")))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") === 1)
+      .select(col("qid"), col("qv"), col("qnorm"), col("label"))
+    // rerank within the assigned cell only
+    val wRank = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    assigned.join(e.as("b"), Seq("label"))
+      .filter(col("qid") =!= col("b.vec_id"))
+      .select(col("qid"), col("label"), col("b.vec_id").as("nid"),
+        round(
+          expr("aggregate(zip_with(qv, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
+            (col("qnorm") * col("b.norm")), 6).as("cos"))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("label").cast("long").as("cell"),
+        col("rk").cast("long").as("rk"), col("nid"), col("cos"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  private val s2Sql =
+    """WITH e AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, label, v,
+      |      sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),
+      |cents0 AS (
+      |  SELECT label, pos, AVG(x) AS m
+      |  FROM (SELECT label, unnest(v) AS x,
+      |          generate_subscripts(v, 1) AS pos FROM e) u
+      |  GROUP BY label, pos),
+      |cents AS (
+      |  SELECT label, list(m ORDER BY pos) AS cv,
+      |    sqrt(list_sum(list_transform(list(m ORDER BY pos), x -> x*x))) AS cnorm
+      |  FROM cents0 GROUP BY label),
+      |q AS (SELECT vec_id AS qid, v AS qv, norm AS qnorm FROM n WHERE vec_id < 10),
+      |assigned AS (
+      |  SELECT qid, qv, qnorm, label FROM (
+      |    SELECT q.qid, q.qv, q.qnorm, c.label,
+      |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+      |        list_sum(list_transform(list_zip(q.qv, c.cv), x -> x[1]*x[2]))
+      |          / (q.qnorm * c.cnorm) DESC, c.label) AS crk
+      |    FROM q CROSS JOIN cents c) t
+      |  WHERE crk = 1),
+      |scored AS (
+      |  SELECT a.qid, a.label, b.vec_id AS nid,
+      |    ROUND(list_sum(list_transform(list_zip(a.qv, b.v), x -> x[1]*x[2]))
+      |          / (a.qnorm * b.norm), 6) AS cos
+      |  FROM assigned a JOIN n b ON a.label = b.label AND a.qid <> b.vec_id)
+      |SELECT qid, CAST(label AS BIGINT) AS cell, CAST(rk AS BIGINT) AS rk, nid, cos
+      |FROM (SELECT qid, label, nid, cos,
+      |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+      |      FROM scored) r
+      |WHERE rk <= 3
+      |ORDER BY qid, rk""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_knn_brute" -> s1,
+    "s2_ivf_ann"   -> s2)
+
+  override def oracle: Map[String, String] = Map(
+    "s1_knn_brute" -> s1Sql,
+    "s2_ivf_ann"   -> s2Sql)
+}

@@ -1,0 +1,176 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: language-ID heuristic, quality scoring, token
+  * counting (whitespace + regex "BPE-ish"), content fingerprinting.
+  *
+  * All pure column expressions (split/filter/transform/md5 — codegen
+  * friendly, no UDFs); per-document work is embarrassingly parallel,
+  * aggregations are partial+final. At 100 TB this is a single scan
+  * per query with no shuffle except the final small rollup.
+  */
+object TextQueries extends QueryPack {
+
+  /** English function-word list used by the language-ID heuristic
+    * (the classic stopword-density signal). */
+  private val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  private val words: Column = split(col("text"), " ")
+
+  /** t1 — language-ID heuristic: density of English function words
+    * per document, thresholded; confusion counts against the labeled
+    * `lang` column. */
+  private def t1(s: SparkSession, dir: String): DataFrame = {
+    val stopList = enStop.map(w => s"x = '$w'").mkString(" OR ")
+    docs(s, dir)
+      .withColumn("w", words)
+      .withColumn("stop_ratio",
+        expr(s"size(filter(w, x -> $stopList))").cast("double") / size(col("w")))
+      .withColumn("predicted_en", col("stop_ratio") >= 0.05)
+      .groupBy(col("lang"), col("predicted_en"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("stop_ratio")), 6).as("avg_stop_ratio"))
+      .orderBy(col("lang"), col("predicted_en"))
+  }
+
+  private def t1Sql = {
+    val stopList = enStop.map(w => s"x = '$w'").mkString(" OR ")
+    s"""SELECT lang, predicted_en, COUNT(*) AS n_docs,
+      |  ROUND(AVG(stop_ratio), 6) AS avg_stop_ratio
+      |FROM (
+      |  SELECT lang,
+      |    CAST(len(list_filter(w, x -> $stopList)) AS DOUBLE) / len(w) AS stop_ratio,
+      |    CAST(len(list_filter(w, x -> $stopList)) AS DOUBLE) / len(w) >= 0.05 AS predicted_en
+      |  FROM (SELECT lang, string_split(text, ' ') AS w FROM documents) a) b
+      |GROUP BY lang, predicted_en
+      |ORDER BY lang, predicted_en""".stripMargin
+  }
+
+  /** t2 — quality scoring: length, mean word length, type-token
+    * ratio, stopword ratio → weighted score → keep/review/drop
+    * bucket. The score formula is arbitrary-but-deterministic; the
+    * operator shape (per-doc featurize → bucket → rollup) is what a
+    * pretraining filter runs. */
+  private def t2(s: SparkSession, dir: String): DataFrame = {
+    val stopList = enStop.map(w => s"x = '$w'").mkString(" OR ")
+    val featurized = docs(s, dir)
+      .withColumn("w", words)
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("ttr",
+        size(array_distinct(col("w"))).cast("double") / col("n_words"))
+      .withColumn("mean_wlen",
+        (col("n_chars") - (col("n_words") - 1)).cast("double") / col("n_words"))
+      .withColumn("stop_ratio",
+        expr(s"size(filter(w, x -> $stopList))").cast("double") / col("n_words"))
+      .withColumn("score", round(
+        least(col("n_words").cast("double") / 100, lit(1.0)) * 0.4 +
+          col("ttr") * 0.3 + least(col("mean_wlen") / 5, lit(1.0)) * 0.2 +
+          col("stop_ratio") * 0.1, 6))
+      .withColumn("bucket",
+        when(col("score") >= 0.55, "keep")
+          .when(col("score") >= 0.45, "review").otherwise("drop"))
+    featurized.groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("score")), 6).as("avg_score"),
+        round(avg(col("ttr")), 6).as("avg_ttr"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
+  private def t2Sql = {
+    val stopList = enStop.map(w => s"x = '$w'").mkString(" OR ")
+    s"""WITH f AS (
+      |  SELECT source,
+      |    len(w) AS n_words,
+      |    CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,
+      |    CAST(n_chars - (len(w) - 1) AS DOUBLE) / len(w) AS mean_wlen,
+      |    CAST(len(list_filter(w, x -> $stopList)) AS DOUBLE) / len(w) AS stop_ratio
+      |  FROM (SELECT source, n_chars, string_split(text, ' ') AS w FROM documents) a),
+      |scored AS (
+      |  SELECT source,
+      |    ROUND(LEAST(CAST(n_words AS DOUBLE)/100, 1.0)*0.4 + ttr*0.3 +
+      |          LEAST(mean_wlen/5, 1.0)*0.2 + stop_ratio*0.1, 6) AS score, ttr
+      |  FROM f)
+      |SELECT source,
+      |  CASE WHEN score >= 0.55 THEN 'keep'
+      |       WHEN score >= 0.45 THEN 'review' ELSE 'drop' END AS bucket,
+      |  COUNT(*) AS n_docs, ROUND(AVG(score), 6) AS avg_score,
+      |  ROUND(AVG(ttr), 6) AS avg_ttr
+      |FROM scored
+      |GROUP BY source, bucket
+      |ORDER BY source, bucket""".stripMargin
+  }
+
+  /** t3 — token counting: whitespace tokens vs a BPE-ish regex
+    * tokenizer (letter runs / digit runs / single other chars), per
+    * source. The regex class is deliberately RE2-and-Java-compatible. */
+  private def t3(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+      .withColumn("ws_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("bpe_tokens",
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .cast("long"))
+      .groupBy(col("source"))
+      .agg(sum(col("ws_tokens")).as("sum_ws_tokens"),
+        sum(col("bpe_tokens")).as("sum_bpe_tokens"),
+        round(avg(col("bpe_tokens").cast("double") / col("ws_tokens")), 6)
+          .as("avg_expansion"))
+      .orderBy(col("source"))
+  }
+
+  private val t3Sql =
+    """SELECT source,
+      |  SUM(len(string_split(text, ' '))) AS sum_ws_tokens,
+      |  SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS sum_bpe_tokens,
+      |  ROUND(AVG(CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS DOUBLE)
+      |        / len(string_split(text, ' '))), 6) AS avg_expansion
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  /** t4 — document fingerprinting: exact content hash (md5) plus an
+    * order-insensitive bag-of-words fingerprint; groups sharing a bag
+    * fingerprint are permutation near-dups. Emits the fingerprint
+    * groups with >1 member (54 docs at sf0.01). */
+  private def t4(s: SparkSession, dir: String): DataFrame = {
+    val bagFp = md5(concat_ws(" ", array_sort(array_distinct(words))))
+    val d = docs(s, dir).withColumn("bag_fp", bagFp)
+    val groups = d.groupBy(col("bag_fp"))
+      .agg(count(lit(1)).as("n_members"), min(col("doc_id")).as("canonical_id"))
+      .filter(col("n_members") > 1)
+    d.join(groups, "bag_fp")
+      .select(col("bag_fp"), col("doc_id"), col("canonical_id"), col("n_members"),
+        (col("doc_id") =!= col("canonical_id")).as("is_duplicate"))
+      .orderBy(col("bag_fp"), col("doc_id"))
+  }
+
+  private val t4Sql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS bag_fp
+      |  FROM documents),
+      |g AS (
+      |  SELECT bag_fp, COUNT(*) AS n_members, MIN(doc_id) AS canonical_id
+      |  FROM d GROUP BY bag_fp HAVING COUNT(*) > 1)
+      |SELECT d.bag_fp, d.doc_id, g.canonical_id, g.n_members,
+      |  d.doc_id <> g.canonical_id AS is_duplicate
+      |FROM d JOIN g ON d.bag_fp = g.bag_fp
+      |ORDER BY d.bag_fp, d.doc_id""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_lang_id"      -> t1,
+    "t2_quality"      -> t2,
+    "t3_tokens"       -> t3,
+    "t4_fingerprint"  -> t4)
+
+  override def oracle: Map[String, String] = Map(
+    "t1_lang_id"      -> t1Sql,
+    "t2_quality"      -> t2Sql,
+    "t3_tokens"       -> t3Sql,
+    "t4_fingerprint"  -> t4Sql)
+}
