@@ -32,4 +32,13 @@ object QueryPack {
 
   /** Canonical output form for a decimal aggregate: round + double. */
   def money(c: Column): Column = round(c, 2).cast("double")
+
+  /** Dot product via the native `graft_dot` expression (a codegen'd
+    * primitive loop — see [[graft.functions.DotProduct]]). Spark's
+    * `aggregate`/`zip_with` lambdas evaluate interpreted per element
+    * and an unrolled 64-term sum blows up generated-code size; the
+    * custom kernel is the Spark-native answer. Left-to-right
+    * accumulation = identical IEEE order to a sequential fold (and to
+    * DuckDB's list_sum over the zipped product). */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 }

@@ -22,6 +22,8 @@ object Tables {
     * identical to DuckDB's `make_timestamp(epoch_ns(ts)//1000)`.
     */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark) // idempotent; graft_* in scope
+
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")

@@ -1,0 +1,30 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev harness: time named queries, optionally print the formatted
+  * plan. `runMain graft.TimeOne <sfDir> <query>[,query...] [explain]` */
+object TimeOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args(1).split(",").toSeq
+    val doExplain = args.length > 2 && args(2) == "explain"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      if (doExplain) fn(spark, sfDir).explain("formatted")
+      for (i <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        println(f"[time] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.SafeDateKey
+import graft.functions.{DotProduct, SafeDateKey}
 
 /** Session extension wiring for graft's native expressions. Use via
   * `.withExtensions(new GraftExtensions)` or
@@ -24,7 +24,10 @@ object GraftExtensions {
   val functions: Seq[FunctionDescription] = Seq(
     (new FunctionIdentifier("graft_date_key"),
       new ExpressionInfo(classOf[SafeDateKey].getName, "graft_date_key"),
-      (args: Seq[Expression]) => SafeDateKey(args(0), args(1))))
+      (args: Seq[Expression]) => SafeDateKey(args(0), args(1))),
+    (new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
 
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryPack, Tables}
+import graft.QueryPack.dot
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -86,16 +87,20 @@ object DedupQueries extends QueryPack {
     * (clean separation: planted pairs sit at ~0.98, background at
     * ≤0.07 at sf0.01). */
   private def d2(s: SparkSession, dir: String): DataFrame = {
+    // Carry each doc's set size through the explode so the pair
+    // aggregation needs no size-lookup joins afterwards (one shuffle
+    // saved; the grouped key (d1,d2,n1,n2) is the pair key anyway).
     val sh = withShingles(s, dir)
-      .select(col("doc_id"), explode(col("xs")).as("sh"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = sh.as("a").join(sh.as("b"),
+      .select(col("doc_id"), size(col("xs")).as("n"), explode(col("xs")).as("sh"))
+    // Both sides of the inverted-index self-join have the same (large)
+    // cardinality — never broadcast. Without the hint, AQE sees small
+    // post-shuffle stats at low SF and builds a driver-side broadcast
+    // map of the whole index (measured 10×+ slower and erratic).
+    sh.as("a").hint("shuffle_hash").join(sh.as("b").hint("shuffle_hash"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.n").as("n1"), col("b.n").as("n2"))
       .agg(count(lit(1)).as("common"))
-    pairs
-      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
       .withColumn("jaccard", round(col("common").cast("double") /
         (col("n1") + col("n2") - col("common")), 6))
       .filter(col("jaccard") >= 0.8)
@@ -133,7 +138,8 @@ object DedupQueries extends QueryPack {
           concat_ws("-", (0 until 4).map(r => col(s"h${j * 4 + r}")): _*).as("key"))): _*))
         .as("bk"))
       .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.key"))
-    val cands = banded.as("a").join(banded.as("b"),
+    val cands = banded.as("a").hint("shuffle_hash")
+      .join(banded.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
@@ -202,7 +208,7 @@ object DedupQueries extends QueryPack {
         struct(lit(j).as("blk"), expr(s"(simhash >> ${j * 8}) & 255").as("key"))): _*))
         .as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.blk"), col("bk.key"))
-    blocked.as("a").join(blocked.as("b"),
+    blocked.as("a").hint("shuffle_hash").join(blocked.as("b").hint("shuffle_hash"),
         col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
@@ -248,13 +254,11 @@ object DedupQueries extends QueryPack {
   private def d5(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
       .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
-      .withColumn("norm", expr(
-        "sqrt(aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x))"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
       .select(col("vec_id"), col("v"), col("norm"))
-    val dot = expr(
-      "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", round(dot / (col("a.norm") * col("b.norm")), 6))
+      .withColumn("cos", round(dot(col("a.v"), col("b.v")) /
+        (col("a.norm") * col("b.norm")), 6))
       .filter(col("cos") >= 0.45)
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"), col("cos"))
       .orderBy(col("v1"), col("v2"))

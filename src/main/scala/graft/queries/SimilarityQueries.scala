@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryPack, Tables}
+import graft.QueryPack.dot
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -15,19 +16,15 @@ import org.apache.spark.sql.functions._
   * broadcast join on nearest-centroid and only ~1/k of the corpus is
   * scanned per query — the centroids table is tiny and cached.
   *
-  * All vector math is `zip_with`/`aggregate` fold over
-  * double-upcast arrays — codegen'd, no UDFs.
+  * All vector math runs through the native `graft_dot` kernel
+  * (codegen'd primitive loop; see [[graft.functions.DotProduct]]).
   */
 object SimilarityQueries extends QueryPack {
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
       .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
-      .withColumn("norm", expr(
-        "sqrt(aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x))"))
-
-  private val dotAB =
-    "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
 
   /** s1 — brute-force top-k cosine: queries are vec_id < 10, k = 5
     * nearest corpus vectors (self excluded), rank-per-query window. */
@@ -37,7 +34,8 @@ object SimilarityQueries extends QueryPack {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     q.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"),
-        round(expr(dotAB) / (col("a.norm") * col("b.norm")), 6).as("cos"))
+        round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6)
+          .as("cos"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("qid"), col("rk").cast("long").as("rk"), col("nid"), col("cos"))
@@ -73,8 +71,7 @@ object SimilarityQueries extends QueryPack {
       .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("m"))
       .groupBy(col("label"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("cv"))
-      .withColumn("cnorm", expr(
-        "sqrt(aggregate(transform(cv, x -> x * x), 0D, (acc, x) -> acc + x))"))
+      .withColumn("cnorm", sqrt(dot(col("cv"), col("cv"))))
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
     // assign each query to nearest centroid (broadcast: k cells)
@@ -82,8 +79,7 @@ object SimilarityQueries extends QueryPack {
       .orderBy(col("ccos").desc, col("label"))
     val assigned = q.crossJoin(broadcast(cents))
       .withColumn("ccos",
-        expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
-          (col("qnorm") * col("cnorm")))
+        dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
       .withColumn("crk", row_number().over(wAssign))
       .filter(col("crk") === 1)
       .select(col("qid"), col("qv"), col("qnorm"), col("label"))
@@ -92,9 +88,8 @@ object SimilarityQueries extends QueryPack {
     assigned.join(e.as("b"), Seq("label"))
       .filter(col("qid") =!= col("b.vec_id"))
       .select(col("qid"), col("label"), col("b.vec_id").as("nid"),
-        round(
-          expr("aggregate(zip_with(qv, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
-            (col("qnorm") * col("b.norm")), 6).as("cos"))
+        round(dot(col("qv"), col("b.v")) /
+          (col("qnorm") * col("b.norm")), 6).as("cos"))
       .withColumn("rk", row_number().over(wRank))
       .filter(col("rk") <= 3)
       .select(col("qid"), col("label").cast("long").as("cell"),
