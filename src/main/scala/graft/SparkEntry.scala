@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DedupQueries, EventsQueries, RelationalQueries, SimilarityQueries, TextQueries}
+import graft.queries.{DedupQueries, EventsQueries, MediaQueries, RelationalQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -11,7 +11,8 @@ import graft.queries.{DedupQueries, EventsQueries, RelationalQueries, Similarity
   */
 object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
-    RelationalQueries, EventsQueries, TextQueries, DedupQueries, SimilarityQueries)
+    RelationalQueries, EventsQueries, TextQueries, DedupQueries,
+    SimilarityQueries, MediaQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,85 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import graft.etl.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal binary-column plumbing as driver-checkable queries: the
+  * `documents` table adapted to a media table (UTF-8 payload standing
+  * in for image bytes — see [[graft.etl.Multimodal]]), then metadata
+  * extraction and frame sampling as pure byte-level column ops that
+  * DuckDB can mirror on BLOBs.
+  */
+object MediaQueries extends QueryPack {
+
+  private def media(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mediaFromDocuments(Tables(s, dir, "documents"))
+
+  /** m1 — media metadata rollup: per kind, payload counts/sizes and
+    * the distinct-checksum profile (the "did we ingest duplicate
+    * blobs" scan every media pipeline runs first). */
+  private def m1(s: SparkSession, dir: String): DataFrame = {
+    media(s, dir)
+      .groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("meta.n_bytes")).as("total_bytes"),
+        min(col("meta.n_bytes")).as("min_bytes"),
+        max(col("meta.n_bytes")).as("max_bytes"),
+        countDistinct(md5(hex(col("bytes")))).as("n_distinct_payloads"))
+      .orderBy(col("kind"))
+  }
+
+  private val m1Sql =
+    """SELECT 'img/' || source AS kind, COUNT(*) AS n_media,
+      |  SUM(octet_length(encode(text))) AS total_bytes,
+      |  MIN(octet_length(encode(text))) AS min_bytes,
+      |  MAX(octet_length(encode(text))) AS max_bytes,
+      |  COUNT(DISTINCT md5(hex(encode(text)))) AS n_distinct_payloads
+      |FROM documents
+      |GROUP BY 'img/' || source
+      |ORDER BY kind""".stripMargin
+
+  /** m2 — frame sampling + truncating resize: 4 strided 16-byte
+    * frames per payload, fingerprint each frame, plus the resized
+    * payload's checksum — all byte-slice column expressions. */
+  private def m2(s: SparkSession, dir: String): DataFrame = {
+    media(s, dir)
+      .withColumn("frames", Multimodal.frameSample(col("bytes"), 4, 16))
+      .select(
+        col("media_id"),
+        col("meta.n_bytes").as("n_bytes"),
+        // hash the hex form: DuckDB's md5 is string-only, and hex() is
+        // identical (uppercase) in both engines
+        md5(hex(Multimodal.resizeStub(col("bytes"), 64))).as("resized_md5"),
+        expr("transform(frames, f -> md5(hex(f)))").as("frame_md5s"))
+      .select(col("media_id"), col("n_bytes"), col("resized_md5"),
+        concat_ws("|", col("frame_md5s")).as("frame_sig"))
+      .orderBy(col("media_id"))
+  }
+
+  private val m2Sql =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS n_bytes
+      |  FROM documents),
+      |f AS (
+      |  SELECT media_id, n_bytes,
+      |    md5(substring(hx, 1, 128)) AS resized_md5,
+      |    list_transform(range(0, 4), i -> md5(substring(hx,
+      |      (i * greatest((n_bytes - 16) // 3, 1)) * 2 + 1, 32))) AS frame_md5s
+      |  FROM m)
+      |SELECT media_id, n_bytes, resized_md5,
+      |  array_to_string(frame_md5s, '|') AS frame_sig
+      |FROM f
+      |ORDER BY media_id""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m1_media_profile" -> m1,
+    "m2_frame_sample"  -> m2)
+
+  override def oracle: Map[String, String] = Map(
+    "m1_media_profile" -> m1Sql,
+    "m2_frame_sample"  -> m2Sql)
+}
