@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DedupQueries, EventsQueries, MediaQueries, RelationalQueries, SimilarityQueries, TextQueries}
+import graft.queries.{DedupQueries, EventsQueries, MediaQueries, MoreRelationalQueries, RelationalQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -11,12 +11,15 @@ import graft.queries.{DedupQueries, EventsQueries, MediaQueries, RelationalQueri
   */
 object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
-    RelationalQueries, EventsQueries, TextQueries, DedupQueries,
-    SimilarityQueries, MediaQueries)
+    RelationalQueries, MoreRelationalQueries, EventsQueries, TextQueries,
+    DedupQueries, SimilarityQueries, MediaQueries)
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The agent scoreboard (SURVEY §7 step 2): groupBy counts
+    * joined to a broadcast goal dim with pace/color buckets — the
+    * analytical core the reference delegates to DAX. */
   def entry(spark: SparkSession): DataFrame =
-    RelationalQueries.queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+    EventsQueries.queries("e1_scoreboard")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

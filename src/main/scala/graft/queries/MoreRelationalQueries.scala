@@ -1,0 +1,157 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import graft.QueryPack.{dec, money}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Second relational coverage pack: outer joins, cube grouping sets,
+  * statistical aggregates, string functions, null-handling scalar
+  * ops, and a sketch aggregate (rows-only checked — HLL sketches are
+  * engine-specific, so no value oracle is declared for q15).
+  */
+object MoreRelationalQueries extends QueryPack {
+
+  /** q10 — full outer join: per-nation customer counts vs supplier
+    * counts, nations may miss either side (coalesced). */
+  private def q10(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer").groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_cust"))
+    val su = Tables(s, dir, "supplier").groupBy(col("s_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(su, Seq("nk"), "full_outer")
+      .select(col("nk").cast("long").as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  private val q10Sql =
+    """SELECT CAST(nk AS BIGINT) AS nationkey,
+      |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+      |FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+      |FULL OUTER JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+      |                 FROM supplier GROUP BY 1) s USING (nk)
+      |ORDER BY nationkey""".stripMargin
+
+  /** q11 — CUBE grouping sets over (mktsegment, orderpriority). */
+  private def q11(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val o = Tables(s, dir, "orders")
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .cube(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        money(sum(dec(col("o_totalprice")))).as("sum_price"))
+      .orderBy(asc_nulls_first("c_mktsegment"), asc_nulls_first("o_orderpriority"))
+  }
+
+  private val q11Sql =
+    """SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY CUBE (c_mktsegment, o_orderpriority)
+      |ORDER BY c_mktsegment ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** q12 — statistical aggregates per group: exact interpolated
+    * median, p90, sample stddev, min/max — the profile scan of a
+    * numeric column. */
+  private def q12(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "part")
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        round(expr("percentile(p_retailprice, 0.5)"), 6).as("median_price"),
+        round(expr("percentile(p_retailprice, 0.9)"), 6).as("p90_price"),
+        round(stddev_samp(col("p_retailprice")), 6).as("sd_price"),
+        min(col("p_retailprice")).as("min_price"),
+        max(col("p_retailprice")).as("max_price"))
+      .orderBy(col("p_brand"))
+  }
+
+  private val q12Sql =
+    """SELECT p_brand, COUNT(*) AS n_parts,
+      |  ROUND(quantile_cont(p_retailprice, 0.5), 6) AS median_price,
+      |  ROUND(quantile_cont(p_retailprice, 0.9), 6) AS p90_price,
+      |  ROUND(stddev_samp(p_retailprice), 6) AS sd_price,
+      |  MIN(p_retailprice) AS min_price, MAX(p_retailprice) AS max_price
+      |FROM part
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  /** q13 — string-function sweep over part names: case, trim, pad,
+    * replace, split, edit distance against a fixed probe. */
+  private def q13(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        org.apache.spark.sql.functions.length(col("p_name")).cast("long").as("name_len"),
+        lpad(col("p_brand"), 12, ".").as("brand_pad"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        size(split(col("p_name"), " ")).cast("long").as("n_tokens"),
+        levenshtein(col("p_type"), lit("STANDARD BRUSHED")).cast("long").as("type_dist"))
+      .orderBy(col("p_partkey"))
+  }
+
+  private val q13Sql =
+    """SELECT p_partkey, UPPER(p_name) AS uname,
+      |  CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+      |  LPAD(p_brand, 12, '.') AS brand_pad,
+      |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+      |  CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(levenshtein(p_type, 'STANDARD BRUSHED') AS BIGINT) AS type_dist
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin
+
+  /** q14 — null-handling scalar ops: nullif/coalesce/least/greatest
+    * and conditional buckets over supplier balances. */
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "supplier")
+      .select(
+        col("s_suppkey"),
+        coalesce(nullif(col("s_acctbal"), lit(0.0)), lit(-1.0)).as("bal_or_sentinel"),
+        least(col("s_acctbal"), lit(5000.0)).as("bal_capped"),
+        greatest(col("s_acctbal"), lit(0.0)).as("bal_floored"),
+        when(col("s_acctbal") < 0, "debt")
+          .when(col("s_acctbal") < 5000, "mid").otherwise("rich").as("bucket"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  private val q14Sql =
+    """SELECT s_suppkey,
+      |  COALESCE(NULLIF(s_acctbal, 0.0), -1.0) AS bal_or_sentinel,
+      |  LEAST(s_acctbal, 5000.0) AS bal_capped,
+      |  GREATEST(s_acctbal, 0.0) AS bal_floored,
+      |  CASE WHEN s_acctbal < 0 THEN 'debt'
+      |       WHEN s_acctbal < 5000 THEN 'mid' ELSE 'rich' END AS bucket
+      |FROM supplier
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** q15 — approx_count_distinct (HLL++) per segment. Sketches are
+    * engine-specific → NO value oracle (driver rows-only check); the
+    * spec asserts the estimate's relative error against exact counts. */
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_custs"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q10_full_outer"   -> q10,
+    "q11_cube"         -> q11,
+    "q12_stats"        -> q12,
+    "q13_strings"      -> q13,
+    "q14_nulls"        -> q14,
+    "q15_approx_hll"   -> q15)
+
+  override def oracle: Map[String, String] = Map(
+    "q10_full_outer"   -> q10Sql,
+    "q11_cube"         -> q11Sql,
+    "q12_stats"        -> q12Sql,
+    "q13_strings"      -> q13Sql,
+    "q14_nulls"        -> q14Sql)
+  // q15 deliberately omitted: approx sketches have no cross-engine oracle.
+}
