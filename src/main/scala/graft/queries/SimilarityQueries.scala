@@ -133,11 +133,36 @@ object SimilarityQueries extends QueryPack {
       |WHERE rk <= 3
       |ORDER BY qid, rk""".stripMargin
 
+  /** s3 — same kNN as s1 but through the typed [[graft.functions
+    * .TopKAgg]] aggregator instead of a rank window: map-side partial
+    * top-k buffers mean only k rows per query group cross the
+    * shuffle — the scale shape when each group scans a full corpus.
+    * Oracle is identical to s1's (same result contract). */
+  private def s3(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.udaf
+    val topk = udaf(new graft.functions.TopKAgg(5))
+    val e = emb(s, dir).select(col("vec_id"), col("v"), col("norm"))
+    val q = e.filter(col("vec_id") < 10)
+    q.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("qid"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6)
+          .as("cos"),
+        col("b.vec_id").as("nid"))
+      .groupBy(col("qid"))
+      .agg(topk(col("cos"), col("nid")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "sc")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rk"),
+        col("sc.id").as("nid"), col("sc.score").as("cos"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> s1,
-    "s2_ivf_ann"   -> s2)
+    "s2_ivf_ann"   -> s2,
+    "s3_topk_agg"  -> s3)
 
   override def oracle: Map[String, String] = Map(
     "s1_knn_brute" -> s1Sql,
-    "s2_ivf_ann"   -> s2Sql)
+    "s2_ivf_ann"   -> s2Sql,
+    "s3_topk_agg"  -> s1Sql)
 }
