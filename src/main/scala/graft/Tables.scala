@@ -11,6 +11,19 @@ import org.apache.spark.sql.functions._
   * here assumes single-file layout.
   */
 object Tables {
+  /** Epoch-nanos literal for an ISO date/datetime (UTC) — filter the
+    * raw `ts_ns` long with these so the predicate pushes down to the
+    * parquet scan (a range on the DERIVED µs `ts` column cannot push:
+    * `.explain` shows bare `PushedFilters: [IsNotNull(ts)]`).
+    * `ts >= T` on the floor-divided µs column ⟺ `ts_ns >= T_µs*1000`
+    * for the non-negative timestamps in this data. */
+  def nanos(iso: String): Long = {
+    val ldt =
+      if (iso.length == 10) java.time.LocalDate.parse(iso).atStartOfDay()
+      else java.time.LocalDateTime.parse(iso.replace(' ', 'T'))
+    ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+  }
+
   val all: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")

@@ -108,8 +108,8 @@ object EventsQueries extends QueryPack {
     * week of activity bucketed by hour. */
   private def e3(s: SparkSession, dir: String): DataFrame = {
     ev(s, dir)
-      .filter(col("ts") >= lit("2024-01-08").cast("timestamp") &&
-        col("ts") < lit("2024-01-15").cast("timestamp"))
+      .filter(col("ts_ns") >= Tables.nanos("2024-01-08") &&
+        col("ts_ns") < Tables.nanos("2024-01-15"))
       .groupBy(date_trunc("HOUR", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         money(sum(dec(col("value")))).as("sum_value"))
@@ -160,10 +160,10 @@ object EventsQueries extends QueryPack {
     * events anti-join it, so only first-ever keys pass the gate. */
   private def e5(s: SparkSession, dir: String): DataFrame = {
     val e = ev(s, dir)
-    val ledger = e.filter(col("ts") < lit("2024-01-02").cast("timestamp"))
+    val ledger = e.filter(col("ts_ns") < Tables.nanos("2024-01-02"))
       .select(col("user_id"), col("event_type")).distinct()
-    e.filter(col("ts") >= lit("2024-01-02").cast("timestamp") &&
-        col("ts") < lit("2024-01-03").cast("timestamp"))
+    e.filter(col("ts_ns") >= Tables.nanos("2024-01-02") &&
+        col("ts_ns") < Tables.nanos("2024-01-03"))
       .join(ledger, Seq("user_id", "event_type"), "left_anti")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_new"), countDistinct(col("user_id")).as("n_users"))
