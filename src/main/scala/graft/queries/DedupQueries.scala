@@ -256,7 +256,12 @@ object DedupQueries extends QueryPack {
       .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
       .select(col("vec_id"), col("v"), col("norm"))
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+    // Non-equi pair join = nested-loop with one side broadcast. The
+    // corpus parquet is a single split, so without a repartition the
+    // whole O(n²) stream runs in ONE task; spread it first.
+    val nParts = s.sparkContext.defaultParallelism
+    e.repartition(nParts).as("a")
+      .join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", round(dot(col("a.v"), col("b.v")) /
         (col("a.norm") * col("b.norm")), 6))
       .filter(col("cos") >= 0.45)
