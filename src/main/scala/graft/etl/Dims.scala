@@ -73,6 +73,28 @@ object Dims {
 
   private def atHour(day: Column, hour: Column): Column =
     timestamp_seconds(unix_timestamp(day.cast("timestamp")) + hour.cast("long") * 3600L)
+
+  /** K5 — star-schema DDL: create the five sink tables (reference
+    * `tools/pbi/create-dataset.ts:110-135`) in the session catalog.
+    * Idempotent (IF NOT EXISTS). */
+  def createStarTables(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val ddl = Seq(
+      "FactEvent" ->
+        "EventID STRING, AgentID STRING, FactDateKey DATE, MetricID STRING, Notes STRING",
+      "DimAgent" ->
+        "AgentID STRING, AgentName STRING, Email STRING, TimezoneIANA STRING, ActiveFlag BOOLEAN",
+      "DimMetric" ->
+        "MetricID STRING, MetricName STRING, DefaultGoal BIGINT, DefaultYellowFloorPct DOUBLE",
+      "DimDate" ->
+        ("Date DATE, Year BIGINT, Month BIGINT, Day BIGINT, MonthName STRING, " +
+          "Quarter BIGINT, DayOfWeek BIGINT, DayName STRING, IsWeekend BOOLEAN"),
+      "DimShift" ->
+        ("AgentID STRING, LocalDate DATE, ShiftStartLocal TIMESTAMP, " +
+          "ShiftEndLocal TIMESTAMP, ShiftHours BIGINT"))
+    ddl.foreach { case (name, cols) =>
+      spark.sql(s"CREATE TABLE IF NOT EXISTS $name ($cols) USING parquet")
+    }
+  }
 }
 
 /** K4 — clear-and-replace DimAgent sync with the reference's exact
