@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text near-duplicate detection operators (the library surface
+  * behind DedupQueries d2-d4). All hashing is md5-derived exact int64
+  * arithmetic so results are reproducible across engines and runs —
+  * see DedupQueries for the DuckDB-oracle mirror.
+  *
+  * Scale design: every operator is candidate-generation (inverted
+  * index / LSH bands / pigeonhole blocks) → verification; self-joins
+  * carry shuffle_hash hints because both sides are index-sized and
+  * must never be broadcast (see [[graft.queries.DedupQueries]] d2
+  * note).
+  */
+object TextDedup {
+
+  val P = 2147483647L // 2^31 - 1
+
+  /** word-n-gram shingle hashes, distinct, as int64 in [0, P).
+    * `wordsCol` names a column holding array<string> words. */
+  def shingleHashes(wordsCol: String, n: Int = 3): Column = {
+    val mk = (0 until n).map(j => s"$wordsCol[i+$j]")
+      .mkString("concat(", ", ' ', ", ")")
+    expr(
+      s"""transform(
+         |  array_distinct(transform(sequence(0, size($wordsCol) - $n),
+         |    i -> $mk)),
+         |  s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % $P)""".stripMargin)
+  }
+
+  /** docs(id, xs: array<long>) → pairs (d1, d2, jaccard) with exact
+    * set-Jaccard ≥ threshold, candidates via the inverted index. */
+  def jaccardPairs(docs: DataFrame, idCol: String, xsCol: String,
+      threshold: Double): DataFrame = {
+    val sh = docs.select(col(idCol).as("__id"), size(col(xsCol)).as("__n"),
+      explode(col(xsCol)).as("__sh"))
+    sh.as("a").hint("shuffle_hash").join(sh.as("b").hint("shuffle_hash"),
+        col("a.__sh") === col("b.__sh") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("d1"), col("b.__id").as("d2"),
+        col("a.__n").as("n1"), col("b.__n").as("n2"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("n1") + col("n2") - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
+  /** MinHash signature columns h0..h{k-1} for a shingle-hash array.
+    * Permutations are (a*x + b) mod P with constants derived from the
+    * index — fixed across engines and runs. */
+  def minhashPerms(k: Int): Seq[(Long, Long)] =
+    (0 until k).map(i => ((2L * i + 1) * 2654435761L % P, (i * 40503L * 65537 + 17) % P))
+
+  def minhashSignature(xsCol: String, k: Int): Seq[Column] =
+    minhashPerms(k).zipWithIndex.map { case ((a, b), i) =>
+      expr(s"array_min(transform($xsCol, x -> ($a * x + $b) % $P))").as(s"h$i")
+    }
+
+  /** LSH candidate pairs: signatures banded (bands × rowsPerBand = k);
+    * pairs sharing any band collide. Returns (d1, d2, sig1, sig2). */
+  def lshCandidates(sigs: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    val banded = sigs.select(col(idCol).as("__id"), col("sig"),
+      explode(array((0 until bands).map(j =>
+        struct(lit(j).as("band"),
+          concat_ws("-", (0 until rows).map(r => col(s"h${j * rows + r}")): _*).as("key"))): _*))
+        .as("bk"))
+      .select(col("__id"), col("sig"), col("bk.band"), col("bk.key"))
+    banded.as("a").hint("shuffle_hash").join(banded.as("b").hint("shuffle_hash"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("d1"), col("b.__id").as("d2"),
+        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+      .distinct()
+  }
+
+  /** 32-bit SimHash per doc from (doc, word, count) rows. */
+  def simhash(wordCounts: DataFrame, idCol: String): DataFrame = {
+    val hashed = wordCounts.withColumn("__h",
+      expr(s"cast(conv(substring(md5(__w), 1, 15), 16, 10) as bigint) % $P"))
+    val bitSums = (0 until 32).map(b =>
+      sum(when(expr(s"(__h >> $b) & 1") === 1, col("__cnt")).otherwise(-col("__cnt")))
+        .as(s"s$b"))
+    val sim = (0 until 32).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+    hashed.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash", sim)
+      .select(idCol, "simhash")
+  }
+
+  /** SimHash near-dup pairs with hamming ≤ maxHamming via pigeonhole
+    * blocks (nBlocks × blockBits must cover 32 bits; hd ≤ nBlocks-1
+    * ⇒ at least one block equal). */
+  def simhashPairs(simhashes: DataFrame, idCol: String, maxHamming: Int,
+      nBlocks: Int = 4): DataFrame = {
+    require(maxHamming < nBlocks, "pigeonhole needs maxHamming < nBlocks")
+    val blockBits = 32 / nBlocks
+    val mask = (1 << blockBits) - 1
+    val blocked = simhashes.select(col(idCol).as("__id"), col("simhash"),
+      explode(array((0 until nBlocks).map(j =>
+        struct(lit(j).as("blk"),
+          expr(s"(simhash >> ${j * blockBits}) & $mask").as("key"))): _*)).as("bk"))
+      .select(col("__id"), col("simhash"), col("bk.blk"), col("bk.key"))
+    blocked.as("a").hint("shuffle_hash").join(blocked.as("b").hint("shuffle_hash"),
+        col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("d1"), col("b.__id").as("d2"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -30,22 +30,13 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries extends QueryPack {
 
-  private val P = 2147483647L // 2^31 - 1
+  private val P = graft.operators.TextDedup.P
   /** MinHash permutation constants, k=16 (odd multipliers, fixed). */
-  private val perms: Seq[(Long, Long)] =
-    (0 until 16).map(i => ((2L * i + 1) * 2654435761L % P, (i * 40503L * 65537 + 17) % P))
+  private val perms: Seq[(Long, Long)] = graft.operators.TextDedup.minhashPerms(16)
   private val bands = 4 // 4 bands × 4 rows
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
-
-  /** Distinct word-3-shingle hashes per doc, as int64 in [0, p). */
-  private val shingleHashes: Column = expr(
-    """transform(
-      |  array_distinct(transform(sequence(0, size(w)-3),
-      |    i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))),
-      |  s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % 2147483647L)
-      |""".stripMargin)
 
   private val shingleHashesSql =
     """list_transform(
@@ -57,7 +48,7 @@ object DedupQueries extends QueryPack {
     docs(s, dir)
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 3)
-      .withColumn("xs", shingleHashes)
+      .withColumn("xs", graft.operators.TextDedup.shingleHashes("w", 3))
 
   private val withShinglesSql =
     s"""SELECT doc_id, $shingleHashesSql AS xs
@@ -86,27 +77,10 @@ object DedupQueries extends QueryPack {
     * candidate pairs share ≥1 shingle; exact Jaccard ≥ 0.8 confirms
     * (clean separation: planted pairs sit at ~0.98, background at
     * ≤0.07 at sf0.01). */
-  private def d2(s: SparkSession, dir: String): DataFrame = {
-    // Carry each doc's set size through the explode so the pair
-    // aggregation needs no size-lookup joins afterwards (one shuffle
-    // saved; the grouped key (d1,d2,n1,n2) is the pair key anyway).
-    val sh = withShingles(s, dir)
-      .select(col("doc_id"), size(col("xs")).as("n"), explode(col("xs")).as("sh"))
-    // Both sides of the inverted-index self-join have the same (large)
-    // cardinality — never broadcast. Without the hint, AQE sees small
-    // post-shuffle stats at low SF and builds a driver-side broadcast
-    // map of the whole index (measured 10×+ slower and erratic).
-    sh.as("a").hint("shuffle_hash").join(sh.as("b").hint("shuffle_hash"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.n").as("n1"), col("b.n").as("n2"))
-      .agg(count(lit(1)).as("common"))
-      .withColumn("jaccard", round(col("common").cast("double") /
-        (col("n1") + col("n2") - col("common")), 6))
-      .filter(col("jaccard") >= 0.8)
-      .select(col("d1"), col("d2"), col("jaccard"))
+  private def d2(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextDedup
+      .jaccardPairs(withShingles(s, dir), "doc_id", "xs", threshold = 0.8)
       .orderBy(col("d1"), col("d2"))
-  }
 
   private val d2Sql =
     s"""WITH sh AS (
@@ -127,24 +101,12 @@ object DedupQueries extends QueryPack {
     * signature positions agree (est. Jaccard ≥ 0.75). The linear-cost
     * scale path: no shingle-level join at all. */
   private def d3(s: SparkSession, dir: String): DataFrame = {
-    val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
-      expr(s"array_min(transform(xs, x -> ($a * x + $b) % $P))").as(s"h$i")
-    }
-    val sigs = withShingles(s, dir).select(col("doc_id") +: sigCols: _*)
+    val sigs = withShingles(s, dir)
+      .select(col("doc_id") +:
+        graft.operators.TextDedup.minhashSignature("xs", 16): _*)
       .withColumn("sig", array((0 until 16).map(i => col(s"h$i")): _*))
-    val banded = sigs.select(col("doc_id"), col("sig"),
-      explode(array((0 until bands).map(j =>
-        struct(lit(j).as("band"),
-          concat_ws("-", (0 until 4).map(r => col(s"h${j * 4 + r}")): _*).as("key"))): _*))
-        .as("bk"))
-      .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.key"))
-    val cands = banded.as("a").hint("shuffle_hash")
-      .join(banded.as("b").hint("shuffle_hash"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
-      .distinct()
+    val cands = graft.operators.TextDedup
+      .lshCandidates(sigs, "doc_id", k = 16, bands = bands)
     cands
       .withColumn("sig_matches",
         expr("aggregate(zip_with(sig1, sig2, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
@@ -188,33 +150,12 @@ object DedupQueries extends QueryPack {
     * pigeonhole blocks (4 × 8-bit blocks; hd ≤ 3 ⇒ ≥1 equal block) —
     * the bucketed join that makes SimHash linear at scale. */
   private def d4(s: SparkSession, dir: String): DataFrame = {
-    val wordHash =
-      "cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint) % 2147483647L"
-    // bit b contribution: +cnt if bit set else -cnt; sign → bit.
-    val bitSums = (0 until 32).map(b =>
-      sum(when(expr(s"(h >> $b) & 1") === 1, col("cnt")).otherwise(-col("cnt")))
-        .as(s"s$b"))
-    val sim = (0 until 32).map(b =>
-      when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
-    val base = docs(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("x"))
-      .groupBy(col("doc_id"), col("x")).agg(count(lit(1)).as("cnt"))
-      .withColumn("h", expr(wordHash))
-      .groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      .withColumn("simhash", sim)
-      .select("doc_id", "simhash")
-    val blocked = base.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(j =>
-        struct(lit(j).as("blk"), expr(s"(simhash >> ${j * 8}) & 255").as("key"))): _*))
-        .as("bk"))
-      .select(col("doc_id"), col("simhash"), col("bk.blk"), col("bk.key"))
-    blocked.as("a").hint("shuffle_hash").join(blocked.as("b").hint("shuffle_hash"),
-        col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= 3)
+    val wordCounts = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("__w"))
+      .groupBy(col("doc_id"), col("__w")).agg(count(lit(1)).as("__cnt"))
+    val sims = graft.operators.TextDedup.simhash(wordCounts, "doc_id")
+    graft.operators.TextDedup
+      .simhashPairs(sims, "doc_id", maxHamming = 3, nBlocks = 4)
       .orderBy(col("d1"), col("d2"))
   }
 
