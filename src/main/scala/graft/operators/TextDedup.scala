@@ -18,17 +18,14 @@ object TextDedup {
 
   val P = 2147483647L // 2^31 - 1
 
-  /** word-n-gram shingle hashes, distinct, as int64 in [0, P).
+  /** word-n-gram shingle hashes, distinct, as int64 in [0, P) — the
+    * native one-pass kernel [[graft.functions.ShingleHash]] (same
+    * math as the SQL `conv(substring(md5(s),1,15),16,10) % P`
+    * pipeline, ~4× faster than the interpreted lambda chain and
+    * immune to the filter-pushdown re-inlining of lambda aliases).
     * `wordsCol` names a column holding array<string> words. */
-  def shingleHashes(wordsCol: String, n: Int = 3): Column = {
-    val mk = (0 until n).map(j => s"$wordsCol[i+$j]")
-      .mkString("concat(", ", ' ', ", ")")
-    expr(
-      s"""transform(
-         |  array_distinct(transform(sequence(0, size($wordsCol) - $n),
-         |    i -> $mk)),
-         |  s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % $P)""".stripMargin)
-  }
+  def shingleHashes(wordsCol: String, n: Int = 3): Column =
+    call_function("graft_shingle_hash", col(wordsCol), lit(n))
 
   /** docs(id, xs: array<long>) → pairs (d1, d2, jaccard) with exact
     * set-Jaccard ≥ threshold, candidates via the inverted index. */
@@ -47,25 +44,27 @@ object TextDedup {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
-  /** MinHash signature columns h0..h{k-1} for a shingle-hash array.
-    * Permutations are (a*x + b) mod P with constants derived from the
-    * index — fixed across engines and runs. */
+  /** MinHash permutation constants (a*x + b) mod P, fixed family —
+    * mirrored by the oracle SQL and the native kernel. */
   def minhashPerms(k: Int): Seq[(Long, Long)] =
     (0 until k).map(i => ((2L * i + 1) * 2654435761L % P, (i * 40503L * 65537 + 17) % P))
 
-  def minhashSignature(xsCol: String, k: Int): Seq[Column] =
-    minhashPerms(k).zipWithIndex.map { case ((a, b), i) =>
-      expr(s"array_min(transform($xsCol, x -> ($a * x + $b) % $P))").as(s"h$i")
-    }
+  /** k-value MinHash signature (array<long>) in ONE pass over the
+    * shingle array — native kernel [[graft.functions.MinHashSig]]
+    * (vs k separate interpreted array_min(transform) scans). */
+  def minhashSig(xsCol: String, k: Int): Column =
+    call_function("graft_minhash", col(xsCol), lit(k))
 
-  /** LSH candidate pairs: signatures banded (bands × rowsPerBand = k);
-    * pairs sharing any band collide. Returns (d1, d2, sig1, sig2). */
+  /** LSH candidate pairs over a `sig` array column: k values banded
+    * into `bands` groups; pairs sharing any band collide. Returns
+    * (d1, d2, sig1, sig2). */
   def lshCandidates(sigs: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
     val banded = sigs.select(col(idCol).as("__id"), col("sig"),
       explode(array((0 until bands).map(j =>
         struct(lit(j).as("band"),
-          concat_ws("-", (0 until rows).map(r => col(s"h${j * rows + r}")): _*).as("key"))): _*))
+          concat_ws("-", (0 until rows).map(r => col("sig").getItem(j * rows + r)): _*)
+            .as("key"))): _*))
         .as("bk"))
       .select(col("__id"), col("sig"), col("bk.band"), col("bk.key"))
     banded.as("a").hint("shuffle_hash").join(banded.as("b").hint("shuffle_hash"),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, SafeDateKey}
+import graft.functions.{DotProduct, MinHashSig, SafeDateKey, ShingleHash}
 
 /** Session extension wiring for graft's native expressions. Use via
   * `.withExtensions(new GraftExtensions)` or
@@ -27,7 +27,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => SafeDateKey(args(0), args(1))),
     (new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    (new FunctionIdentifier("graft_shingle_hash"),
+      new ExpressionInfo(classOf[ShingleHash].getName, "graft_shingle_hash"),
+      (args: Seq[Expression]) => ShingleHash(args(0), args(1))),
+    (new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      (args: Seq[Expression]) => MinHashSig(args(0), args(1))))
 
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -102,9 +102,8 @@ object DedupQueries extends QueryPack {
     * scale path: no shingle-level join at all. */
   private def d3(s: SparkSession, dir: String): DataFrame = {
     val sigs = withShingles(s, dir)
-      .select(col("doc_id") +:
-        graft.operators.TextDedup.minhashSignature("xs", 16): _*)
-      .withColumn("sig", array((0 until 16).map(i => col(s"h$i")): _*))
+      .select(col("doc_id"),
+        graft.operators.TextDedup.minhashSig("xs", 16).as("sig"))
     val cands = graft.operators.TextDedup
       .lshCandidates(sigs, "doc_id", k = 16, bands = bands)
     cands

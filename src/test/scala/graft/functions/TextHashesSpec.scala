@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The native kernels must be bit-identical to the SQL formulas they
+  * replace — these specs pin that equivalence. */
+class TextHashesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    "key agg row scan slow fast table",
+    "a b c",
+    "x y" // shorter than the shingle width
+  ).toDF("text").withColumn("w", split($"text", " "))
+
+  test("graft_shingle_hash equals the md5/conv SQL pipeline") {
+    val kernel = docs.select(
+      call_function("graft_shingle_hash", $"w", lit(3)).as("xs"))
+      .select(array_sort($"xs")).as[Seq[Long]].collect()
+    // the SQL pipeline is only well-defined for size(w) >= 3 (ANSI
+    // array indexing); the kernel returns empty below that
+    val sql = docs.filter(org.apache.spark.sql.functions.size($"w") >= 3).select(expr(
+      """array_sort(transform(
+        |  array_distinct(transform(sequence(0, size(w)-3),
+        |    i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))),
+        |  s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % 2147483647L))
+        |""".stripMargin).as("xs")).as[Seq[Long]].collect()
+    kernel(0) shouldBe sql(0)
+    kernel(1) shouldBe sql(1)
+    kernel(2) shouldBe Seq.empty
+  }
+
+  test("graft_minhash equals k array_min(transform) scans") {
+    val perms = graft.operators.TextDedup.minhashPerms(16)
+    val xs = docs.limit(1)
+      .select(call_function("graft_shingle_hash", $"w", lit(3)).as("xs"))
+    val kernel = xs.select(call_function("graft_minhash", $"xs", lit(16)).as("sig"))
+      .as[Seq[Long]].head()
+    val sqlCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      expr(s"array_min(transform(xs, x -> ($a * x + $b) % 2147483647))").as(s"h$i")
+    }
+    val sql = xs.select(array(sqlCols.map(c => c): _*).as("sig")).as[Seq[Long]].head()
+    kernel shouldBe sql
+  }
+
+  test("kernels survive codegen over many rows") {
+    val n = spark.range(2000)
+      .select(split(concat_ws(" ", lit("a"), $"id", lit("b"), $"id" + 1, lit("c")), " ").as("w"))
+      .select(call_function("graft_minhash",
+        call_function("graft_shingle_hash", $"w", lit(3)), lit(16)).as("sig"))
+      .select(explode($"sig")).distinct().count()
+    n should be > 100L
+  }
+}
