@@ -162,15 +162,59 @@ object TextQueries extends QueryPack {
       |FROM d JOIN g ON d.bag_fp = g.bag_fp
       |ORDER BY d.bag_fp, d.doc_id""".stripMargin
 
+  /** t5 — winnowing fingerprints (MOSS-style rolling-hash document
+    * fingerprinting): ordered word-3-gram hashes, sliding windows of
+    * 4, keep each window's minimum → the document's fingerprint set.
+    * Guarantees any shared run of ≥6 words yields a shared
+    * fingerprint, with ~1/4 the storage of full shingling. */
+  private def t5(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+      .withColumn("w", words)
+      .filter(size(col("w")) >= 6)
+      .withColumn("hs", expr(
+        """transform(sequence(0, size(w)-3),
+          |  i -> cast(conv(substring(md5(concat(w[i], ' ', w[i+1], ' ', w[i+2])), 1, 15), 16, 10) as bigint)
+          |       % 2147483647L)""".stripMargin))
+      .withColumn("fps", expr(
+        "array_distinct(transform(sequence(0, size(hs)-4), i -> array_min(slice(hs, i+1, 4))))"))
+      .select(col("doc_id"),
+        size(col("hs")).cast("long").as("n_grams"),
+        size(col("fps")).cast("long").as("n_fingerprints"),
+        array_min(col("fps")).as("min_fp"),
+        array_max(col("fps")).as("max_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t5Sql =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, len(w)-1),
+      |      i -> CAST(('0x'||substr(md5(w[i]||' '||w[i+1]||' '||w[i+2]),1,15)) AS BIGINT)
+      |           % 2147483647) AS hs
+      |  FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)
+      |  WHERE len(w) >= 6),
+      |f AS (
+      |  SELECT doc_id, len(hs) AS n_grams,
+      |    list_distinct(list_transform(range(1, len(hs)-2),
+      |      i -> list_min(hs[i:i+3]))) AS fps
+      |  FROM g)
+      |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+      |  CAST(len(fps) AS BIGINT) AS n_fingerprints,
+      |  list_min(fps) AS min_fp, list_max(fps) AS max_fp
+      |FROM f
+      |ORDER BY doc_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_lang_id"      -> t1,
     "t2_quality"      -> t2,
     "t3_tokens"       -> t3,
-    "t4_fingerprint"  -> t4)
+    "t4_fingerprint"  -> t4,
+    "t5_winnowing"    -> t5)
 
   override def oracle: Map[String, String] = Map(
     "t1_lang_id"      -> t1Sql,
     "t2_quality"      -> t2Sql,
     "t3_tokens"       -> t3Sql,
-    "t4_fingerprint"  -> t4Sql)
+    "t4_fingerprint"  -> t4Sql,
+    "t5_winnowing"    -> t5Sql)
 }
