@@ -1,0 +1,151 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
+  JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Backward as-of join as a first-class operator: for each left row,
+  * attach the LATEST right row with equal keys and right.time ≤
+  * left.time (or nulls when none) — the canonical event-enrichment
+  * join ("state of X as of this event").
+  *
+  * Why a custom operator (SURVEY preference (c)): the composable form
+  * — inequality join then max-per-key re-aggregation (EventsQueries
+  * e9) — expands every left row by ALL earlier right matches and then
+  * shrinks them back, an O(matches) blow-up plus an extra shuffle.
+  * This physical operator declares hash distribution on the keys and
+  * (key, time) ordering per child, so EnsureRequirements plans one
+  * exchange+sort per side and the join itself is a single linear
+  * merge pass per partition — the same cost shape as a sort-merge
+  * join, at any scale.
+  *
+  * Time columns must be long-backed (LongType or TimestampType).
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression)
+  extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] =
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(leftKeys, lOut)
+      val rKeyProj = UnsafeProjection.create(rightKeys, rOut)
+      val lTimeBound = BindReferences.bindReference(leftTime, lOut)
+      val rTimeBound = BindReferences.bindReference(rightTime, rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(leftKeys.map(_.dataType))
+      val result = UnsafeProjection.create(output, lOut ++ rOut)
+      val nullRight = new GenericInternalRow(rOut.size)
+      val joined = new JoinedRow()
+
+      new Iterator[InternalRow] {
+        private var candidate: InternalRow = _          // latest right ≤ lTime
+        private var candidateKey: InternalRow = _       // its key (copied)
+        private var rRow: InternalRow = _               // lookahead right row
+        private var rKey: InternalRow = _
+        private def advanceRight(): Unit =
+          if (rIter.hasNext) { rRow = rIter.next(); rKey = rKeyProj(rRow) }
+          else { rRow = null; rKey = null }
+        advanceRight()
+
+        override def hasNext: Boolean = lIter.hasNext
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lKey = lKeyProj(l)
+          val lT = lTimeBound.eval(l).asInstanceOf[Long]
+          // drop a buffered candidate from a previous key group
+          if (candidate != null && keyOrd.compare(candidateKey, lKey) != 0) {
+            candidate = null; candidateKey = null
+          }
+          // consume right rows up to (lKey, lT]
+          var cont = rRow != null
+          while (cont) {
+            val c = keyOrd.compare(rKey, lKey)
+            if (c < 0) { candidate = null; candidateKey = null; advanceRight() }
+            else if (c == 0 && rTimeBound.eval(rRow).asInstanceOf[Long] <= lT) {
+              candidate = rRow.copy(); candidateKey = rKey.copy(); advanceRight()
+            } else cont = false
+            if (rRow == null) cont = false
+          }
+          result(joined(l, if (candidate != null) candidate else nullRight))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Public API: `AsOfJoin.backward(left, right, keys, lTime, rTime)`.
+  * Column names must be disjoint between sides (alias first — this
+  * also guarantees distinct expression ids for self-joins). */
+object AsOfJoin {
+  def backward(
+      left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
+      leftTime: String, rightTime: String): DataFrame = {
+    val spark = left.sparkSession
+    GraftExtensions.register(spark)
+    val lp = org.apache.spark.sql.graft.Bridge.logicalPlan(left)
+    val rp = org.apache.spark.sql.graft.Bridge.logicalPlan(right)
+    def res(p: LogicalPlan, n: String) = p.output.find(_.name == n)
+      .getOrElse(throw new IllegalArgumentException(s"no column $n in ${p.output.map(_.name)}"))
+    val shared = lp.outputSet.intersect(rp.outputSet)
+    require(shared.isEmpty,
+      s"as-of join sides share attributes $shared — alias the right side first")
+    require(lp.output.map(_.name).intersect(rp.output.map(_.name)).isEmpty,
+      "as-of join sides share column names — alias the right side first")
+    val tt = Seq(LongType, TimestampType)
+    val lt = res(lp, leftTime); val rt = res(rp, rightTime)
+    require(tt.contains(lt.dataType) && tt.contains(rt.dataType),
+      "as-of time columns must be LongType or TimestampType")
+    org.apache.spark.sql.graft.Bridge.ofRows(spark,
+      AsOfJoinPlan(lp, rp,
+        keys.map(k => res(lp, k._1)), keys.map(k => res(rp, k._2)), lt, rt))
+  }
+}

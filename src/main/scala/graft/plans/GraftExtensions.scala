@@ -13,8 +13,10 @@ import graft.functions.{DotProduct, MinHashSig, SafeDateKey, ShingleHash}
   * built session call [[GraftExtensions.register]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
 }
 
 object GraftExtensions {
@@ -36,8 +38,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => MinHashSig(args(0), args(1))))
 
   /** Register on a live session (idempotent). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+  }
 }

@@ -299,6 +299,24 @@ object EventsQueries extends QueryPack {
       |GROUP BY p.event_id, p.user_id, epoch_ns(p.ts)//1000
       |ORDER BY p.event_id""".stripMargin
 
+  /** e10 — the same as-of contract as e9 through the custom
+    * [[graft.plans.AsOfJoin]] physical operator (logical node +
+    * strategy + sort-merge exec via SparkSessionExtensions): one
+    * exchange+sort per side and a single linear merge pass, vs e9's
+    * expand-then-reaggregate. Shares e9's oracle. */
+  private def e10(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).withColumn("tsu", unix_micros(col("ts")))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("tsu"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("tsu").as("c_tsu"))
+    graft.plans.AsOfJoin.backward(purchases, clicks,
+        keys = Seq("user_id" -> "c_user"), leftTime = "tsu", rightTime = "c_tsu")
+      .select(col("event_id"), col("user_id"), col("tsu"),
+        col("c_tsu").as("last_click_tsu"))
+      .orderBy(col("event_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_scoreboard"     -> e1,
     "e2_json_extract"   -> e2,
@@ -308,7 +326,8 @@ object EventsQueries extends QueryPack {
     "e6_sessionize"     -> e6,
     "e7_pivot"          -> e7,
     "e8_dim_date"       -> e8,
-    "e9_asof_join"      -> e9)
+    "e9_asof_join"      -> e9,
+    "e10_asof_operator" -> e10)
 
   override def oracle: Map[String, String] = Map(
     "e1_scoreboard"     -> e1Sql,
@@ -319,5 +338,6 @@ object EventsQueries extends QueryPack {
     "e6_sessionize"     -> e6Sql,
     "e7_pivot"          -> e7Sql,
     "e8_dim_date"       -> e8Sql,
-    "e9_asof_join"      -> e9Sql)
+    "e9_asof_join"      -> e9Sql,
+    "e10_asof_operator" -> e9Sql)
 }

@@ -1,0 +1,71 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val trades = Seq(
+    (1L, 100L, "t1"), (1L, 200L, "t2"), (2L, 150L, "t3"), (3L, 50L, "t4")
+  ).toDF("user", "t", "trade")
+  private lazy val quotes = Seq(
+    (1L, 90L, "q90"), (1L, 100L, "q100"), (1L, 150L, "q150"),
+    (2L, 151L, "q151")
+  ).toDF("q_user", "q_t", "quote")
+
+  test("backward as-of attaches the latest right row at or before left time") {
+    val out = AsOfJoin.backward(trades, quotes,
+      keys = Seq("user" -> "q_user"), leftTime = "t", rightTime = "q_t")
+      .select($"trade", $"quote").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    out("t1") shouldBe "q100" // inclusive: q_t == t wins over q90
+    out("t2") shouldBe "q150" // latest ≤ 200
+    out("t3") shouldBe null   // only later quote for user 2
+    out("t4") shouldBe null   // no quotes for user 3
+  }
+
+  test("matches the composed join+max form on real events data (e9 contract)") {
+    val dir = "/root/testdata/sf0.001"
+    val e = Tables(spark, dir, "events").withColumn("tsu", unix_micros($"ts"))
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"tsu")
+    val clicks = e.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"tsu".as("c_tsu"), $"event_id".as("c_id"))
+    val custom = AsOfJoin.backward(purchases, clicks,
+      keys = Seq("user_id" -> "c_user"), leftTime = "tsu", rightTime = "c_tsu")
+      .select($"event_id", $"c_tsu".as("last_click_tsu"))
+    val composed = purchases.join(clicks,
+        $"c_user" === $"user_id" && $"c_tsu" <= $"tsu", "left")
+      .groupBy($"event_id").agg(max($"c_tsu").as("last_click_tsu"))
+    val a = custom.orderBy("event_id").collect().toSeq
+    val b = composed.orderBy("event_id").collect().toSeq
+    a.map(r => (r.getLong(0), Option(r.get(1)))) shouldBe
+      b.map(r => (r.getLong(0), Option(r.get(1))))
+    a.nonEmpty shouldBe true
+  }
+
+  test("plans as one merge pass: AsOfJoinExec with exchange+sort per side") {
+    val df = AsOfJoin.backward(trades, quotes,
+      Seq("user" -> "q_user"), "t", "q_t")
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("AsOfJoin") // nodeName strips the Exec suffix
+    plan should include("Sort")
+    // and exactly one exchange per side, not the join+agg double shuffle
+    "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 2
+  }
+
+  test("many keys and ties: every left row gets the right candidate") {
+    val l = (1 to 200).map(i => (i.toLong % 10, i.toLong * 10)).toDF("k", "t")
+    val r = (1 to 500).map(i => (i.toLong % 10, i.toLong * 4 + 1, s"v$i"))
+      .toDF("rk", "rt", "v")
+    val out = AsOfJoin.backward(l, r, Seq("k" -> "rk"), "t", "rt")
+    val expected = l.join(r, $"k" === $"rk" && $"rt" <= $"t", "left")
+      .groupBy($"k", $"t").agg(max($"rt").as("best"))
+    val got = out.select($"k", $"t", $"rt").orderBy("k", "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2))))
+    val want = expected.orderBy("k", "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2))))
+    got.toSeq shouldBe want.toSeq
+  }
+}
