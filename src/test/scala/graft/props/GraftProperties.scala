@@ -1,0 +1,84 @@
+package graft.props
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.functions.{MinHashSig, ScoredId, ShingleHash, TopKAgg}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** ScalaCheck property suite for the pure kernels (no SparkSession —
+  * fast, exhaustive shrinking). Spark-side equivalences live in the
+  * ScalaTest specs; these pin the algebraic laws the distributed
+  * plans rely on. */
+object GraftProperties extends Properties("graft") {
+
+  private val word = Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(6))
+  private val words = Gen.listOfN(20, word).map(_.toArray)
+
+  private def arr(ws: Array[String]) =
+    new GenericArrayData(ws.map(w => UTF8String.fromString(w): Any))
+
+  property("shingleHash is deterministic and within [0, P)") =
+    forAll(words) { ws =>
+      val a = ShingleHash.hashes(arr(ws), 3)
+      val b = ShingleHash.hashes(arr(ws), 3)
+      a.toLongArray.toSeq == b.toLongArray.toSeq &&
+        a.toLongArray.forall(h => h >= 0 && h < ShingleHash.P)
+    }
+
+  property("shingleHash output is distinct") = forAll(words) { ws =>
+    val hs = ShingleHash.hashes(arr(ws), 3).toLongArray
+    hs.distinct.length == hs.length
+  }
+
+  property("shingleHash is permutation-sensitive but subset-stable") =
+    forAll(words.suchThat(_.distinct.length >= 6)) { ws =>
+      // appending words only adds shingles; existing ones survive
+      val base = ShingleHash.hashes(arr(ws), 3).toLongArray.toSet
+      val ext = ShingleHash.hashes(arr(ws ++ Array("zzz", "yyy", "xxx")), 3)
+        .toLongArray.toSet
+      base.subsetOf(ext)
+    }
+
+  private val hashArr = Gen.nonEmptyListOf(Gen.choose(0L, MinHashSig.P - 1))
+
+  property("minhash sig_i = min over per-element perms (spot formula)") =
+    forAll(hashArr) { xs =>
+      val sig = MinHashSig.sig(new GenericArrayData(xs.toArray), 4).toLongArray
+      (0 until 4).forall { i =>
+        val a = (2L * i + 1) * 2654435761L % MinHashSig.P
+        val b = (i * 40503L * 65537 + 17) % MinHashSig.P
+        sig(i) == xs.map(x => (a * x + b) % MinHashSig.P).min
+      }
+    }
+
+  property("minhash of a superset is <= elementwise (monotone)") =
+    forAll(hashArr, hashArr) { (xs, ys) =>
+      val s1 = MinHashSig.sig(new GenericArrayData(xs.toArray), 8).toLongArray
+      val s2 = MinHashSig.sig(new GenericArrayData((xs ++ ys).toArray), 8).toLongArray
+      (0 until 8).forall(i => s2(i) <= s1(i))
+    }
+
+  private val scored = Gen.listOf(
+    Gen.zip(Gen.choose(0.0, 1.0), Gen.choose(0L, 100L)).map(ScoredId.tupled))
+
+  property("TopKAgg merge is order-insensitive (shuffle-safe)") =
+    forAll(scored, scored) { (a, b) =>
+      val agg = new TopKAgg(5)
+      val r1 = agg.finish(agg.merge(a.foldLeft(agg.zero)(agg.reduce),
+        b.foldLeft(agg.zero)(agg.reduce)))
+      val r2 = agg.finish(agg.merge(b.foldLeft(agg.zero)(agg.reduce),
+        a.foldLeft(agg.zero)(agg.reduce)))
+      val whole = agg.finish((a ++ b).foldLeft(agg.zero)(agg.reduce))
+      r1 == r2 && r1 == whole
+    }
+
+  property("dateKey falls back to UTC on any garbage zone id") =
+    forAll(Gen.alphaNumStr) { z =>
+      val micros = 1700000000L * 1000000
+      val k = graft.functions.SafeDateKey
+        .dateKey(micros, UTF8String.fromString(z)).toString
+      k.matches("\\d{4}-\\d{2}-\\d{2}")
+    }
+}
