@@ -139,19 +139,81 @@ object MoreRelationalQueries extends QueryPack {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** q16 — correlated scalar subquery (TPC-H Q17 shape), expressed as
+    * raw SQL through `spark.sql` over temp views: per-lineitem
+    * comparison against the average quantity of its own part.
+    * Catalyst decorrelates the subquery into an aggregate+join —
+    * the plan a hand-written self-join would produce. Also exercises
+    * the engine's SQL entrypoint (everything else is DataFrame API). */
+  private def q16(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    Tables(s, dir, "part").createOrReplaceTempView("v_part")
+    s.sql(
+      """SELECT p_brand,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS small_qty_revenue,
+        |  COUNT(*) AS n_lines
+        |FROM v_lineitem, v_part
+        |WHERE p_partkey = l_partkey
+        |  AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+        |                    FROM v_lineitem l2 WHERE l2.l_partkey = p_partkey)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin)
+  }
+
+  private val q16Sql =
+    """SELECT p_brand,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS small_qty_revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey
+      |  AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+      |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  /** q17 — multiset set ops (EXCEPT ALL / INTERSECT ALL keep
+    * duplicate cardinalities, unlike q8's distinct forms). */
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    val hi = o.filter(col("o_totalprice") > 150000).select(col("o_custkey"))
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    hi.exceptAll(urgent).groupBy(col("o_custkey")).agg(count(lit(1)).as("n_excess"))
+      .withColumn("op", lit("except_all"))
+      .unionByName(
+        hi.intersectAll(urgent).groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_excess"))
+          .withColumn("op", lit("intersect_all")))
+      .orderBy(col("op"), col("o_custkey"))
+  }
+
+  private val q17Sql =
+    """WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000),
+      |     urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |     ea AS (SELECT o_custkey FROM hi EXCEPT ALL SELECT o_custkey FROM urgent),
+      |     ia AS (SELECT o_custkey FROM hi INTERSECT ALL SELECT o_custkey FROM urgent)
+      |SELECT o_custkey, n_excess, op FROM (
+      |  SELECT o_custkey, COUNT(*) AS n_excess, 'except_all' AS op FROM ea GROUP BY o_custkey
+      |  UNION ALL
+      |  SELECT o_custkey, COUNT(*) AS n_excess, 'intersect_all' AS op FROM ia GROUP BY o_custkey)
+      |ORDER BY op, o_custkey""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_full_outer"   -> q10,
     "q11_cube"         -> q11,
     "q12_stats"        -> q12,
     "q13_strings"      -> q13,
     "q14_nulls"        -> q14,
-    "q15_approx_hll"   -> q15)
+    "q15_approx_hll"   -> q15,
+    "q16_correlated"   -> q16,
+    "q17_multiset_ops" -> q17)
 
   override def oracle: Map[String, String] = Map(
     "q10_full_outer"   -> q10Sql,
     "q11_cube"         -> q11Sql,
     "q12_stats"        -> q12Sql,
     "q13_strings"      -> q13Sql,
-    "q14_nulls"        -> q14Sql)
+    "q14_nulls"        -> q14Sql,
+    "q16_correlated"   -> q16Sql,
+    "q17_multiset_ops" -> q17Sql)
   // q15 deliberately omitted: approx sketches have no cross-engine oracle.
 }
