@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+/** Plan-shape regressions: the scale properties each query's design
+  * depends on, asserted against the optimized/executed plans at
+  * sf0.001 (shapes, not sizes — they hold at any SF). */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("e3: event-time range predicates reach the parquet scan") {
+    val p = plan("e3_hourly_rollup")
+    p should include("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,")
+  }
+
+  test("q2/e1: dimension joins broadcast, fact side never builds") {
+    plan("q2_star_join") should include("BroadcastHashJoin")
+    plan("e1_scoreboard") should include("BroadcastHashJoin")
+  }
+
+  test("d2/d3/d4: inverted-index self-joins never broadcast the index") {
+    Seq("d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash").foreach { q =>
+      withClue(q) {
+        val p = plan(q)
+        p should include("ShuffledHashJoin")
+        p should not include "BroadcastHashJoin"
+      }
+    }
+  }
+
+  test("e10: the as-of operator plans as one merge with a sort per side") {
+    val p = plan("e10_asof_operator")
+    p should include("AsOfJoin")
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 2
+  }
+
+  test("q1: aggregation is partial before the exchange (map-side combine)") {
+    val p = plan("q1_pricing_summary")
+    // partial HashAggregate appears below the exchange, final above
+    p.indexOf("HashAggregate") should be >= 0
+    "HashAggregate".r.findAllIn(p).size should be >= 2
+  }
+
+  test("q6: selective scan keeps only the projected columns") {
+    val p = plan("q6_selective_agg")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    // 4 filter/agg columns, not the 11-column lineitem row
+    readSchema should include("l_quantity")
+    readSchema should not include "l_orderkey"
+    readSchema should not include "l_returnflag"
+  }
+
+  test("no query collects mid-plan (everything stays distributed)") {
+    // structural: every declared query builds a DataFrame lazily; a
+    // .collect() in an operator would have materialized at build time
+    // and show up as a LocalRelation over >100 rows in q-scale plans.
+    SparkEntry.queries.keys.foreach { q =>
+      withClue(q)(noException should be thrownBy
+        SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan)
+    }
+  }
+}
