@@ -156,13 +156,74 @@ object SimilarityQueries extends QueryPack {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** Fixed random-hyperplane family for s4: 8 planes × 64 dims,
+    * seeded — identical literals are pasted into the DuckDB oracle,
+    * so both engines bucket identically. */
+  private val planes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(8)(Seq.fill(64)(math.rint(rnd.nextGaussian() * 1e6) / 1e6))
+  }
+
+  /** s4 — random-hyperplane LSH ANN (the bucketed scale path the
+    * IVF of s2 complements): 8 sign bits of plane dot-products form
+    * a bucket id; queries only rerank their own bucket. Candidate
+    * sets shrink ~2^8× at the cost of recall — the classic
+    * cosine-LSH trade. */
+  private def s4(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("v"), col("norm"))
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      when(dot(col("v"), typedLit(p)) > 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+    val b = e.withColumn("bucket", bucket)
+    val q = b.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("norm").as("qnorm"), col("bucket"))
+    val wRank = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    q.join(b.as("c").hint("shuffle_hash"), Seq("bucket"))
+      .filter(col("qid") =!= col("c.vec_id"))
+      .select(col("qid"), col("bucket"), col("c.vec_id").as("nid"),
+        round(dot(col("qv"), col("c.v")) / (col("qnorm") * col("c.norm")), 6)
+          .as("cos"))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("bucket"), col("rk").cast("long").as("rk"),
+        col("nid"), col("cos"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  private def s4Sql = {
+    val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+      val lits = p.mkString("[", ", ", "]")
+      s"CASE WHEN list_sum(list_transform(list_zip(v, $lits), x -> x[1]*x[2])) > 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),
+      |b AS (SELECT vec_id, v, norm, $bucketExpr AS bucket FROM n),
+      |q AS (SELECT vec_id AS qid, v AS qv, norm AS qnorm, bucket FROM b WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.qid, q.bucket, c.vec_id AS nid,
+      |    ROUND(list_sum(list_transform(list_zip(q.qv, c.v), x -> x[1]*x[2]))
+      |          / (q.qnorm * c.norm), 6) AS cos
+      |  FROM q JOIN b c ON q.bucket = c.bucket AND q.qid <> c.vec_id)
+      |SELECT qid, bucket, CAST(rk AS BIGINT) AS rk, nid, cos
+      |FROM (SELECT qid, bucket, nid, cos,
+      |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+      |      FROM scored) r
+      |WHERE rk <= 3
+      |ORDER BY qid, rk""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> s1,
     "s2_ivf_ann"   -> s2,
-    "s3_topk_agg"  -> s3)
+    "s3_topk_agg"  -> s3,
+    "s4_lsh_ann"   -> s4)
 
   override def oracle: Map[String, String] = Map(
     "s1_knn_brute" -> s1Sql,
     "s2_ivf_ann"   -> s2Sql,
-    "s3_topk_agg"  -> s1Sql)
+    "s3_topk_agg"  -> s1Sql,
+    "s4_lsh_ann"   -> s4Sql)
 }
