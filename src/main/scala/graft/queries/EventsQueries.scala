@@ -317,6 +317,50 @@ object EventsQueries extends QueryPack {
       .orderBy(col("event_id"))
   }
 
+  /** e11 — interval join with an equi prefix (the scalable range-join
+    * shape: hash-partition on the equi keys, range predicate as a
+    * residual filter — no all-pairs expansion): per user-day, the
+    * "session window" opens at the first event and lasts 4 hours;
+    * count how much of the day's activity falls inside it. */
+  private def e11(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+      .withColumn("tsu", unix_micros(col("ts")))
+      .withColumn("day", date_trunc("DAY", col("ts")).cast("date"))
+    val windows = e.groupBy(col("user_id").as("w_user"), col("day").as("w_day"))
+      .agg(min(col("tsu")).as("w_start"))
+      .withColumn("w_end", col("w_start") + lit(4L * 3600 * 1000000))
+    e.join(windows,
+        col("user_id") === col("w_user") && col("day") === col("w_day") &&
+          col("tsu") >= col("w_start") && col("tsu") < col("w_end"))
+      .groupBy(col("user_id"), col("day"), col("w_start"))
+      .agg(count(lit(1)).as("n_in_window"))
+      .join(e.groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("n_total")),
+        Seq("user_id", "day"))
+      .select(col("user_id"), col("day"), col("w_start"), col("n_in_window"),
+        col("n_total"),
+        round(col("n_in_window").cast("double") / col("n_total"), 6).as("frac_in_window"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  private val e11Sql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts)//1000 AS tsu, CAST(ts AS DATE) AS day
+      |  FROM events),
+      |w AS (
+      |  SELECT user_id AS w_user, day AS w_day, MIN(tsu) AS w_start,
+      |    MIN(tsu) + CAST(4*3600 AS BIGINT)*1000000 AS w_end
+      |  FROM e GROUP BY user_id, day),
+      |inwin AS (
+      |  SELECT e.user_id, e.day, w.w_start, COUNT(*) AS n_in_window
+      |  FROM e JOIN w ON e.user_id = w.w_user AND e.day = w.w_day
+      |    AND e.tsu >= w.w_start AND e.tsu < w.w_end
+      |  GROUP BY e.user_id, e.day, w.w_start),
+      |tot AS (SELECT user_id, day, COUNT(*) AS n_total FROM e GROUP BY user_id, day)
+      |SELECT i.user_id, i.day, i.w_start, i.n_in_window, t.n_total,
+      |  ROUND(CAST(i.n_in_window AS DOUBLE) / t.n_total, 6) AS frac_in_window
+      |FROM inwin i JOIN tot t ON i.user_id = t.user_id AND i.day = t.day
+      |ORDER BY i.user_id, i.day""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_scoreboard"     -> e1,
     "e2_json_extract"   -> e2,
@@ -327,7 +371,8 @@ object EventsQueries extends QueryPack {
     "e7_pivot"          -> e7,
     "e8_dim_date"       -> e8,
     "e9_asof_join"      -> e9,
-    "e10_asof_operator" -> e10)
+    "e10_asof_operator" -> e10,
+    "e11_interval_join" -> e11)
 
   override def oracle: Map[String, String] = Map(
     "e1_scoreboard"     -> e1Sql,
@@ -339,5 +384,6 @@ object EventsQueries extends QueryPack {
     "e7_pivot"          -> e7Sql,
     "e8_dim_date"       -> e8Sql,
     "e9_asof_join"      -> e9Sql,
-    "e10_asof_operator" -> e9Sql)
+    "e10_asof_operator" -> e9Sql,
+    "e11_interval_join" -> e11Sql)
 }
