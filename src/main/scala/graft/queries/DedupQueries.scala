@@ -136,8 +136,8 @@ object DedupQueries extends QueryPack {
       |  FROM banded a JOIN banded b
       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
       |SELECT d1, d2,
-      |  list_sum(list_transform(list_zip(sig1, sig2),
-      |    x -> CASE WHEN x[1] = x[2] THEN 1 ELSE 0 END)) AS sig_matches
+      |  CAST(list_sum(list_transform(list_zip(sig1, sig2),
+      |    x -> CASE WHEN x[1] = x[2] THEN 1 ELSE 0 END)) AS BIGINT) AS sig_matches
       |FROM cands
       |WHERE list_sum(list_transform(list_zip(sig1, sig2),
       |    x -> CASE WHEN x[1] = x[2] THEN 1 ELSE 0 END)) >= 12

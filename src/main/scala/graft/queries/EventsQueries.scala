@@ -95,10 +95,10 @@ object EventsQueries extends QueryPack {
 
   private val e2Sql =
     """SELECT event_type,
-      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  ROUND(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
       |        / COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
-      |  SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 THEN 1 ELSE 0 END) AS n_high
+      |  CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
@@ -203,7 +203,7 @@ object EventsQueries extends QueryPack {
   }
 
   private val e6Sql =
-    """SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
+    """SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
       |FROM (
       |  SELECT user_id,
       |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
@@ -232,11 +232,11 @@ object EventsQueries extends QueryPack {
 
   private val e7Sql =
     """SELECT user_id,
-      |  SUM(CASE WHEN event_type='click'    THEN 1 ELSE 0 END) AS click,
-      |  SUM(CASE WHEN event_type='error'    THEN 1 ELSE 0 END) AS error,
-      |  SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS purchase,
-      |  SUM(CASE WHEN event_type='signup'   THEN 1 ELSE 0 END) AS signup,
-      |  SUM(CASE WHEN event_type='view'     THEN 1 ELSE 0 END) AS view
+      |  CAST(SUM(CASE WHEN event_type='click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      |  CAST(SUM(CASE WHEN event_type='error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+      |  CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      |  CAST(SUM(CASE WHEN event_type='signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      |  CAST(SUM(CASE WHEN event_type='view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
       |FROM events
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin

@@ -33,7 +33,7 @@ object MediaQueries extends QueryPack {
 
   private val m1Sql =
     """SELECT 'img/' || source AS kind, COUNT(*) AS n_media,
-      |  SUM(octet_length(encode(text))) AS total_bytes,
+      |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
       |  MIN(octet_length(encode(text))) AS min_bytes,
       |  MAX(octet_length(encode(text))) AS max_bytes,
       |  COUNT(DISTINCT md5(hex(encode(text)))) AS n_distinct_payloads

@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions._
 
 /** Second relational coverage pack: outer joins, cube grouping sets,
   * statistical aggregates, string functions, null-handling scalar
-  * ops, and a sketch aggregate (rows-only checked — HLL sketches are
-  * engine-specific, so no value oracle is declared for q15).
+  * ops, and a sketch aggregate (q15 emits exact counts plus an
+  * `est_ok` accuracy-contract boolean, so it IS fully oracle-gated;
+  * the raw HLL estimate is engine-specific and not emitted).
   */
 object MoreRelationalQueries extends QueryPack {
 
@@ -127,17 +128,37 @@ object MoreRelationalQueries extends QueryPack {
       |FROM supplier
       |ORDER BY s_suppkey""".stripMargin
 
-  /** q15 — approx_count_distinct (HLL++) per segment. Sketches are
-    * engine-specific → NO value oracle (driver rows-only check); the
-    * spec asserts the estimate's relative error against exact counts. */
+  /** q15 — approx_count_distinct (HLL++) per segment, with a
+    * checkable contract: the raw sketch estimate is engine-specific,
+    * so the emitted columns are the exact COUNT(DISTINCT) (oracle-
+    * reproducible) plus `est_ok` — the HLL estimate is within 5% of
+    * exact. HLL++ is deterministic for a given input set (register
+    * maxima are order/partitioning-independent), so `est_ok` is a
+    * stable boolean the oracle asserts as literal TRUE: if the
+    * estimate ever drifts past the contract, the driver hash fails. */
   private def q15(s: SparkSession, dir: String): DataFrame = {
     Tables(s, dir, "orders")
       .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
-      .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_custs"),
+      .agg(
+        countDistinct(col("o_custkey")).as("exact_custs"),
+        approx_count_distinct(col("o_custkey"), 0.01).as("approx_custs"),
         count(lit(1)).as("n_orders"))
+      .select(
+        col("c_mktsegment"), col("exact_custs"), col("n_orders"),
+        (abs(col("approx_custs") - col("exact_custs"))
+          <= lit(0.05) * col("exact_custs")).as("est_ok"))
       .orderBy(col("c_mktsegment"))
   }
+
+  private val q15Sql =
+    """SELECT c_mktsegment,
+      |  COUNT(DISTINCT o_custkey) AS exact_custs,
+      |  COUNT(*) AS n_orders,
+      |  TRUE AS est_ok
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
 
   /** q16 — correlated scalar subquery (TPC-H Q17 shape), expressed as
     * raw SQL through `spark.sql` over temp views: per-lineitem
@@ -213,7 +234,7 @@ object MoreRelationalQueries extends QueryPack {
     "q12_stats"        -> q12Sql,
     "q13_strings"      -> q13Sql,
     "q14_nulls"        -> q14Sql,
+    "q15_approx_hll"   -> q15Sql,
     "q16_correlated"   -> q16Sql,
     "q17_multiset_ops" -> q17Sql)
-  // q15 deliberately omitted: approx sketches have no cross-engine oracle.
 }

