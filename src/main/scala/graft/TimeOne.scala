@@ -21,8 +21,8 @@ object TimeOne {
       if (doExplain) fn(spark, sfDir).explain("formatted")
       for (i <- 1 to 2) {
         val t0 = System.nanoTime()
-        val n = fn(spark, sfDir).count()
-        println(f"[time] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+        Bench.drain(fn(spark, sfDir)) // full materialization, same sink as Bench
+        println(f"[time] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
     }
     spark.stop()

@@ -137,13 +137,23 @@ object MoreRelationalQueries extends QueryPack {
     * stable boolean the oracle asserts as literal TRUE: if the
     * estimate ever drifts past the contract, the driver hash fails. */
   private def q15(s: SparkSession, dir: String): DataFrame = {
-    Tables(s, dir, "orders")
+    // Pre-aggregate to one row per (segment, custkey) FIRST, so the
+    // HLL sketch (16 KB buffer at rsd=0.01) is only materialized for
+    // the handful of segment groups — letting Spark's distinct
+    // rewrite place approx_count_distinct in the per-custkey layer
+    // allocates a sketch per customer (GBs at scale). HLL over the
+    // distinct key set is identical to HLL over the raw stream
+    // (register maxima are duplicate-insensitive).
+    val perCust = Tables(s, dir, "orders")
       .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_custkey"))
+      .agg(count(lit(1)).as("n_o"))
+    perCust
       .groupBy(col("c_mktsegment"))
       .agg(
-        countDistinct(col("o_custkey")).as("exact_custs"),
+        count(col("o_custkey")).as("exact_custs"),
         approx_count_distinct(col("o_custkey"), 0.01).as("approx_custs"),
-        count(lit(1)).as("n_orders"))
+        sum(col("n_o")).as("n_orders"))
       .select(
         col("c_mktsegment"), col("exact_custs"), col("n_orders"),
         (abs(col("approx_custs") - col("exact_custs"))
