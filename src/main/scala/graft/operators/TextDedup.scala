@@ -28,18 +28,50 @@ object TextDedup {
     call_function("graft_shingle_hash", col(wordsCol), lit(n))
 
   /** docs(id, xs: array<long>) → pairs (d1, d2, jaccard) with exact
-    * set-Jaccard ≥ threshold, candidates via the inverted index. */
+    * set-Jaccard ≥ threshold.
+    *
+    * Candidates come from the inverted shingle index (pairs sharing
+    * ≥1 shingle); verification is exact Jaccard via
+    * `array_intersect` on the per-doc shingle arrays, so no second
+    * index join.
+    *
+    * `maxDf` is the shingle frequency cap: shingles appearing in more
+    * than `maxDf` docs (boilerplate) are dropped from CANDIDATE
+    * GENERATION only — verification still uses the full sets, so a
+    * pair is lost only if ALL its shared shingles are hot. This bounds
+    * the candidate join at Σ min(df, maxDf)² instead of Σ df²: at
+    * 100 TB one boilerplate shingle (df ~ corpus size) is otherwise a
+    * quadratic hot key. The hot-shingle list is ≤ |index| / maxDf
+    * entries by construction, hence always broadcastable. */
   def jaccardPairs(docs: DataFrame, idCol: String, xsCol: String,
-      threshold: Double): DataFrame = {
-    val sh = docs.select(col(idCol).as("__id"), size(col(xsCol)).as("__n"),
-      explode(col(xsCol)).as("__sh"))
-    sh.as("a").hint("shuffle_hash").join(sh.as("b").hint("shuffle_hash"),
+      threshold: Double, maxDf: Int = Int.MaxValue): DataFrame = {
+    // The set table feeds FOUR consumers (hot list, both self-join
+    // sides, the verify lookups); uncached, each one re-scans the
+    // text and re-runs the shingle kernel. Persist it once —
+    // MEMORY_AND_DISK so oversized corpora spill instead of OOM (the
+    // cluster-scale equivalent is materializing the shingle table
+    // before the pair stage). Lives until session cache clear.
+    val sets = docs.select(col(idCol).as("__id"), col(xsCol).as("__xs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = sets.select(col("__id"), explode(col("__xs")).as("__sh"))
+    val capped =
+      if (maxDf == Int.MaxValue) sh
+      else {
+        val hot = sh.groupBy("__sh").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxDf).select("__sh")
+        sh.join(broadcast(hot), Seq("__sh"), "left_anti")
+      }
+    val cands = capped.as("a").hint("shuffle_hash")
+      .join(capped.as("b").hint("shuffle_hash"),
         col("a.__sh") === col("b.__sh") && col("a.__id") < col("b.__id"))
-      .groupBy(col("a.__id").as("d1"), col("b.__id").as("d2"),
-        col("a.__n").as("n1"), col("b.__n").as("n2"))
-      .agg(count(lit(1)).as("common"))
+      .select(col("a.__id").as("d1"), col("b.__id").as("d2"))
+      .distinct()
+    cands
+      .join(sets.select(col("__id").as("d1"), col("__xs").as("__xs1")), "d1")
+      .join(sets.select(col("__id").as("d2"), col("__xs").as("__xs2")), "d2")
+      .withColumn("common", size(array_intersect(col("__xs1"), col("__xs2"))))
       .withColumn("jaccard", round(col("common").cast("double") /
-        (col("n1") + col("n2") - col("common")), 6))
+        (size(col("__xs1")) + size(col("__xs2")) - col("common")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
   }

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Unit contracts for the near-dup operators — in particular the d2
+  * frequency cap: hot shingles are dropped from candidate generation
+  * only, so near-dup pairs that also share a rare shingle keep their
+  * EXACT full-set Jaccard, and pairs linked solely through boilerplate
+  * never become candidates. */
+class TextDedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // Shingle "hashes" are just longs here — jaccardPairs only needs
+  // array<long> sets, not real text.
+  private val boiler = Seq(900L, 901L, 902L) // shared by every doc
+
+  test("near-dup pair sharing a rare shingle survives the cap with exact jaccard") {
+    // docs 1/2 are near-dups (9 of 10 shingles shared, all rare);
+    // docs 3..8 only share boilerplate with everyone.
+    val nearA = (1L to 9L) :+ 10L
+    val nearB = (1L to 9L) :+ 11L
+    val docs = (Seq(("a", nearA ++ boiler), ("b", nearB ++ boiler)) ++
+      (3 to 8).map(i => (s"z$i", Seq(100L + i) ++ boiler)))
+      .toDF("id", "xs")
+
+    val out = TextDedup.jaccardPairs(docs, "id", "xs", threshold = 0.5, maxDf = 4)
+      .collect()
+    out.map(r => (r.getString(0), r.getString(1))).toSet shouldBe Set(("a", "b"))
+    // jaccard over FULL sets incl. boilerplate: 12 common / 14 union
+    out.head.getDouble(2) shouldBe (12.0 / 14.0) +- 1e-6
+  }
+
+  test("pairs linked only through hot shingles generate no candidates") {
+    val docs = (1 to 6).map(i => (s"d$i", Seq(1000L + i) ++ boiler)).toDF("id", "xs")
+    // uncapped: every pair shares the 3 boilerplate shingles (jaccard
+    // 3/5 = 0.6); capped at df>4 those links vanish entirely.
+    TextDedup.jaccardPairs(docs, "id", "xs", 0.5).count() shouldBe 15
+    TextDedup.jaccardPairs(docs, "id", "xs", 0.5, maxDf = 4).count() shouldBe 0
+  }
+
+  test("cap bounds the candidate-join input: hot rows leave the capped index") {
+    val docs = ((1 to 20).map(i => (s"d$i", Seq(7L))) :+ ("r", Seq(7L, 8L)))
+      .toDF("id", "xs")
+    val sh = docs.select(col("id"), explode(col("xs")).as("__sh"))
+    val hot = sh.groupBy("__sh").count().filter(col("count") > 10)
+    hot.collect().map(_.getLong(0)) shouldBe Array(7L)
+    // capped index keeps only the df=1 shingle row
+    sh.join(broadcast(hot.select("__sh")), Seq("__sh"), "left_anti")
+      .count() shouldBe 1
+  }
+}
