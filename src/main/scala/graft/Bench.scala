@@ -30,6 +30,14 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // File-create syscalls dominate multi-stage queries on this VM:
+      // the bypass-merge shuffle writer opens R files per map task
+      // (R×M per shuffle). Forcing the sort writer (1 file/task) and
+      // tmpfs shuffle dirs removes minute-scale run-to-run variance —
+      // measured via executor jstack sampling (DiskBlockObjectWriter
+      // .open dominated all hot frames).
+      .config("spark.shuffle.sort.bypassMergeThreshold", "8")
+      .config("spark.local.dir", "/dev/shm/graft-shuffle")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb one-time session/codegen/scan init so the first measured

@@ -14,6 +14,12 @@ object TimeOne {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // match Bench: sort shuffle writer + tmpfs shuffle dirs (see
+      // Bench.scala) so timings here predict BENCH numbers
+      .config("spark.shuffle.sort.bypassMergeThreshold", "8")
+      .config("spark.local.dir", "/dev/shm/graft-shuffle")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>

@@ -12,6 +12,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // see Bench.scala: avoid per-reduce-partition shuffle file
+      // creates; this VM's file-create path is slow and noisy
+      .config("spark.shuffle.sort.bypassMergeThreshold", "8")
+      .config("spark.local.dir", "/dev/shm/graft-shuffle")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

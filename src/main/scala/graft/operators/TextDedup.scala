@@ -53,6 +53,11 @@ object TextDedup {
     // before the pair stage). Lives until session cache clear.
     val sets = docs.select(col(idCol).as("__id"), col(xsCol).as("__xs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialize eagerly: the consumers sit on PARALLEL branches of
+    // one job, and concurrent stages race to fill the same cache
+    // partitions — each racer re-runs the shingle kernel. One small
+    // up-front job ends the race.
+    sets.count()
     val sh = sets.select(col("__id"), explode(col("__xs")).as("__sh"))
     val capped =
       if (maxDf == Int.MaxValue) sh
@@ -123,23 +128,82 @@ object TextDedup {
 
   /** SimHash near-dup pairs with hamming ≤ maxHamming via pigeonhole
     * blocks (nBlocks × blockBits must cover 32 bits; hd ≤ nBlocks-1
-    * ⇒ at least one block equal). */
+    * ⇒ at least one block equal).
+    *
+    * Dense-bucket guard (hd=0 pre-collapse): the block self-join runs
+    * over DISTINCT signatures, not docs. On a near-identical corpus a
+    * block bucket holds b docs but only v ≪ b distinct signatures, so
+    * the join costs v²/2 per bucket instead of b²/2 (and skips the 4×
+    * duplicate candidates + doc-pair distinct). Docs sharing a
+    * signature pair off directly with hamming 0, and cross-signature
+    * pairs expand through two membership joins — both output-bounded,
+    * so the only remaining quadratic is genuine result size. */
   def simhashPairs(simhashes: DataFrame, idCol: String, maxHamming: Int,
-      nBlocks: Int = 4): DataFrame = {
+      nBlocks: Int = 4, splitThreshold: Int = 256): DataFrame = {
     require(maxHamming < nBlocks, "pigeonhole needs maxHamming < nBlocks")
     val blockBits = 32 / nBlocks
     val mask = (1 << blockBits) - 1
-    val blocked = simhashes.select(col(idCol).as("__id"), col("simhash"),
+    // sigs feeds five consumers (distinct, intra ×2, expansion ×2);
+    // persist so the upstream simhash aggregation runs once.
+    val sigs = simhashes.select(col(idCol).as("__id"), col("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Eager materialization — see jaccardPairs: parallel consumers
+    // otherwise race to fill the cache, re-running the simhash agg.
+    sigs.count()
+    val blocked = sigs.select("simhash").distinct().select(col("simhash"),
       explode(array((0 until nBlocks).map(j =>
         struct(lit(j).as("blk"),
           expr(s"(simhash >> ${j * blockBits}) & $mask").as("key"))): _*)).as("bk"))
-      .select(col("__id"), col("simhash"), col("bk.blk"), col("bk.key"))
-    blocked.as("a").hint("shuffle_hash").join(blocked.as("b").hint("shuffle_hash"),
+      .select(col("simhash"), col("bk.blk"), col("bk.key"))
+    // Oversized-bucket split: buckets holding > splitThreshold distinct
+    // sigs re-key by a secondary block over the OTHER 32-blockBits
+    // bits, cut into maxHamming+1 sub-blocks — given the primary block
+    // equal, ≤ maxHamming diffs remain, so pigeonhole again guarantees
+    // an equal sub-block. The bucket-size table is bounded by the key
+    // space (nBlocks × 2^blockBits rows), hence always broadcastable;
+    // sigs in normal buckets carry a single (-1,-1) sentinel sub-key,
+    // so the index only grows where density demands it.
+    val remBits = 32 - blockBits
+    val sBlocks = maxHamming + 1
+    val sBits = math.max(1, remBits / sBlocks)
+    val rem = s"((simhash >> ((blk+1)*$blockBits)) << (blk*$blockBits)) | " +
+      s"(simhash & ((cast(1 as bigint) << (blk*$blockBits)) - 1))"
+    val subKeys = array((0 until sBlocks).map { m =>
+      val width = if (m == sBlocks - 1) remBits - m * sBits else sBits
+      val mask2 = (1L << width) - 1
+      struct(lit(m).as("m"), expr(s"(($rem) >> ${m * sBits}) & $mask2").as("key2"))
+    }: _*)
+    val sizes = blocked.groupBy("blk", "key").agg(count(lit(1)).as("__bsz"))
+    val refined = blocked.join(broadcast(sizes), Seq("blk", "key"))
+      .select(col("simhash"), col("blk"), col("key"),
+        explode(when(col("__bsz") > splitThreshold, subKeys)
+          .otherwise(array(struct(lit(-1).as("m"), lit(-1L).as("key2"))))).as("sk"))
+      .select(col("simhash"), col("blk"), col("key"),
+        col("sk.m").as("m"), col("sk.key2").as("key2"))
+    val sigPairs = refined.as("a").hint("shuffle_hash")
+      .join(refined.as("b").hint("shuffle_hash"),
         col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
-          col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("d1"), col("b.__id").as("d2"),
+          col("a.m") === col("b.m") && col("a.key2") === col("b.key2") &&
+          col("a.simhash") < col("b.simhash"))
+      .select(col("a.simhash").as("__s1"), col("b.simhash").as("__s2"),
         expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
-      .distinct()
+      // hamming-filter BEFORE the dedup: bit_count is a cheap map-side
+      // expression, so the distinct shuffles only survivors, not every
+      // candidate collision.
       .filter(col("hamming") <= maxHamming)
+      .distinct()
+    val cross = sigPairs
+      .join(sigs.select(col("__id").as("__ida"), col("simhash").as("__s1"))
+        .hint("shuffle_hash"), "__s1")
+      .join(sigs.select(col("__id").as("__idb"), col("simhash").as("__s2"))
+        .hint("shuffle_hash"), "__s2")
+      .select(least(col("__ida"), col("__idb")).as("d1"),
+        greatest(col("__ida"), col("__idb")).as("d2"), col("hamming"))
+    val intra = sigs.as("a").hint("shuffle_hash")
+      .join(sigs.as("b").hint("shuffle_hash"),
+        col("a.simhash") === col("b.simhash") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("d1"), col("b.__id").as("d2"),
+        lit(0L).as("hamming"))
+    cross.union(intra)
   }
 }

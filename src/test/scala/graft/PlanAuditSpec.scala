@@ -24,19 +24,20 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("d2/d3/d4: inverted-index self-joins never broadcast the index") {
-    // d2 legitimately broadcasts two TINY sides (the hot-shingle
-    // anti-join list, bounded at |index|/maxDf, and at this SF the
-    // per-doc set tables in the verify joins) — the lock is that the
-    // index-sized self-join itself stays a shuffled hash join.
+    // Size-bounded sides MAY broadcast (d2's hot-shingle anti list,
+    // ≤ |index|/maxDf; d4's bucket-size table, ≤ nBlocks×2^blockBits;
+    // tiny per-doc set tables at this SF). The lock is that the
+    // index-sized candidate self-joins — keyed on __sh (d2), band
+    // (d3), or the refined key2 (d4) — stay shuffled hash joins.
     Seq("d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash").foreach { q =>
       withClue(q) {
         val p = plan(q)
-        val selfJoins = p.linesIterator.filter(l =>
+        val indexJoins = p.linesIterator.filter(l =>
           l.contains("Join") && !l.contains("LeftAnti") &&
-            (l.contains("__sh") || l.contains("key") ||
-              l.contains("blk"))).toList
+            (l.contains("__sh") || l.contains("band") ||
+              l.contains("key2"))).toList
         p should include("ShuffledHashJoin")
-        selfJoins.filter(_.contains("BroadcastHashJoin")) shouldBe empty
+        indexJoins.filter(_.contains("BroadcastHashJoin")) shouldBe empty
       }
     }
   }

@@ -41,6 +41,30 @@ class TextDedupSpec extends SparkSpec {
     TextDedup.jaccardPairs(docs, "id", "xs", 0.5, maxDf = 4).count() shouldBe 0
   }
 
+  test("simhash dense-bucket guard matches brute force on a skewed corpus") {
+    // 120 docs over only 5 distinct signatures (dense buckets: every
+    // block bucket holds ~all docs) plus a few sparse outliers —
+    // exactly the corpus shape the hd=0 pre-collapse exists for.
+    val base = Seq(0x0F0F0F0FL, 0x0F0F0F0EL, 0x0F0F0F1FL, 0xF0F0F0F0L, 0x00FF00FFL)
+    val rng = new scala.util.Random(7)
+    val docs = ((0 until 120).map(i => (i.toLong, base(rng.nextInt(base.size)))) ++
+      Seq((200L, 0x12345678L), (201L, 0x12345679L)))
+      .toDF("id", "simhash")
+
+    val got = TextDedup.simhashPairs(docs, "id", maxHamming = 3, nBlocks = 4)
+      .select("d1", "d2", "hamming").as[(Long, Long, Long)].collect().toSet
+
+    val brute = docs.as("a").crossJoin(docs.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long"))
+      .as[(Long, Long, Long)].collect().filter(_._3 <= 3).toSet
+
+    got shouldBe brute
+    // sanity: the skew is real — thousands of intra-group pairs
+    got.count(_._3 == 0) should be > 1000
+  }
+
   test("cap bounds the candidate-join input: hot rows leave the capped index") {
     val docs = ((1 to 20).map(i => (s"d$i", Seq(7L))) :+ ("r", Seq(7L, 8L)))
       .toDF("id", "xs")
