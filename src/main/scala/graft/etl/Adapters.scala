@@ -41,6 +41,16 @@ object Adapters {
       try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
       try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss")))
 
+  /** Provenance: the delivery id a webhook gateway stamps on each
+    * attempt (reference threads the envelope `headers`
+    * `Record<string,string>`, `src/domain/types.ts:5`). Header names
+    * are case-insensitive per HTTP, so match the common casings. */
+  private def deliveryId: Column = coalesce(
+    element_at(col("headers"), "x-delivery-id"),
+    element_at(col("headers"), "X-Delivery-Id"),
+    element_at(col("headers"), "x-request-id"),
+    element_at(col("headers"), "X-Request-Id"))
+
   /** F1: outbound-only gate; name wins over the numeric direction,
     * default deny (reference `aloware.adapter.ts:35-43`). */
   def isOutbound(name: Column, direction: Column): Column =
@@ -72,7 +82,12 @@ object Adapters {
       .withColumn("metricId", inferMetric(col("name"), p("type")))
       .filter(isOutbound(col("name"), p("direction")) && col("metricId").isNotNull)
       .select(
+        // P5 id chain ends in the delivery-id header BEFORE the
+        // receive time: a redelivered webhook keeps its delivery id
+        // but gets a new receivedAt, so the header keeps retried
+        // no-payload-id events deduplicable (P7 keys off eventId).
         concat(lit("ALOWARE:"), coalesce(p("id").cast("string"), p("uuid_v4"),
+          deliveryId,
           unix_millis(col("receivedAt")).cast("string"))).as("eventId"),
         agentId.as("agentId"),
         call_function("graft_date_key", eventTime, coalesce(tzRaw, lit("UTC")))
@@ -81,6 +96,7 @@ object Adapters {
         concat_ws(";",
           concat(lit("event="), col("name")),
           when(tzRaw.isNotNull, concat(lit("tz="), tzRaw)),
+          when(deliveryId.isNotNull, concat(lit("delivery="), deliveryId)),
           when(agentId === "unknown", lit("agent=unknown"))).as("notes"),
         col("source"), col("receivedAt"))
       .withColumn("dedupKey", concat_ws(":", col("source"), col("eventId")))
@@ -98,6 +114,7 @@ object Adapters {
       .withColumn("j", from_json(col("body"), Schemas.alowareBody))
       .select(
         concat(lit("HUBSPOT:"), coalesce(p("id").cast("string"),
+          deliveryId,
           unix_millis(col("receivedAt")).cast("string"))).as("eventId"),
         lit("unknown@hubspot").as("agentId"),
         col("receivedAt").cast("date").as("factDateKey"),

@@ -37,6 +37,33 @@ class AdapterSpec extends SparkSpec {
     r.getAs[String]("dedupKey") shouldBe "ALOWARE:ALOWARE:719285063"
   }
 
+  test("delivery-id header is the id fallback and lands in notes (provenance)") {
+    val noIds = // payload with neither id nor uuid_v4
+      """{"event":"outbound_call","direction":2,"created_at":"2025-11-05 10:00:00","owner_id":9}"""
+    def envWith(hdrs: String, at: String): DataFrame =
+      Seq(("ALOWARE", noIds, Timestamp.from(java.time.Instant.parse(at))))
+        .toDF("source", "body", "receivedAt")
+        .selectExpr("source", s"$hdrs AS headers", "body", "receivedAt")
+
+    // two redeliveries of the same webhook: same delivery id, later
+    // receivedAt — the header keeps eventId (hence dedupKey) stable
+    val first = Adapters.aloware(
+      envWith("map('x-delivery-id','dlv-42')", recv)).collect().head
+    val retry = Adapters.aloware(
+      envWith("map('X-Delivery-Id','dlv-42')", "2025-11-05T17:31:00Z")).collect().head
+    first.getAs[String]("eventId") shouldBe "ALOWARE:dlv-42"
+    retry.getAs[String]("eventId") shouldBe "ALOWARE:dlv-42"
+    retry.getAs[String]("dedupKey") shouldBe first.getAs[String]("dedupKey")
+    first.getAs[String]("notes") should include("delivery=dlv-42")
+
+    // no header: falls back to receive time (old behavior)
+    val bare = Adapters.aloware(
+      envWith("map()", recv)).collect().head
+    bare.getAs[String]("eventId") shouldBe
+      s"ALOWARE:${java.time.Instant.parse(recv).toEpochMilli}"
+    bare.getAs[String]("notes") should not include "delivery="
+  }
+
   test("{event, body} and bare payload shapes normalize identically") {
     val wrapped =
       """{"event":"outbound_text","body":{"id":7,"created_at":"2025-11-05 10:00:00","owner_id":1}}"""
