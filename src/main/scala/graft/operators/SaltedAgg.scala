@@ -17,6 +17,22 @@ import org.apache.spark.sql.functions._
   */
 object SaltedAgg {
 
+  /** Arbitrary algebraic aggregates, salted: `partials` run per
+    * (key, salt) in phase 1 (map-side combine fans each hot key over
+    * `salt` reducers); `finals` merge the partial table — reference
+    * partial aliases by name. Counts/sums/mins/maxes compose exactly;
+    * pass sums as DECIMAL for float determinism (QueryPack rules). */
+  def salted(df: DataFrame, salt: Int, keys: Seq[Column],
+      partials: Seq[Column], finals: Seq[Column]): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(spark_partition_id() +
+      monotonically_increasing_id(), lit(salt)))
+    salted
+      .groupBy(keys :+ col("__salt"): _*)
+      .agg(partials.head, partials.tail: _*)
+      .groupBy(keys: _*)
+      .agg(finals.head, finals.tail: _*)
+  }
+
   /** count per key, salted. Result schema: (key..., cnt). */
   def saltedCount(df: DataFrame, salt: Int, keys: Column*): DataFrame = {
     val salted = df.withColumn("__salt", pmod(spark_partition_id() +

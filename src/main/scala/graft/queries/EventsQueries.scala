@@ -361,6 +361,32 @@ object EventsQueries extends QueryPack {
       |FROM inwin i JOIN tot t ON i.user_id = t.user_id AND i.day = t.day
       |ORDER BY i.user_id, i.day""".stripMargin
 
+  /** e12 — skew-proof global rollup by event_type (5 distinct values
+    * over the whole fact table — every group is a hot key) through
+    * [[graft.operators.SaltedAgg]]: phase 1 aggregates per
+    * (type, salt) so each hot key fans across 32 reducers, phase 2
+    * merges the ≤ 5×32-row partial table. Decimal sums make the
+    * two-phase float math exact, so the result is bit-identical to
+    * the single-phase oracle GROUP BY. */
+  private def e12(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SaltedAgg.salted(ev(s, dir), salt = 32,
+      keys = Seq(col("event_type")),
+      partials = Seq(count(lit(1)).as("__n"), sum(dec(col("value"))).as("__v"),
+        max(col("value")).as("__mx")),
+      finals = Seq(sum(col("__n")).as("n_events"),
+        money(sum(col("__v"))).as("sum_value"),
+        max(col("__mx")).as("max_value")))
+      .orderBy(col("event_type"))
+
+  private val e12Sql =
+    """SELECT event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value,
+      |  MAX(value) AS max_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_scoreboard"     -> e1,
     "e2_json_extract"   -> e2,
@@ -372,7 +398,8 @@ object EventsQueries extends QueryPack {
     "e8_dim_date"       -> e8,
     "e9_asof_join"      -> e9,
     "e10_asof_operator" -> e10,
-    "e11_interval_join" -> e11)
+    "e11_interval_join" -> e11,
+    "e12_salted_rollup" -> e12)
 
   override def oracle: Map[String, String] = Map(
     "e1_scoreboard"     -> e1Sql,
@@ -385,5 +412,6 @@ object EventsQueries extends QueryPack {
     "e8_dim_date"       -> e8Sql,
     "e9_asof_join"      -> e9Sql,
     "e10_asof_operator" -> e9Sql,
-    "e11_interval_join" -> e11Sql)
+    "e11_interval_join" -> e11Sql,
+    "e12_salted_rollup" -> e12Sql)
 }
