@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
   * queries are charged for the work they claim to do.
   */
 object Bench {
-  private val Reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+  private val Reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
 
   /** Force every column of every row to materialize. XOR (not SUM) the
     * row hashes: uniform 64-bit hashes overflow a Long SUM, which
@@ -38,19 +38,36 @@ object Bench {
       // .open dominated all hot frames).
       .config("spark.shuffle.sort.bypassMergeThreshold", "8")
       .config("spark.local.dir", "/dev/shm/graft-shuffle")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb one-time session/codegen/scan init so the first measured
     // query isn't charged for JVM warmup
     try Tables(spark, sfDir, "lineitem").count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to Reps).map { _ =>
+    // Round-robin reps: run the whole query list Reps times and take
+    // per-query medians. Back-to-back reps let one multi-second VM
+    // slow window poison every rep of a single query; interleaving
+    // spreads it across one rep of many queries, which the median
+    // then discards (measured: per-run spikes of 5-10 s move between
+    // arbitrary queries run-to-run on this box).
+    val qs0 = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (rep <- 1 to Reps) {
+      // settle accumulated garbage between passes so a collection
+      // pause lands here, not inside some arbitrary query's sample
+      if (rep > 1) System.gc()
+      for ((name, fn) <- qs0) {
         val t0 = System.nanoTime()
         try drain(fn(spark, sfDir)) catch {
           case e: Throwable => System.err.println(s"BENCH ERROR $name: $e")
         }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
+        samples(name) ::= (System.nanoTime() - t0) / 1e9
+      }
+    }
+    val results = qs0.map { case (name, _) =>
+      val times = samples(name).sorted
       name -> times(times.size / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
