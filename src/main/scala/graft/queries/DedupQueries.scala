@@ -200,6 +200,36 @@ object DedupQueries extends QueryPack {
       |ORDER BY d1, d2""".stripMargin
   }
 
+  /** d6 — near-dup CLUSTERS: connected components over the d3
+    * (MinHash+LSH) pair graph via
+    * [[graft.operators.ConnectedComponents]] hash-min propagation.
+    * This is the step that turns pairs into dedup decisions: every
+    * doc labels itself with the min doc id reachable through near-dup
+    * edges; `keep` marks the canonical survivor per cluster (drop the
+    * rest and the corpus is near-dup-free). Singletons keep
+    * themselves. The oracle walks the same graph with a recursive
+    * reachability CTE and takes MIN per doc. */
+  private def d6(s: SparkSession, dir: String): DataFrame = {
+    val edges = d3(s, dir).select(col("d1"), col("d2"))
+    graft.operators.ConnectedComponents
+      .run(edges, "d1", "d2", docs(s, dir), "doc_id")
+      .select(col("id").as("doc_id"), col("cluster"),
+        (col("cluster") === col("id")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d6Sql =
+    s"""WITH RECURSIVE pairs AS (SELECT d1, d2 FROM ($d3Sql)),
+      |sym AS (SELECT d1 AS s, d2 AS t FROM pairs
+      |        UNION ALL SELECT d2, d1 FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT reach.id, sym.t FROM reach JOIN sym ON reach.r = sym.s)
+      |SELECT id AS doc_id, MIN(r) AS cluster, MIN(r) = id AS keep
+      |FROM reach GROUP BY id
+      |ORDER BY doc_id""".stripMargin
+
   /** d5 — embedding-cosine near-dup: all pairs with cosine ≥ 0.45
     * over `embeddings` (float[64] → double before any arithmetic).
     * The exact-baseline pair join; the blocked/ANN path is
@@ -243,12 +273,14 @@ object DedupQueries extends QueryPack {
     "d2_ngram_jaccard"  -> d2,
     "d3_minhash_lsh"    -> d3,
     "d4_simhash"        -> d4,
-    "d5_embedding_dup"  -> d5)
+    "d5_embedding_dup"  -> d5,
+    "d6_dup_clusters"   -> d6)
 
   override def oracle: Map[String, String] = Map(
     "d1_exact_dedup"    -> d1Sql,
     "d2_ngram_jaccard"  -> d2Sql,
     "d3_minhash_lsh"    -> d3Sql,
     "d4_simhash"        -> d4Sql,
-    "d5_embedding_dup"  -> d5Sql)
+    "d5_embedding_dup"  -> d5Sql,
+    "d6_dup_clusters"   -> d6Sql)
 }
