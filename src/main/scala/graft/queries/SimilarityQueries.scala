@@ -61,17 +61,23 @@ object SimilarityQueries extends QueryPack {
       |FROM ranked WHERE rk <= 5
       |ORDER BY qid, rk""".stripMargin
 
+  /** Per-label centroids (mean per dimension): posexplode → two-level
+    * agg keyed on (label, pos) — partial+final all the way, no
+    * collect; the k-row result broadcasts. Shared by s2 (coarse
+    * quantizer) and s5 (label-noise scoring). */
+  private def centroids(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("m"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("cv"))
+      .withColumn("cnorm", sqrt(dot(col("cv"), col("cv"))))
+
   /** s2 — IVF-style ANN: per-label centroids as the coarse quantizer;
     * each query (vec_id < 10) is assigned to its nearest centroid and
     * reranked only within that cell — top-3 per query. */
   private def s2(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"), col("label"), col("v"), col("norm"))
-    // centroids: mean per dimension within each label cell
-    val cents = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("m"))
-      .groupBy(col("label"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("cv"))
-      .withColumn("cnorm", sqrt(dot(col("cv"), col("cv"))))
+    val cents = centroids(e)
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
     // assign each query to nearest centroid (broadcast: k cells)
@@ -215,15 +221,74 @@ object SimilarityQueries extends QueryPack {
       |ORDER BY qid, rk""".stripMargin
   }
 
+  /** s5 — label-noise detection, the embedding-side curation op: every
+    * vector scores its cosine to its OWN label centroid; per label we
+    * report the mean affinity and the 3 worst members (likely
+    * mislabels / outliers a pipeline routes to review). One broadcast
+    * join of the k-row centroid table against the corpus — single
+    * scan, no pair joins; the rank window partitions by label (k
+    * partitions, each a cell-sized sort — for corpus-sized cells use
+    * the TopKAgg partial-top-k shape instead). */
+  private def s5(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("label"), col("v"), col("norm"))
+    val scored = e.join(broadcast(centroids(e)), Seq("label"))
+      .select(col("label"), col("vec_id"),
+        round(dot(col("v"), col("cv")) / (col("norm") * col("cnorm")), 6).as("cos"))
+    val stats = scored.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"), round(avg(col("cos")), 6).as("avg_cos"))
+    val w = Window.partitionBy(col("label")).orderBy(col("cos").asc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .join(stats, Seq("label"))
+      .select(col("label").cast("long").as("label"),
+        col("rk").cast("long").as("rk"), col("vec_id"), col("cos"),
+        col("n_members"), col("avg_cos"))
+      .orderBy(col("label"), col("rk"))
+  }
+
+  private val s5Sql =
+    """WITH e AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, label, v,
+      |      sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),
+      |cents0 AS (
+      |  SELECT label, pos, AVG(x) AS m
+      |  FROM (SELECT label, unnest(v) AS x,
+      |          generate_subscripts(v, 1) AS pos FROM e) u
+      |  GROUP BY label, pos),
+      |cents AS (
+      |  SELECT label, list(m ORDER BY pos) AS cv,
+      |    sqrt(list_sum(list_transform(list(m ORDER BY pos), x -> x*x))) AS cnorm
+      |  FROM cents0 GROUP BY label),
+      |scored AS (
+      |  SELECT n.label, n.vec_id,
+      |    ROUND(list_sum(list_transform(list_zip(n.v, c.cv), x -> x[1]*x[2]))
+      |          / (n.norm * c.cnorm), 6) AS cos
+      |  FROM n JOIN cents c ON n.label = c.label),
+      |stats AS (
+      |  SELECT label, COUNT(*) AS n_members, ROUND(AVG(cos), 6) AS avg_cos
+      |  FROM scored GROUP BY label),
+      |ranked AS (
+      |  SELECT label, vec_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY cos ASC, vec_id) AS rk
+      |  FROM scored)
+      |SELECT CAST(r.label AS BIGINT) AS label, CAST(rk AS BIGINT) AS rk,
+      |  vec_id, cos, n_members, avg_cos
+      |FROM ranked r JOIN stats s ON r.label = s.label
+      |WHERE rk <= 3
+      |ORDER BY label, rk""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> s1,
     "s2_ivf_ann"   -> s2,
     "s3_topk_agg"  -> s3,
-    "s4_lsh_ann"   -> s4)
+    "s4_lsh_ann"   -> s4,
+    "s5_label_noise" -> s5)
 
   override def oracle: Map[String, String] = Map(
     "s1_knn_brute" -> s1Sql,
     "s2_ivf_ann"   -> s2Sql,
     "s3_topk_agg"  -> s1Sql,
-    "s4_lsh_ann"   -> s4Sql)
+    "s4_lsh_ann"   -> s4Sql,
+    "s5_label_noise" -> s5Sql)
 }

@@ -204,17 +204,51 @@ object TextQueries extends QueryPack {
       |FROM f
       |ORDER BY doc_id""".stripMargin
 
+  /** t6 — stratified sampling, the curation step that balances a
+    * training mix: keep N docs per (lang, source) stratum, chosen by
+    * rank over a uniform content-independent hash of the doc id —
+    * deterministic across engines and runs, unbiased within the
+    * stratum. Scale note: the rank is a per-stratum window (sort
+    * within stratum); when one stratum is corpus-sized, pre-filter by
+    * the hash itself first — uniform hashes mean `hash < N/|stratum|
+    * × MAX × safety` keeps ~N·safety candidates, and the exact rank
+    * then runs on that sliver (same two-phase shape as TopKAgg). */
+  private def t6(s: SparkSession, dir: String): DataFrame = {
+    val perStratum = 5
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= perStratum)
+      .select(col("lang"), col("source"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("source"), col("rk"))
+  }
+
+  private val t6Sql =
+    """SELECT lang, source, CAST(rk AS BIGINT) AS rk, doc_id, n_chars
+      |FROM (
+      |  SELECT lang, source, doc_id, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY lang, source
+      |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents) t
+      |WHERE rk <= 5
+      |ORDER BY lang, source, rk""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_lang_id"      -> t1,
     "t2_quality"      -> t2,
     "t3_tokens"       -> t3,
     "t4_fingerprint"  -> t4,
-    "t5_winnowing"    -> t5)
+    "t5_winnowing"    -> t5,
+    "t6_stratified_sample" -> t6)
 
   override def oracle: Map[String, String] = Map(
     "t1_lang_id"      -> t1Sql,
     "t2_quality"      -> t2Sql,
     "t3_tokens"       -> t3Sql,
     "t4_fingerprint"  -> t4Sql,
-    "t5_winnowing"    -> t5Sql)
+    "t5_winnowing"    -> t5Sql,
+    "t6_stratified_sample" -> t6Sql)
 }
