@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 
-import graft.etl.{Adapters, Dedup, RosterGate}
+import graft.etl.{Adapters, Dedup, PushSink, RosterGate}
 
 /** Structured-Streaming form of the ingest dataflow (SURVEY §2.9).
   *
@@ -57,5 +57,30 @@ object StreamingIngest {
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.write.mode("append").parquet(outPath)
+      }
+
+  /** K1/K2 — the production push sink: every micro-batch goes through
+    * [[PushSink.pushBatch]] (rename, chunk, retry with backoff, token
+    * -bucket rate cap — all executor-side). Semantics: at-least-once
+    * per micro-batch (a task retry may re-push a chunk); the sink
+    * contract is idempotent by EventID, same as the reference's
+    * conditional-put, so replays are absorbed downstream. A push
+    * failure that exhausts retries fails the batch and the stream
+    * halts rather than dropping rows. */
+  def pushSink(
+      facts: DataFrame, checkpoint: String, pusher: PushSink.RowPusher,
+      table: String = "FactEvent", chunkSize: Int = 100,
+      retry: PushSink.RetryPolicy = PushSink.RetryPolicy(),
+      rateLimit: Option[PushSink.RateLimit] = None,
+      numPartitions: Option[Int] = None,
+      triggerMs: Long = 10000): DataStreamWriter[Row] =
+    facts.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        PushSink.pushBatch(batch, pusher, table, chunkSize, retry,
+          rateLimit, numPartitions)
+        ()
       }
 }

@@ -51,4 +51,31 @@ class FileIngestE2ESpec extends SparkSpec {
     spark.read.parquet(out.toString).select("eventId").as[String]
       .collect().sorted shouldBe Array("ALOWARE:1", "ALOWARE:3", "ALOWARE:4")
   }
+
+  test("file drop -> streaming ingest -> retrying push sink (K1/K2 streaming)") {
+    import graft.etl.{FlakyPusher, PushSink}
+    val in = tmp("graft-pin"); val chk = tmp("graft-pchk")
+    Files.writeString(in.resolve("w1.json"),
+      """{"event":"outbound_call","body":{"id":21,"owner_id":10,"created_at":"2025-11-05 10:00:00"}}
+        |{"event":"outbound_text","body":{"id":22,"owner_id":11,"created_at":"2025-11-05 10:00:01"}}
+        |{"event":"outbound_call","body":{"id":21,"owner_id":10,"created_at":"2025-11-05 10:00:02"}}
+        |""".stripMargin)
+    FlakyPusher.chunks.clear(); FlakyPusher.attempts.set(0)
+    FlakyPusher.failFirst = 1 // first push of the stream 429s, retry lands it
+    val facts = StreamingIngest.transform(
+      StreamingIngest.fileSource(spark, in.toString, "ALOWARE"), roster = None)
+    val q = StreamingIngest.pushSink(facts, chk.toString, FlakyPusher,
+      chunkSize = 10,
+      retry = PushSink.RetryPolicy(maxAttempts = 3, initialDelayMs = 1),
+      rateLimit = Some(PushSink.RateLimit(requestsPerSec = 1000.0)),
+      numPartitions = Some(1), triggerMs = 100)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val pushed = scala.jdk.CollectionConverters
+      .CollectionHasAsScala(FlakyPusher.chunks).asScala.toSeq.flatten
+    pushed.map(_.split("\"EventID\":\"")(1).split("\"")(0)).sorted shouldBe
+      Seq("ALOWARE:21", "ALOWARE:22") // dedup upstream, each pushed once
+    FlakyPusher.attempts.get should be >= 2 // the 429 + the successful retry
+  }
 }
