@@ -75,11 +75,48 @@ object MediaQueries extends QueryPack {
       |FROM f
       |ORDER BY media_id""".stripMargin
 
+  /** m3 — perceptual near-dup candidates: payloads sharing ≥1 sampled
+    * frame fingerprint, ranked by how many they share — the d2
+    * inverted-index pattern applied to binary media (a real pipeline
+    * swaps the frame md5 for a perceptual hash; the join shape is
+    * identical). Sharing a 16-byte window is already strong evidence
+    * for byte-level media. Hot-frame keys (black frames, silence)
+    * would get the d2 frequency cap at scale. */
+  private def m3(s: SparkSession, dir: String): DataFrame = {
+    val f = media(s, dir)
+      .withColumn("frames", Multimodal.frameSample(col("bytes"), 4, 16))
+      .select(col("media_id"),
+        explode(expr("transform(frames, f -> md5(hex(f)))")).as("fmd5"))
+      .distinct()
+    f.as("a").hint("shuffle_hash").join(f.as("b").hint("shuffle_hash"),
+        col("a.fmd5") === col("b.fmd5") && col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id").as("id1"), col("b.media_id").as("id2"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  private val m3Sql =
+    """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+      |           octet_length(encode(text)) AS n_bytes FROM documents),
+      |f AS (
+      |  SELECT DISTINCT media_id,
+      |    md5(substring(hx, (i * greatest((n_bytes - 16)//3, 1)) * 2 + 1, 32)) AS fmd5
+      |  FROM m, (SELECT unnest([0,1,2,3]) AS i)),
+      |pairs AS (
+      |  SELECT a.media_id AS id1, b.media_id AS id2, COUNT(*) AS shared_frames
+      |  FROM f a JOIN f b ON a.fmd5 = b.fmd5 AND a.media_id < b.media_id
+      |  GROUP BY a.media_id, b.media_id)
+      |SELECT id1, id2, CAST(shared_frames AS BIGINT) AS shared_frames
+      |FROM pairs
+      |ORDER BY id1, id2""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_profile" -> m1,
-    "m2_frame_sample"  -> m2)
+    "m2_frame_sample"  -> m2,
+    "m3_frame_neardup" -> m3)
 
   override def oracle: Map[String, String] = Map(
     "m1_media_profile" -> m1Sql,
-    "m2_frame_sample"  -> m2Sql)
+    "m2_frame_sample"  -> m2Sql,
+    "m3_frame_neardup" -> m3Sql)
 }

@@ -64,6 +64,27 @@ class PlanAuditSpec extends SparkSpec {
     readSchema should not include "l_returnflag"
   }
 
+  test("e12: salted rollup aggregates in two keyed phases (no single hot reducer)") {
+    val p = plan("e12_salted_rollup")
+    // phase 1 groups on (event_type, __salt): the salt column must
+    // reach a HashAggregate key, or the hot keys collapsed early
+    p should include("__salt")
+    "HashAggregate".r.findAllIn(p).size should be >= 3 // partial+final ×2 phases
+  }
+
+  test("s5: centroid table broadcasts; corpus side never builds") {
+    val p = plan("s5_label_noise")
+    p should include("BroadcastHashJoin")
+  }
+
+  test("m3: frame-fingerprint self-join stays a shuffled hash join") {
+    val p = plan("m3_frame_neardup")
+    p should include("ShuffledHashJoin")
+    val idxJoins = p.linesIterator.filter(l =>
+      l.contains("Join") && l.contains("fmd5")).toList
+    idxJoins.filter(_.contains("BroadcastHashJoin")) shouldBe empty
+  }
+
   test("no query collects mid-plan (everything stays distributed)") {
     // structural: every declared query builds a DataFrame lazily; a
     // .collect() in an operator would have materialized at build time
