@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryPack, Tables}
 import graft.QueryPack.{dec, money}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Second relational coverage pack: outer joins, cube grouping sets,
@@ -228,6 +228,64 @@ object MoreRelationalQueries extends QueryPack {
       |  SELECT o_custkey, COUNT(*) AS n_excess, 'intersect_all' AS op FROM ia GROUP BY o_custkey)
       |ORDER BY op, o_custkey""".stripMargin
 
+  /** q18 — count-min sketch heavy hitters, relationally: every key
+    * hashes into `depth` rows of `width` buckets (md5-derived, exact
+    * int64 — cross-engine identical), bucket totals aggregate in one
+    * partial+final pass, and a key's estimate is the MIN of its
+    * buckets' totals. Output: the top-20 exact heavy hitters with
+    * exact count, CMS estimate, and the (always ≥ 0) overestimate —
+    * the error accounting that tells a pipeline whether width×depth
+    * is sized right. The sketch table is depth×width rows regardless
+    * of corpus size: THE constant-memory distributed-sketch shape
+    * (the same layout a streaming CMS would merge per batch). */
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    val depth = 4
+    val width = 256
+    val ev = Tables(s, dir, "events")
+    def bucket(d: Int): Column =
+      expr(s"cast(conv(substring(md5(concat('$d:', cast(user_id as string))), 1, 15), 16, 10) as bigint) % $width")
+    val hashed = ev.select(col("user_id") +:
+      (0 until depth).map(d => bucket(d).as(s"b$d")): _*)
+    val sketch = (0 until depth).map { d =>
+      hashed.groupBy(col(s"b$d").as("bucket")).agg(count(lit(1)).as("total"))
+        .withColumn("d", lit(d))
+    }.reduce(_.unionByName(_))
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("user_id")).limit(20)
+    val keyed = exact.select(col("user_id"), col("exact"),
+      posexplode(array((0 until depth).map(bucket): _*)).as(Seq("d", "bucket")))
+    keyed.join(sketch, Seq("d", "bucket"))
+      .groupBy(col("user_id"), col("exact"))
+      .agg(min(col("total")).as("cms_est"))
+      .withColumn("overestimate", col("cms_est") - col("exact"))
+      .orderBy(col("exact").desc, col("user_id"))
+  }
+
+  private val q18Sql = {
+    val depth = 4
+    val width = 256
+    def bucket(d: Int, key: String) =
+      s"CAST(('0x'||substr(md5('$d:' || CAST($key AS VARCHAR)), 1, 15)) AS BIGINT) % $width"
+    val sketchArms = (0 until depth).map(d =>
+      s"SELECT $d AS d, ${bucket(d, "user_id")} AS bucket, COUNT(*) AS total FROM events GROUP BY 2"
+    ).mkString("\n  UNION ALL ")
+    val keyArms = (0 until depth).map(d =>
+      s"SELECT user_id, exact, $d AS d, ${bucket(d, "user_id")} AS bucket FROM exact"
+    ).mkString("\n  UNION ALL ")
+    s"""WITH sketch AS (
+      |  $sketchArms),
+      |exact AS (
+      |  SELECT user_id, COUNT(*) AS exact FROM events GROUP BY 1
+      |  ORDER BY exact DESC, user_id LIMIT 20),
+      |keyed AS (
+      |  $keyArms)
+      |SELECT k.user_id, k.exact, MIN(s.total) AS cms_est,
+      |  MIN(s.total) - k.exact AS overestimate
+      |FROM keyed k JOIN sketch s ON k.d = s.d AND k.bucket = s.bucket
+      |GROUP BY k.user_id, k.exact
+      |ORDER BY k.exact DESC, k.user_id""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_full_outer"   -> q10,
     "q11_cube"         -> q11,
@@ -236,7 +294,8 @@ object MoreRelationalQueries extends QueryPack {
     "q14_nulls"        -> q14,
     "q15_approx_hll"   -> q15,
     "q16_correlated"   -> q16,
-    "q17_multiset_ops" -> q17)
+    "q17_multiset_ops" -> q17,
+    "q18_cms_heavy_hitters" -> q18)
 
   override def oracle: Map[String, String] = Map(
     "q10_full_outer"   -> q10Sql,
@@ -246,5 +305,6 @@ object MoreRelationalQueries extends QueryPack {
     "q14_nulls"        -> q14Sql,
     "q15_approx_hll"   -> q15Sql,
     "q16_correlated"   -> q16Sql,
-    "q17_multiset_ops" -> q17Sql)
+    "q17_multiset_ops" -> q17Sql,
+    "q18_cms_heavy_hitters" -> q18Sql)
 }
