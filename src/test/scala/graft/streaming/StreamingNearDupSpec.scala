@@ -38,6 +38,29 @@ class StreamingNearDupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("FIFO cap evicts the oldest bucket members, bounding state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingNearDup.detect(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", maxBucket = 2)
+      .writeStream.format("memory").queryName("neardup_evict")
+      .outputMode("append").start()
+    try {
+      // three exact copies fill the 2-slot buckets; doc 20 evicts 21's
+      // predecessor history as it lands
+      input.addData((20L, base)); q.processAllAvailable()
+      input.addData((21L, base)); q.processAllAvailable()
+      input.addData((22L, base)); q.processAllAvailable()
+      // bucket now holds [22, 21] — 20 was evicted; the next copy must
+      // match only the surviving two
+      input.addData((23L, base)); q.processAllAvailable()
+      val partners = spark.table("neardup_evict")
+        .select("d1", "d2").as[(Long, Long)].collect().toSet
+        .filter(_._1 == 23L).map(_._2)
+      partners shouldBe Set(21L, 22L)
+    } finally q.stop()
+  }
+
   test("duplicate of a duplicate still resolves against bucket history") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
