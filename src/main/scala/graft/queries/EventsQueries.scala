@@ -387,6 +387,81 @@ object EventsQueries extends QueryPack {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** e13 — cohort retention: users cohorted by first-seen day; each
+    * (cohort, day-offset ≤ 7) cell counts distinct users active that
+    * many days later — the activation/retention matrix every product
+    * and data-curation dashboard carries. Two fact-side shuffles
+    * (first-seen agg keyed on user; cell agg keyed on cohort×offset),
+    * the cohort table joins back keyed on user — no skew beyond the
+    * natural cohort sizes. */
+  private def e13(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+      .select(col("user_id"), date_trunc("DAY", col("ts")).cast("date").as("day"))
+    val cohorts = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    e.join(cohorts, "user_id")
+      .withColumn("offset", datediff(col("day"), col("cohort_day")))
+      .filter(col("offset") <= 7)
+      .groupBy(col("cohort_day"), col("offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_day"), col("offset"))
+  }
+
+  private val e13Sql =
+    """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |c AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id)
+      |SELECT c.cohort_day, e.day - c.cohort_day AS "offset",
+      |  COUNT(DISTINCT e.user_id) AS n_active
+      |FROM e JOIN c ON e.user_id = c.user_id
+      |WHERE e.day - c.cohort_day <= 7
+      |GROUP BY c.cohort_day, e.day - c.cohort_day
+      |ORDER BY cohort_day, "offset"""".stripMargin
+
+  /** e14 — ordered funnel: view → click → purchase, each stage's
+    * timestamp must be ≥ the previous stage's FIRST satisfying time
+    * per user. Three keyed aggregations chained by user-id joins (the
+    * per-stage tables shrink monotonically); no windows over the
+    * whole fact, no per-user loops. */
+  private def e14(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("tsu"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tsu")).as("v_ts"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("tsu") >= col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("tsu")).as("c_ts"))
+    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("tsu") >= col("c_ts"))
+      .groupBy(col("user_id")).agg(min(col("tsu")).as("p_ts"))
+    val spark = s
+    import spark.implicits._
+    Seq(1, 2, 3).toDF("stage")
+      .join(
+        v.agg(count(lit(1)).as("n")).withColumn("stage", lit(1))
+          .unionByName(c.agg(count(lit(1)).as("n")).withColumn("stage", lit(2)))
+          .unionByName(p.agg(count(lit(1)).as("n")).withColumn("stage", lit(3))),
+        Seq("stage"))
+      .withColumn("stage_name",
+        element_at(typedLit(Map(1 -> "view", 2 -> "click", 3 -> "purchase")),
+          col("stage")))
+      .select(col("stage").cast("long").as("stage"), col("stage_name"), col("n"))
+      .orderBy(col("stage"))
+  }
+
+  private val e14Sql =
+    """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS tsu FROM events),
+      |v AS (SELECT user_id, MIN(tsu) AS v_ts FROM e WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, MIN(e.tsu) AS c_ts FROM e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.tsu >= v.v_ts GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, MIN(e.tsu) AS p_ts FROM e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.tsu >= c.c_ts GROUP BY e.user_id)
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name, COUNT(*) AS n FROM v
+      |  UNION ALL
+      |  SELECT 2, 'click', COUNT(*) FROM c
+      |  UNION ALL
+      |  SELECT 3, 'purchase', COUNT(*) FROM p)
+      |ORDER BY stage""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_scoreboard"     -> e1,
     "e2_json_extract"   -> e2,
@@ -399,7 +474,9 @@ object EventsQueries extends QueryPack {
     "e9_asof_join"      -> e9,
     "e10_asof_operator" -> e10,
     "e11_interval_join" -> e11,
-    "e12_salted_rollup" -> e12)
+    "e12_salted_rollup" -> e12,
+    "e13_cohort_retention" -> e13,
+    "e14_funnel" -> e14)
 
   override def oracle: Map[String, String] = Map(
     "e1_scoreboard"     -> e1Sql,
@@ -413,5 +490,7 @@ object EventsQueries extends QueryPack {
     "e9_asof_join"      -> e9Sql,
     "e10_asof_operator" -> e9Sql,
     "e11_interval_join" -> e11Sql,
-    "e12_salted_rollup" -> e12Sql)
+    "e12_salted_rollup" -> e12Sql,
+    "e13_cohort_retention" -> e13Sql,
+    "e14_funnel" -> e14Sql)
 }

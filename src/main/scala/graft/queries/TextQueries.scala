@@ -236,13 +236,47 @@ object TextQueries extends QueryPack {
       |WHERE rk <= 5
       |ORDER BY lang, source, rk""".stripMargin
 
+  /** t7 — normalization-aware dedup profile: the cleaning pipeline
+    * every pretraining corpus runs (lowercase → strip non-alnum →
+    * collapse whitespace → trim), then per-source dup rates against
+    * the RAW vs NORMALIZED fingerprint — the delta is exactly the
+    * duplication that casing/punctuation noise was hiding. Single
+    * scan; regexes are anchored-free char-class rewrites that behave
+    * identically in Java regex and RE2. */
+  private def t7(s: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    docs(s, dir)
+      .withColumn("nfp", md5(norm))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("distinct_raw"),
+        countDistinct(col("nfp")).as("distinct_norm"))
+      .withColumn("dup_rate_norm",
+        round(lit(1.0) - col("distinct_norm").cast("double") / col("n_docs"), 6))
+      .orderBy(col("source"))
+  }
+
+  private val t7Sql =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT md5(text)) AS distinct_raw,
+      |  COUNT(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))) AS distinct_norm,
+      |  ROUND(1.0 - CAST(COUNT(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))) AS DOUBLE) / COUNT(*), 6)
+      |    AS dup_rate_norm
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_lang_id"      -> t1,
     "t2_quality"      -> t2,
     "t3_tokens"       -> t3,
     "t4_fingerprint"  -> t4,
     "t5_winnowing"    -> t5,
-    "t6_stratified_sample" -> t6)
+    "t6_stratified_sample" -> t6,
+    "t7_norm_dedup"   -> t7)
 
   override def oracle: Map[String, String] = Map(
     "t1_lang_id"      -> t1Sql,
@@ -250,5 +284,6 @@ object TextQueries extends QueryPack {
     "t3_tokens"       -> t3Sql,
     "t4_fingerprint"  -> t4Sql,
     "t5_winnowing"    -> t5Sql,
-    "t6_stratified_sample" -> t6Sql)
+    "t6_stratified_sample" -> t6Sql,
+    "t7_norm_dedup"   -> t7Sql)
 }
