@@ -286,6 +286,39 @@ object MoreRelationalQueries extends QueryPack {
       |ORDER BY k.exact DESC, k.user_id""".stripMargin
   }
 
+  /** q19 — window FRAMES (q7 covers ranking): per-customer running
+    * order total (rows unbounded-preceding..current, explicit so both
+    * engines agree even under ties) and a 3-row moving average.
+    * Decimal sums inside the frame keep the running float math exact;
+    * the window partitions by customer (high-cardinality ⇒ parallel,
+    * no skew). */
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val last3 = w.rowsBetween(-2, 0)
+    Tables(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        money(sum(dec(col("o_totalprice"))).over(run)).as("running_total"),
+        round(sum(dec(col("o_totalprice"))).over(last3).cast("double") /
+          count(lit(1)).over(last3), 6).as("ma3"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  private val q19Sql =
+    """SELECT o_custkey, o_orderdate, o_orderkey,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER run, 2) AS DOUBLE)
+      |    AS running_total,
+      |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER last3 AS DOUBLE)
+      |        / COUNT(*) OVER last3, 6) AS ma3
+      |FROM orders
+      |WINDOW run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |       last3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_full_outer"   -> q10,
     "q11_cube"         -> q11,
@@ -295,7 +328,8 @@ object MoreRelationalQueries extends QueryPack {
     "q15_approx_hll"   -> q15,
     "q16_correlated"   -> q16,
     "q17_multiset_ops" -> q17,
-    "q18_cms_heavy_hitters" -> q18)
+    "q18_cms_heavy_hitters" -> q18,
+    "q19_running_window" -> q19)
 
   override def oracle: Map[String, String] = Map(
     "q10_full_outer"   -> q10Sql,
@@ -306,5 +340,6 @@ object MoreRelationalQueries extends QueryPack {
     "q15_approx_hll"   -> q15Sql,
     "q16_correlated"   -> q16Sql,
     "q17_multiset_ops" -> q17Sql,
-    "q18_cms_heavy_hitters" -> q18Sql)
+    "q18_cms_heavy_hitters" -> q18Sql,
+    "q19_running_window" -> q19Sql)
 }
