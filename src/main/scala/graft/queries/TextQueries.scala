@@ -269,6 +269,53 @@ object TextQueries extends QueryPack {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** t8 — collocation mining: adjacent word pairs scored by lift
+    * (n_ab·N / (n_a·n_b) — the PMI argument without the log, so the
+    * score is exact rational arithmetic, cross-engine deterministic),
+    * support-filtered, top-50. The vocab/collocation profile a
+    * tokenizer-training step reads. Two scans (bigrams, unigrams) +
+    * two keyed joins of bigram rows against the unigram counts; the
+    * 1-row total broadcast-joins. */
+  private def t8(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).withColumn("w", words).filter(size(col("w")) >= 2)
+    val uni = d.select(explode(col("w")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
+    val total = uni.agg(sum(col("n_tok")).as("n_total"))
+    val bi = d.select(explode(expr(
+        "transform(sequence(0, size(w)-2), i -> struct(w[i] AS a, w[i+1] AS b))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 5)
+    bi.join(uni.select(col("tok").as("a"), col("n_tok").as("n_a")), "a")
+      .join(uni.select(col("tok").as("b"), col("n_tok").as("n_b")), "b")
+      .crossJoin(broadcast(total))
+      .withColumn("lift", round(
+        (col("n_ab") * col("n_total")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 6))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"), col("lift"))
+      .orderBy(col("n_ab").desc, col("a"), col("b"))
+      .limit(50)
+  }
+
+  private val t8Sql =
+    """WITH d AS (SELECT string_split(text, ' ') AS w FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 2),
+      |uni AS (SELECT unnest(w) AS tok FROM d),
+      |u AS (SELECT tok, COUNT(*) AS n_tok FROM uni GROUP BY tok),
+      |total AS (SELECT SUM(n_tok) AS n_total FROM u),
+      |bi AS (
+      |  SELECT w[i] AS a, w[i+1] AS b, COUNT(*) AS n_ab
+      |  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM d) x
+      |  GROUP BY w[i], w[i+1]
+      |  HAVING COUNT(*) >= 5)
+      |SELECT bi.a, bi.b, bi.n_ab, ua.n_tok AS n_a, ub.n_tok AS n_b,
+      |  ROUND(CAST(bi.n_ab * total.n_total AS DOUBLE)
+      |        / CAST(ua.n_tok * ub.n_tok AS DOUBLE), 6) AS lift
+      |FROM bi JOIN u ua ON bi.a = ua.tok JOIN u ub ON bi.b = ub.tok, total
+      |ORDER BY n_ab DESC, a, b
+      |LIMIT 50""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_lang_id"      -> t1,
     "t2_quality"      -> t2,
@@ -276,7 +323,8 @@ object TextQueries extends QueryPack {
     "t4_fingerprint"  -> t4,
     "t5_winnowing"    -> t5,
     "t6_stratified_sample" -> t6,
-    "t7_norm_dedup"   -> t7)
+    "t7_norm_dedup"   -> t7,
+    "t8_collocations" -> t8)
 
   override def oracle: Map[String, String] = Map(
     "t1_lang_id"      -> t1Sql,
@@ -285,5 +333,6 @@ object TextQueries extends QueryPack {
     "t4_fingerprint"  -> t4Sql,
     "t5_winnowing"    -> t5Sql,
     "t6_stratified_sample" -> t6Sql,
-    "t7_norm_dedup"   -> t7Sql)
+    "t7_norm_dedup"   -> t7Sql,
+    "t8_collocations" -> t8Sql)
 }
