@@ -1,0 +1,85 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ConnectedComponents, TextDedup}
+
+/** The end-to-end corpus-curation pipeline a pretraining run executes,
+  * composed from the library's own operators — normalization, a
+  * language gate, a quality gate, exact dedup, MinHash+LSH near-dup
+  * clustering with canonical-survivor selection — returning the
+  * curated corpus plus the per-stage attrition report every curation
+  * run logs.
+  *
+  * Every stage is the operator documented elsewhere (t7's normalizer,
+  * t1's stopword-density language ID, d1's exact-hash dedup, d3's
+  * signature pipeline, d6's components); this object only wires them,
+  * so the composition inherits each stage's scale story. The stage
+  * counts are driver scalars (one count() per stage — the run report,
+  * not a data collect).
+  */
+object Curation {
+
+  final case class StageCount(stage: String, docs: Long)
+
+  final case class Result(curated: DataFrame, report: Seq[StageCount])
+
+  /** docs(idCol: long, textCol: string) → curated docs (id, text,
+    * norm) + attrition report. */
+  def run(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text",
+      minStopRatio: Double = 0.05, minWords: Int = 10,
+      minhashK: Int = 16, bands: Int = 4, minSigMatches: Int = 12): Result = {
+    val report = Seq.newBuilder[StageCount]
+    def stage(name: String, df: DataFrame): DataFrame = {
+      report += StageCount(name, df.count()); df
+    }
+
+    val base = stage("input", docs.select(col(idCol).as("id"),
+      col(textCol).as("text")))
+
+    // 1. normalize (t7): lowercase, strip non-alnum, collapse spaces
+    val normed = base.withColumn("norm", trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")))
+
+    // 2. language gate (t1 heuristic): English function-word density
+    val stopList = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+      .map(w => s"x = '$w'").mkString(" OR ")
+    val lang = stage("lang_gate", normed
+      .withColumn("w", split(col("norm"), " "))
+      .filter(expr(s"size(filter(w, x -> $stopList))").cast("double") /
+        size(col("w")) >= minStopRatio))
+
+    // 3. quality gate (t2 family): minimum length
+    val quality = stage("quality_gate",
+      lang.filter(size(col("w")) >= minWords))
+
+    // 4. exact dedup (d1/t4): keep the min id per normalized hash
+    val exactKept = quality
+      .withColumn("nfp", md5(col("norm")))
+      .withColumn("__keep", min(col("id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("nfp"))))
+      .filter(col("id") === col("__keep"))
+      .drop("nfp", "__keep")
+    val exact = stage("exact_dedup", exactKept)
+
+    // 5. near-dup clusters (d3 + d6): LSH candidates → signature
+    //    agreement → connected components → cluster reps survive
+    val sigs = exact
+      .withColumn("xs", TextDedup.shingleHashes("w", 3))
+      .filter(size(col("xs")) > 0)
+      .select(col("id"), TextDedup.minhashSig("xs", minhashK).as("sig"))
+    val pairs = TextDedup.lshCandidates(sigs, "id", minhashK, bands)
+      .withColumn("m", expr(
+        "size(filter(zip_with(sig1, sig2, (x, y) -> x = y), v -> v))"))
+      .filter(col("m") >= minSigMatches)
+      .select(col("d1"), col("d2"))
+    val clusters = ConnectedComponents.run(pairs, "d1", "d2", exact, "id")
+    val curated = stage("near_dedup", exact
+      .join(clusters.filter(col("id") === col("cluster")).select("id"), "id")
+      .select(col("id"), col("text"), col("norm")))
+
+    Result(curated, report.result())
+  }
+}

@@ -268,13 +268,83 @@ object DedupQueries extends QueryPack {
       |        / (a.norm * b.norm), 6) >= 0.45
       |ORDER BY v1, v2""".stripMargin
 
+  /** c1 — the COMPOSED curation pipeline ([[graft.etl.Curation]]:
+    * normalize → language gate → quality gate → exact dedup →
+    * MinHash/LSH near-dup clusters → canonical survivors) as a
+    * driver-gated attrition report. The oracle re-derives every stage
+    * in one recursive query, so the whole composition — not just the
+    * pieces — is hash-checked against DuckDB. */
+  private def c1(s: SparkSession, dir: String): DataFrame = {
+    val r = graft.etl.Curation.run(docs(s, dir))
+    import s.implicits._
+    r.report.zipWithIndex
+      .map { case (sc, i) => (i.toLong, sc.stage, sc.docs) }
+      .toDF("ord", "stage", "docs")
+      .orderBy(col("ord"))
+  }
+
+  private val c1Sql = {
+    val stopList = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+      .map(w => s"x = '$w'").mkString(" OR ")
+    val sigExprs = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(xs, x -> ($a * x + $b) % $P)) AS h$i"
+    }.mkString(",\n    ")
+    val sigList = (0 until 16).map(i => s"h$i").mkString("[", ", ", "]")
+    val bandStructs = (0 until bands).map(j =>
+      s"{'band': $j, 'key': h${j * 4}||'-'||h${j * 4 + 1}||'-'||h${j * 4 + 2}||'-'||h${j * 4 + 3}}"
+    ).mkString("[", ", ", "]")
+    s"""WITH RECURSIVE
+      |nrm AS (
+      |  SELECT doc_id AS id,
+      |    trim(regexp_replace(regexp_replace(lower(text),
+      |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+      |  FROM documents),
+      |w0 AS (SELECT id, norm, string_split(norm, ' ') AS w FROM nrm),
+      |lang AS (SELECT * FROM w0
+      |  WHERE CAST(len(list_filter(w, x -> $stopList)) AS DOUBLE) / len(w) >= 0.05),
+      |qual AS (SELECT * FROM lang WHERE len(w) >= 10),
+      |ex AS (SELECT id, norm, w FROM (
+      |  SELECT *, MIN(id) OVER (PARTITION BY md5(norm)) AS kp FROM qual)
+      |  WHERE id = kp),
+      |sh AS (
+      |  SELECT id, $shingleHashesSql AS xs FROM ex WHERE len(w) >= 3),
+      |sigs0 AS (
+      |  SELECT id, $sigExprs FROM sh WHERE len(xs) > 0),
+      |sigs AS (SELECT id, $sigList AS sig, $bandStructs AS bks FROM sigs0),
+      |banded AS (
+      |  SELECT id, sig, bk['band'] AS band, bk['key'] AS key
+      |  FROM (SELECT id, sig, unnest(bks) AS bk FROM sigs)),
+      |cands AS (
+      |  SELECT DISTINCT a.id AS d1, b.id AS d2
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.key = b.key AND a.id < b.id
+      |  WHERE len(list_filter(list_zip(a.sig, b.sig), x -> x[1] = x[2])) >= 12),
+      |sym AS (SELECT d1 AS s, d2 AS t FROM cands
+      |        UNION ALL SELECT d2, d1 FROM cands),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM ex
+      |  UNION
+      |  SELECT reach.id, sym.t FROM reach JOIN sym ON reach.r = sym.s),
+      |nearkept AS (
+      |  SELECT id FROM (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
+      |  WHERE cluster = id)
+      |SELECT * FROM (
+      |  SELECT CAST(0 AS BIGINT) AS ord, 'input' AS stage, COUNT(*) AS docs FROM documents
+      |  UNION ALL SELECT 1, 'lang_gate', COUNT(*) FROM lang
+      |  UNION ALL SELECT 2, 'quality_gate', COUNT(*) FROM qual
+      |  UNION ALL SELECT 3, 'exact_dedup', COUNT(*) FROM ex
+      |  UNION ALL SELECT 4, 'near_dedup', COUNT(*) FROM nearkept)
+      |ORDER BY ord""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup"    -> d1,
     "d2_ngram_jaccard"  -> d2,
     "d3_minhash_lsh"    -> d3,
     "d4_simhash"        -> d4,
     "d5_embedding_dup"  -> d5,
-    "d6_dup_clusters"   -> d6)
+    "d6_dup_clusters"   -> d6,
+    "c1_curation_report" -> c1)
 
   override def oracle: Map[String, String] = Map(
     "d1_exact_dedup"    -> d1Sql,
@@ -282,5 +352,6 @@ object DedupQueries extends QueryPack {
     "d3_minhash_lsh"    -> d3Sql,
     "d4_simhash"        -> d4Sql,
     "d5_embedding_dup"  -> d5Sql,
-    "d6_dup_clusters"   -> d6Sql)
+    "d6_dup_clusters"   -> d6Sql,
+    "c1_curation_report" -> c1Sql)
 }
