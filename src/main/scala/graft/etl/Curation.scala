@@ -32,8 +32,14 @@ object Curation {
       minStopRatio: Double = 0.05, minWords: Int = 10,
       minhashK: Int = 16, bands: Int = 4, minSigMatches: Int = 12): Result = {
     val report = Seq.newBuilder[StageCount]
+    // Each stage materializes (persist + count) before the next reads
+    // it: the attrition count is the stage barrier anyway, and without
+    // it every later stage re-runs the whole upstream pipeline per
+    // action — the local analog of how a production run checkpoints
+    // stage outputs to storage between phases.
     def stage(name: String, df: DataFrame): DataFrame = {
-      report += StageCount(name, df.count()); df
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      report += StageCount(name, p.count()); p
     }
 
     val base = stage("input", docs.select(col(idCol).as("id"),
