@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
 
 /** Benchmark main: one JSON line with per-query medians.
   *
-  * Methodology: each query runs REPS times (default 3) and reports the
+  * Methodology: each query runs REPS times (default 5) and reports the
   * per-query MEDIAN, so one GC pause / VM-scheduler hiccup doesn't
   * masquerade as a plan problem. The sink aggregates xxhash64 over a
   * struct of every output column — unlike `.count()`, Catalyst cannot

@@ -44,12 +44,16 @@ object Adapters {
   /** Provenance: the delivery id a webhook gateway stamps on each
     * attempt (reference threads the envelope `headers`
     * `Record<string,string>`, `src/domain/types.ts:5`). Header names
-    * are case-insensitive per HTTP, so match the common casings. */
-  private def deliveryId: Column = coalesce(
-    element_at(col("headers"), "x-delivery-id"),
-    element_at(col("headers"), "X-Delivery-Id"),
-    element_at(col("headers"), "x-request-id"),
-    element_at(col("headers"), "X-Request-Id"))
+    * are case-insensitive per HTTP, so the lookup lowercases every
+    * key (not just the common casings — X-DELIVERY-ID from a shouting
+    * gateway must still dedupe). `get` (0-based, null-safe) instead of
+    * `element_at` so a missing header is null, not an ANSI error. */
+  private def headerCI(name: String): Column =
+    get(filter(map_entries(col("headers")),
+      e => lower(e.getField("key")) === lit(name)), lit(0)).getField("value")
+
+  private def deliveryId: Column =
+    coalesce(headerCI("x-delivery-id"), headerCI("x-request-id"))
 
   /** F1: outbound-only gate; name wins over the numeric direction,
     * default deny (reference `aloware.adapter.ts:35-43`). */

@@ -12,10 +12,16 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
   * changed into a serving store.
   *
   * Scale/state story: streaming state = one count per open
-  * (agent, metric, day) group, freed when the event-time watermark
-  * passes day end + the lateness bound — state is the working set of
-  * ACTIVE days, not history. Update mode means a burst touching one
-  * agent re-emits one row, not the whole board. The serving sink
+  * (agent, metric, day) group. The watermark is declared ON the
+  * business-day key itself (cast to a midnight timestamp): a
+  * watermarked column only drives state eviction when it is part of
+  * the grouping key, so watermarking arrival time while grouping on
+  * (agent, metric, day) would retain every group forever. With the
+  * day key watermarked, groups whose day falls `lateness` behind the
+  * newest day seen are evicted and later rows for them dropped —
+  * state is the working set of ACTIVE days, not history. Update mode
+  * means a burst touching one agent re-emits one row, not the whole
+  * board. The serving sink
   * receives (key, new value) pairs — any KV/OLAP store with upsert
   * semantics serves reads; the injected [[Upsert]] keeps it testable
   * (production wires the push-dataset or a KV client; same
@@ -30,12 +36,20 @@ object StreamingScoreboard {
   }
 
   /** facts(agentId, metricId, factDateKey: date, receivedAt: ts)
-    * stream → update-mode counts per (agent, metric, day). */
-  def counts(facts: DataFrame, lateness: String = "1 hour"): DataFrame =
+    * stream → update-mode counts per (agent, metric, day).
+    *
+    * `lateness` is in BUSINESS-DAY time: how far behind the newest
+    * day seen a day's count stays open for late arrivals (default two
+    * days — yesterday's board absorbs stragglers, last week's is
+    * frozen and its state freed). */
+  def counts(facts: DataFrame, lateness: String = "2 days"): DataFrame =
     facts
-      .withWatermark("receivedAt", lateness)
-      .groupBy(col("agentId"), col("metricId"), col("factDateKey"))
+      .withColumn("__day_ts", col("factDateKey").cast("timestamp"))
+      .withWatermark("__day_ts", lateness)
+      .groupBy(col("agentId"), col("metricId"), col("__day_ts"))
       .agg(count(lit(1)).as("n_events"))
+      .select(col("agentId"), col("metricId"),
+        col("__day_ts").cast("date").as("factDateKey"), col("n_events"))
 
   /** Serve via foreachBatch: each micro-batch carries only changed
     * groups (update mode); rows fan out partition-wise to the store. */

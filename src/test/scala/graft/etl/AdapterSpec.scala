@@ -56,6 +56,16 @@ class AdapterSpec extends SparkSpec {
     retry.getAs[String]("dedupKey") shouldBe first.getAs[String]("dedupKey")
     first.getAs[String]("notes") should include("delivery=dlv-42")
 
+    // header names are case-insensitive per HTTP: a SHOUTING gateway
+    // (or any casing the map() literal didn't anticipate) must still
+    // resolve to the same delivery id, not fall through to receivedAt
+    val shouting = Adapters.aloware(
+      envWith("map('X-DELIVERY-ID','dlv-42')", "2025-11-05T17:32:00Z")).collect().head
+    shouting.getAs[String]("eventId") shouldBe "ALOWARE:dlv-42"
+    val requestId = Adapters.aloware(
+      envWith("map('X-Request-ID','req-7')", recv)).collect().head
+    requestId.getAs[String]("eventId") shouldBe "ALOWARE:req-7"
+
     // no header: falls back to receive time (old behavior)
     val bare = Adapters.aloware(
       envWith("map()", recv)).collect().head

@@ -48,4 +48,30 @@ class StreamingScoreboardSpec extends SparkSpec {
       MapUpsert.store.size shouldBe 2
     } finally q.stop()
   }
+
+  test("watermark on the day key evicts closed days and drops their stragglers") {
+    implicit val sqlCtx = spark.sqlContext
+    MapUpsert.store.clear()
+    val input = MemoryStream[(String, String, Date, Timestamp)]
+    val facts = input.toDF().toDF("agentId", "metricId", "factDateKey", "receivedAt")
+    val chk = java.nio.file.Files.createTempDirectory("graft-sb-wm").toString
+    val q = StreamingScoreboard.serve(
+      StreamingScoreboard.counts(facts, lateness = "2 days"),
+      MapUpsert, chk, triggerMs = 100).start()
+    try {
+      input.addData(fact("a1", "CALLS", "2024-01-02", "2024-01-02 09:00:00"))
+      q.processAllAvailable()
+      // a much newer day advances the watermark to 2024-01-08 and
+      // closes day 2 (state evicted, not just idle)
+      input.addData(fact("a1", "CALLS", "2024-01-10", "2024-01-10 09:00:00"))
+      q.processAllAvailable()
+      q.processAllAvailable() // second batch so the new watermark applies
+      // a straggler for the closed day must be DROPPED: the count for
+      // day 2 stays 1 (were the group still open, it would become 2)
+      input.addData(fact("a1", "CALLS", "2024-01-02", "2024-01-10 10:00:00"))
+      q.processAllAvailable()
+      MapUpsert.store.get(("a1", "CALLS", Date.valueOf("2024-01-02"))) shouldBe 1L
+      MapUpsert.store.get(("a1", "CALLS", Date.valueOf("2024-01-10"))) shouldBe 1L
+    } finally q.stop()
+  }
 }
