@@ -462,6 +462,71 @@ object EventsQueries extends QueryPack {
       |  SELECT 3, 'purchase', COUNT(*) FROM p)
       |ORDER BY stage""".stripMargin
 
+  /** e15 — the SHIFT-PACE half of the scoreboard (SURVEY §2.5 A4, the
+    * declared DAX semantics of the reference's
+    * `docs/quill_dashboard_schema_design_doc.md:150-162`): pace =
+    * %-of-goal measured against %-of-shift-elapsed at a FIXED `asOf`
+    * instant, GREEN at/ahead of pace, YELLOW within the yellow floor
+    * of pace, RED behind. Routed through [[graft.etl.Scoreboard]] —
+    * the same code a live dashboard calls with `current_timestamp()`
+    * — with the clock injected as a literal so the result is
+    * deterministic and oracle-checkable. The DimShift analog derives
+    * each user's shift as their first→last activity per day (days
+    * with a single instant carry no shift and fall back to the
+    * whole-day-goal comparison, exactly the reference's no-shift
+    * branch). */
+  private def e15(s: SparkSession, dir: String): DataFrame = {
+    val facts = ev(s, dir).select(col("user_id").as("agentId"),
+      col("event_type").as("metricId"),
+      date_trunc("DAY", col("ts")).cast("date").as("factDateKey"))
+    val dimMetric = goals(s).select(col("event_type").as("MetricID"),
+      col("goal").as("DefaultGoal"), col("yellow_floor").as("DefaultYellowFloorPct"))
+    val dimShift = ev(s, dir)
+      .groupBy(col("user_id").as("AgentID"),
+        date_trunc("DAY", col("ts")).cast("date").as("LocalDate"))
+      .agg(min(col("ts")).as("ShiftStartLocal"), max(col("ts")).as("ShiftEndLocal"))
+      // second-granularity guard: pace is computed on unix seconds, so
+      // a zero-length shift would be a 0/0 — such days have no pace
+      .filter(unix_timestamp(col("ShiftEndLocal")) >
+        unix_timestamp(col("ShiftStartLocal")))
+    val asOf = to_timestamp(lit("2024-01-15 12:00:00"))
+    graft.etl.Scoreboard.scoreboard(facts, dimMetric, dimShift, asOf)
+      .select(col("agentId").as("agent_id"), col("metricId").as("metric_id"),
+        col("factDateKey").as("day"), col("n_events"),
+        round(col("pct_goal"), 6).as("pct_goal"),
+        round(col("shift_elapsed"), 6).as("shift_elapsed"), col("color"))
+      .orderBy(col("agent_id"), col("day"), col("metric_id"))
+  }
+
+  private val e15Sql =
+    s"""WITH counts AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2, 3),
+      |shifts AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    MIN(epoch_ns(ts)//1000000000) AS s_sec,
+      |    MAX(epoch_ns(ts)//1000000000) AS e_sec
+      |  FROM events GROUP BY 1, 2
+      |  HAVING MAX(epoch_ns(ts)//1000000000) > MIN(epoch_ns(ts)//1000000000)),
+      |x AS (
+      |  SELECT c.user_id, c.day, c.event_type, c.n_events,
+      |    CAST(c.n_events AS DOUBLE) / g.goal AS pct,
+      |    CASE WHEN sh.s_sec IS NOT NULL THEN
+      |      LEAST(GREATEST(CAST(1705320000 - sh.s_sec AS DOUBLE)
+      |        / (sh.e_sec - sh.s_sec), 0.0), 1.0) END AS elapsed,
+      |    g.yellow_floor
+      |  FROM counts c
+      |  JOIN $goalsSqlValues ON c.event_type = g.event_type
+      |  LEFT JOIN shifts sh ON c.user_id = sh.user_id AND c.day = sh.day)
+      |SELECT user_id AS agent_id, event_type AS metric_id, day, n_events,
+      |  ROUND(pct, 6) AS pct_goal, ROUND(elapsed, 6) AS shift_elapsed,
+      |  CASE WHEN pct IS NULL THEN NULL
+      |       WHEN pct >= COALESCE(elapsed, 1.0) THEN 'GREEN'
+      |       WHEN pct >= COALESCE(elapsed, 1.0) * yellow_floor THEN 'YELLOW'
+      |       ELSE 'RED' END AS color
+      |FROM x
+      |ORDER BY agent_id, day, metric_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_scoreboard"     -> e1,
     "e2_json_extract"   -> e2,
@@ -476,7 +541,8 @@ object EventsQueries extends QueryPack {
     "e11_interval_join" -> e11,
     "e12_salted_rollup" -> e12,
     "e13_cohort_retention" -> e13,
-    "e14_funnel" -> e14)
+    "e14_funnel" -> e14,
+    "e15_shift_pace" -> e15)
 
   override def oracle: Map[String, String] = Map(
     "e1_scoreboard"     -> e1Sql,
@@ -492,5 +558,6 @@ object EventsQueries extends QueryPack {
     "e11_interval_join" -> e11Sql,
     "e12_salted_rollup" -> e12Sql,
     "e13_cohort_retention" -> e13Sql,
-    "e14_funnel" -> e14Sql)
+    "e14_funnel" -> e14Sql,
+    "e15_shift_pace" -> e15Sql)
 }

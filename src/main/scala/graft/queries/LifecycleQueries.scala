@@ -1,0 +1,92 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.Scd2
+
+/** Dimension-lifecycle queries: the sync/history workflows the
+  * reference runs against its dim tables (SURVEY §2.8 K4/K8),
+  * hash-gated. The reference clear-and-replaces DimAgent because its
+  * sink can't update; [[graft.etl.Scd2]] is the history-keeping
+  * upgrade path, and k1 drives its merge through a deterministic
+  * two-snapshot roster cycle so the full insert / change / delete /
+  * unchanged matrix lands under the driver's DuckDB oracle.
+  */
+object LifecycleQueries extends QueryPack {
+
+  /** k1 — SCD type-2 merge over two roster snapshots derived from the
+    * `customer` table (the roster analog: key + tracked attributes):
+    *
+    *  - snapshot 1 (effective 2024-01-01): custkey ≤ 1200;
+    *  - snapshot 2 (effective 2024-02-01): custkey > 300, with
+    *    custkey % 7 = 0 moved to segment 'SEG_MOVED'.
+    *
+    * So keys 1-300 exercise DELETE (closed, no successor), 301-1200
+    * with %7=0 exercise CHANGE (closed + new version), the rest of
+    * 301-1200 exercise UNCHANGED (original version survives open),
+    * and 1201-1500 exercise INSERT — plus the bootstrap-from-empty
+    * path, since snapshot 1 itself lands via [[Scd2.merge]].
+    *
+    * Scale: both merges are one full-outer join on the business key +
+    * a union with closed history (see Scd2's scaladoc) — no windows,
+    * no per-key loops. */
+  private def k1(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(s, dir, "customer")
+    val attrs = Seq("c_name", "c_mktsegment")
+    val snap1 = cust.filter(col("c_custkey") <= 1200)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val snap2 = cust.filter(col("c_custkey") > 300)
+      .select(col("c_custkey"), col("c_name"),
+        when(col("c_custkey") % 7 === 0, lit("SEG_MOVED"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+    val t1 = to_timestamp(lit("2024-01-01 00:00:00"))
+    val t2 = to_timestamp(lit("2024-02-01 00:00:00"))
+    val empty = snap1
+      .withColumn("validFrom", t1)
+      .withColumn("validTo", lit(null).cast("timestamp"))
+      .withColumn("isCurrent", lit(true))
+      .limit(0)
+    val v1 = Scd2.merge(empty, snap1, "c_custkey", attrs, t1)
+    val v2 = Scd2.merge(v1, snap2, "c_custkey", attrs, t2)
+    v2.select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+      col("validFrom").cast("date").as("valid_from"),
+      col("validTo").cast("date").as("valid_to"),
+      col("isCurrent").as("is_current"))
+      .orderBy(col("c_custkey"), col("valid_from"))
+  }
+
+  private val k1Sql =
+    """WITH s1 AS (
+      |  SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey <= 1200),
+      |s2 AS (
+      |  SELECT c_custkey, c_name,
+      |    CASE WHEN c_custkey % 7 = 0 THEN 'SEG_MOVED' ELSE c_mktsegment END AS c_mktsegment
+      |  FROM customer WHERE c_custkey > 300),
+      |j AS (
+      |  SELECT o.c_custkey AS ok, o.c_name AS o_name, o.c_mktsegment AS o_seg,
+      |         i.c_custkey AS ik, i.c_name AS i_name, i.c_mktsegment AS i_seg
+      |  FROM s1 o FULL OUTER JOIN s2 i ON o.c_custkey = i.c_custkey)
+      |SELECT * FROM (
+      |  SELECT ok AS c_custkey, o_name AS c_name, o_seg AS c_mktsegment,
+      |    DATE '2024-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+      |    TRUE AS is_current
+      |  FROM j WHERE ok IS NOT NULL AND ik IS NOT NULL
+      |    AND o_name = i_name AND o_seg = i_seg
+      |  UNION ALL
+      |  SELECT ok, o_name, o_seg, DATE '2024-01-01', DATE '2024-02-01', FALSE
+      |  FROM j WHERE ok IS NOT NULL
+      |    AND (ik IS NULL OR o_name <> i_name OR o_seg <> i_seg)
+      |  UNION ALL
+      |  SELECT ik, i_name, i_seg, DATE '2024-02-01', NULL, TRUE
+      |  FROM j WHERE ik IS NOT NULL
+      |    AND (ok IS NULL OR o_name <> i_name OR o_seg <> i_seg))
+      |ORDER BY c_custkey, valid_from""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k1_scd2_merge" -> k1)
+
+  override def oracle: Map[String, String] = Map(
+    "k1_scd2_merge" -> k1Sql)
+}
