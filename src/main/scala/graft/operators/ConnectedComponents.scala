@@ -23,45 +23,82 @@ import org.apache.spark.sql.functions._
   * anywhere.
   *
   * The per-round driver `count()` reads ONE scalar (the number of
-  * changed labels) — iterative control flow, not data collection.
+  * changed labels) — iterative control flow, not data collection —
+  * and by default runs only every `convergeEvery` rounds: at corpus
+  * scale the convergence probe is itself a full pass over the label
+  * table, so probing every other round halves the control-flow jobs
+  * at the cost of at most one extra (cheap, already-converged)
+  * propagation round.
   */
 object ConnectedComponents {
 
+  /** Labels plus how many propagation rounds ran — exposed so callers
+    * (and the cadence spec) can see the iteration count. */
+  final case class Stats(labels: DataFrame, rounds: Int)
+
   /** edges(srcCol, dstCol) over node ids + the full node set → one row
     * per node: (id, cluster) with cluster = min reachable id.
-    * Nodes absent from any edge are singleton clusters of themselves.
+    * Nodes absent from any edge are singleton clusters of themselves. */
+  def run(edges: DataFrame, srcCol: String, dstCol: String,
+      nodes: DataFrame, idCol: String, maxIter: Int = 20): DataFrame =
+    runWithStats(edges, srcCol, dstCol, nodes, idCol, maxIter).labels
+
+  /** Full-control form.
     *
-    * Every round ends in `localCheckpoint` (materialize + CUT THE
+    * Every round ends in a checkpoint (materialize + CUT THE
     * LINEAGE): an iterative DataFrame whose plan embeds all previous
     * rounds makes Catalyst re-analyze a plan that doubles per round —
     * wall-clock explodes in the optimizer long before the data is the
-    * problem. Checkpointing keeps each round's plan two joins deep
-    * (the standard Spark idiom for iterative algorithms). */
-  def run(edges: DataFrame, srcCol: String, dstCol: String,
-      nodes: DataFrame, idCol: String, maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-      .localCheckpoint()
-    var labels = nodes.select(col(idCol).as("id"))
+    * problem (the standard Spark idiom for iterative algorithms).
+    *
+    * @param checkpointDir when set, rounds cut lineage with RELIABLE
+    *        `df.checkpoint()` into this directory (replayable: an
+    *        executor loss mid-loop recomputes from storage — the
+    *        cluster-scale choice). When None, `localCheckpoint()`:
+    *        faster, but blocks live in executor memory and are NOT
+    *        replayable — an executor loss kills the job. Fine for
+    *        single-JVM runs; set the dir on a real cluster.
+    * @param convergeEvery probe for convergence every N rounds
+    *        (default 2 — see the class doc; 1 restores probe-every-
+    *        round). Termination stays exact: the probe compares
+    *        labels across the LAST round, and a converged round is
+    *        idempotent, so skipped probes never change the fixpoint,
+    *        only when it is observed. */
+  def runWithStats(edges: DataFrame, srcCol: String, dstCol: String,
+      nodes: DataFrame, idCol: String, maxIter: Int = 20,
+      checkpointDir: Option[String] = None,
+      convergeEvery: Int = 2): Stats = {
+    require(convergeEvery >= 1, "convergeEvery must be >= 1")
+    val sc = edges.sparkSession.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+
+    val sym = cut(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst"))))
+    var labels = cut(nodes.select(col(idCol).as("id"))
       .distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
-    var changed = 1L
+      .withColumn("label", col("id")))
+    var converged = false
     var it = 0
-    while (changed > 0 && it < maxIter) {
+    while (!converged && it < maxIter) {
       val prop = sym.join(labels, sym("src") === labels("id"))
         .select(sym("dst").as("id"), col("label"))
       val short = labels.as("a")
         .join(labels.as("b"), col("a.label") === col("b.id"))
         .select(col("a.id").as("id"), col("b.label").as("label"))
-      val next = labels.select("id", "label").union(prop).union(short)
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint()
-      changed = next.join(labels.select(col("id"), col("label").as("__old")), "id")
-        .filter(col("label") < col("__old")).count()
-      labels = next
+      val next = cut(labels.select("id", "label").union(prop).union(short)
+        .groupBy("id").agg(min("label").as("label")))
       it += 1
+      // no probe on the final maxIter round — the loop exits either way
+      if (it % convergeEvery == 0 && it < maxIter) {
+        val changed = next
+          .join(labels.select(col("id"), col("label").as("__old")), "id")
+          .filter(col("label") < col("__old")).count()
+        converged = changed == 0
+      }
+      labels = next
     }
-    labels.select(col("id"), col("label").as("cluster"))
+    Stats(labels.select(col("id"), col("label").as("cluster")), it)
   }
 }

@@ -48,4 +48,40 @@ class ConnectedComponentsSpec extends SparkSpec {
     val n = 30
     check(n, (0 until n - 1).map(i => (i.toLong, i.toLong + 1)))
   }
+
+  // the near-dup corpus shape: unions of small cliques
+  private def cliqueEdges: Seq[(Long, Long)] =
+    (0 until 5).flatMap { c =>
+      val ids = (0 until 4).map(i => (c * 4 + i).toLong)
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }
+
+  test("convergence probe every 2 rounds: same labels, same round count on cliques") {
+    val nodes = (0L until 20L).toDF("id")
+    val every1 = ConnectedComponents.runWithStats(
+      cliqueEdges.toDF("a", "b"), "a", "b", nodes, "id", convergeEvery = 1)
+    val every2 = ConnectedComponents.runWithStats(
+      cliqueEdges.toDF("a", "b"), "a", "b", nodes, "id", convergeEvery = 2)
+    // cliques collapse in round 1 and round 2 is the idempotent
+    // confirmation — both cadences observe the fixpoint at round 2,
+    // cadence 2 with HALF the probe jobs
+    every1.rounds shouldBe 2
+    every2.rounds shouldBe every1.rounds
+    every2.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      every1.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("reliable checkpoint dir: same result, checkpoint files on disk") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-chk")
+    val got = ConnectedComponents.runWithStats(
+      cliqueEdges.toDF("a", "b"), "a", "b", (0L until 20L).toDF("id"), "id",
+      checkpointDir = Some(dir.toString))
+      .labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe unionFind(20, cliqueEdges)
+    // the lineage cuts really went through the reliable path
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.walk(dir).iterator().asScala
+      .count(p => java.nio.file.Files.isRegularFile(p))
+    files should be > 0L.toInt
+  }
 }
