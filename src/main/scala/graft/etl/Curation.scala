@@ -23,7 +23,14 @@ object Curation {
 
   final case class StageCount(stage: String, docs: Long)
 
-  final case class Result(curated: DataFrame, report: Seq[StageCount])
+  final case class Result(curated: DataFrame, report: Seq[StageCount]) {
+    /** Drop the cached curated corpus once consumed (the upstream
+      * stage caches are already released incrementally inside [[run]];
+      * this frees the last one, so a long-lived service holds no
+      * blocks between pipeline runs). `curated` stays evaluable —
+      * it just recomputes if acted on again. */
+    def release(): Unit = curated.unpersist(blocking = true)
+  }
 
   /** docs(idCol: long, textCol: string) → curated docs (id, text,
     * norm) + attrition report. */
@@ -36,10 +43,16 @@ object Curation {
     // it: the attrition count is the stage barrier anyway, and without
     // it every later stage re-runs the whole upstream pipeline per
     // action — the local analog of how a production run checkpoints
-    // stage outputs to storage between phases.
-    def stage(name: String, df: DataFrame): DataFrame = {
+    // stage outputs to storage between phases. Once a stage is
+    // materialized, the caches it consumed (`drop`) are dead — every
+    // later reference reads THIS stage's cache — so they are released
+    // immediately: peak cache footprint is two stages, not the whole
+    // pipeline, and nothing but the final corpus outlives the run.
+    def stage(name: String, df: DataFrame, drop: DataFrame*): DataFrame = {
       val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      report += StageCount(name, p.count()); p
+      report += StageCount(name, p.count())
+      drop.foreach(_.unpersist(blocking = false))
+      p
     }
 
     val base = stage("input", docs.select(col(idCol).as("id"),
@@ -55,11 +68,11 @@ object Curation {
     val lang = stage("lang_gate", normed
       .withColumn("w", split(col("norm"), " "))
       .filter(expr(s"size(filter(w, x -> $stopList))").cast("double") /
-        size(col("w")) >= minStopRatio))
+        size(col("w")) >= minStopRatio), base)
 
     // 3. quality gate (t2 family): minimum length
     val quality = stage("quality_gate",
-      lang.filter(size(col("w")) >= minWords))
+      lang.filter(size(col("w")) >= minWords), lang)
 
     // 4. exact dedup (d1/t4): keep the min id per normalized hash
     val exactKept = quality
@@ -68,7 +81,7 @@ object Curation {
         .over(org.apache.spark.sql.expressions.Window.partitionBy(col("nfp"))))
       .filter(col("id") === col("__keep"))
       .drop("nfp", "__keep")
-    val exact = stage("exact_dedup", exactKept)
+    val exact = stage("exact_dedup", exactKept, quality)
 
     // 5. near-dup clusters (d3 + d6): LSH candidates → signature
     //    agreement → connected components → cluster reps survive
@@ -84,7 +97,7 @@ object Curation {
     val clusters = ConnectedComponents.run(pairs, "d1", "d2", exact, "id")
     val curated = stage("near_dedup", exact
       .join(clusters.filter(col("id") === col("cluster")).select("id"), "id")
-      .select(col("id"), col("text"), col("norm")))
+      .select(col("id"), col("text"), col("norm")), exact)
 
     Result(curated, report.result())
   }

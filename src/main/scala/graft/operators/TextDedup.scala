@@ -44,7 +44,16 @@ object TextDedup {
     * quadratic hot key. The hot-shingle list is ≤ |index| / maxDf
     * entries by construction, hence always broadcastable. */
   def jaccardPairs(docs: DataFrame, idCol: String, xsCol: String,
-      threshold: Double, maxDf: Int = Int.MaxValue): DataFrame = {
+      threshold: Double, maxDf: Int = Int.MaxValue): DataFrame =
+    jaccardPairsLeased(docs, idCol, xsCol, threshold, maxDf).df
+
+  /** [[jaccardPairs]] with an explicit cache lifecycle: the returned
+    * lease's `release()` drops the persisted shingle-set table once
+    * the pairs have been consumed — the form a long-lived service
+    * calls so per-request caches don't accumulate for the session
+    * lifetime. */
+  def jaccardPairsLeased(docs: DataFrame, idCol: String, xsCol: String,
+      threshold: Double, maxDf: Int = Int.MaxValue): graft.Leased = {
     // The set table feeds FOUR consumers (hot list, both self-join
     // sides, the verify lookups); uncached, each one re-scans the
     // text and re-runs the shingle kernel. Persist it once —
@@ -71,7 +80,7 @@ object TextDedup {
         col("a.__sh") === col("b.__sh") && col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("d1"), col("b.__id").as("d2"))
       .distinct()
-    cands
+    val pairs = cands
       .join(sets.select(col("__id").as("d1"), col("__xs").as("__xs1")), "d1")
       .join(sets.select(col("__id").as("d2"), col("__xs").as("__xs2")), "d2")
       .withColumn("common", size(array_intersect(col("__xs1"), col("__xs2"))))
@@ -79,6 +88,7 @@ object TextDedup {
         (size(col("__xs1")) + size(col("__xs2")) - col("common")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
+    graft.Leased(pairs, Seq(sets))
   }
 
   /** MinHash permutation constants (a*x + b) mod P, fixed family —
@@ -139,7 +149,13 @@ object TextDedup {
     * pairs expand through two membership joins — both output-bounded,
     * so the only remaining quadratic is genuine result size. */
   def simhashPairs(simhashes: DataFrame, idCol: String, maxHamming: Int,
-      nBlocks: Int = 4, splitThreshold: Int = 256): DataFrame = {
+      nBlocks: Int = 4, splitThreshold: Int = 256): DataFrame =
+    simhashPairsLeased(simhashes, idCol, maxHamming, nBlocks, splitThreshold).df
+
+  /** [[simhashPairs]] with an explicit cache lifecycle — see
+    * [[jaccardPairsLeased]]. */
+  def simhashPairsLeased(simhashes: DataFrame, idCol: String, maxHamming: Int,
+      nBlocks: Int = 4, splitThreshold: Int = 256): graft.Leased = {
     require(maxHamming < nBlocks, "pigeonhole needs maxHamming < nBlocks")
     val blockBits = 32 / nBlocks
     val mask = (1 << blockBits) - 1
@@ -204,6 +220,6 @@ object TextDedup {
         col("a.simhash") === col("b.simhash") && col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("d1"), col("b.__id").as("d2"),
         lit(0L).as("hamming"))
-    cross.union(intra)
+    graft.Leased(cross.union(intra), Seq(sigs))
   }
 }

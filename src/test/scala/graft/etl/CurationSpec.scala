@@ -33,6 +33,21 @@ class CurationSpec extends SparkSpec {
       "exact_dedup" -> 2L, "near_dedup" -> 1L)
   }
 
+  test("release() frees the curated cache; intermediates are freed per stage") {
+    val docs = (1L to 6L).map(i =>
+      (i, (1 to 25).map(j => s"the word${i}x$j of it").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = Curation.run(docs)
+    // run() materializes every stage and releases each input cache as
+    // its successor lands, so by return only the curated corpus is
+    // still cached...
+    r.curated.storageLevel.useMemory shouldBe true
+    // ...and release() frees that too, leaving it evaluable
+    r.release()
+    r.curated.storageLevel shouldBe org.apache.spark.storage.StorageLevel.NONE
+    r.curated.count() shouldBe 6
+  }
+
   test("a clean corpus passes through unchanged") {
     val docs = (1L to 6L).map(i =>
       (i, (1 to 25).map(j => s"the word${i}x$j of it").mkString(" ")))
