@@ -19,27 +19,43 @@ import graft.operators.TextDedup
   * stored signature agreeing on ≥ `minSigMatches` of k positions.
   *
   * Scale/state story: state lives per band-bucket, sharded across
-  * executors by bucket key — the same partitioning as the batch
-  * band join. Each bucket stores `maxBucket` (sig, docId) pairs at
-  * most, FIFO-evicted: a bucket that overflows is by definition a
-  * boilerplate/dense bucket (the streaming analog of d2's frequency
-  * cap and d4's bucket split), so dropping its oldest members bounds
-  * memory at `buckets × maxBucket × k` longs while keeping recent
-  * history — the right trade for ingest-time filtering. Emission is
-  * per band, so a pair colliding in ≥2 bands emits ≥2 rows; key the
-  * downstream on (d1, d2) — rows carry `band` so they stay unique.
+  * executors by bucket key — the same partitioning as the batch band
+  * join. Two independent bounds apply, and BOTH matter:
+  *  - bucket SIZE: each bucket stores at most `maxBucket` (sig, docId)
+  *    pairs, FIFO-evicted — an overflowing bucket is by definition a
+  *    boilerplate/dense bucket (the streaming analog of d2's frequency
+  *    cap), so dropping its oldest members keeps recent history;
+  *  - bucket COUNT: the number of distinct band keys grows with
+  *    distinct content and is NOT bounded by `maxBucket`. On an
+  *    unbounded stream, bound it with `stateTtlMs`: buckets idle
+  *    longer than the TTL are dropped via a processing-time timeout
+  *    (dedup recall then only reaches back `stateTtlMs` of wall
+  *    clock — the operational knob for total state =
+  *    active_buckets × maxBucket × k longs). With `stateTtlMs = 0`
+  *    state never expires and memory is bounded only operationally
+  *    (periodic reset / bounded corpus).
+  *
+  * Emission is per band, so a pair colliding in ≥2 bands emits ≥2
+  * [[Hit]] rows (rows carry `band` so they stay unique); compose with
+  * [[distinctHits]] for exactly-one-row-per-pair semantics across
+  * both bands and redeliveries.
   */
 object StreamingNearDup {
 
   final case class Banded(band: Int, key: String, docId: Long, sig: Seq[Long])
   final case class Hit(band: Int, d1: Long, d2: Long, sigMatches: Int)
+  /** One row per near-dup PAIR, however many bands it collided in. */
+  final case class PairHit(d1: Long, d2: Long, sigMatches: Int)
 
   /** docs(idCol: long, textCol: string) stream → Hit stream.
-    * d1 = the arriving doc, d2 = the stored doc it matches. */
+    * d1 = the arriving doc, d2 = the stored doc it matches.
+    *
+    * @param stateTtlMs drop band buckets idle this long (processing
+    *        time); 0 = keep forever (see class doc). */
   def detect(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 4, minSigMatches: Int = 12,
-      maxBucket: Int = 64): Dataset[Hit] = {
+      maxBucket: Int = 64, stateTtlMs: Long = 0): Dataset[Hit] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val rows = k / bands
@@ -57,29 +73,86 @@ object StreamingNearDup {
         col("docId"), col("sig"))
       .as[Banded]
 
-    def update(bucket: (Int, String), batch: Iterator[Banded],
-        state: GroupState[List[(Long, Seq[Long])]]): Iterator[Hit] = {
-      var seen = state.getOption.getOrElse(Nil)
-      val out = Seq.newBuilder[Hit]
-      // deterministic arrival order within the micro-batch
-      batch.toSeq.sortBy(_.docId).foreach { doc =>
-        seen.foreach { case (storedId, storedSig) =>
-          if (storedId != doc.docId) {
-            val m = storedSig.iterator.zip(doc.sig.iterator)
-              .count { case (a, b) => a == b }
-            if (m >= minSigMatches)
-              out += Hit(bucket._1, doc.docId, storedId, m)
-          }
-        }
-        seen = ((doc.docId, doc.sig) :: seen).take(maxBucket)
-      }
-      state.update(seen)
-      out.result().iterator
-    }
-
+    val timeout = if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     banded
       .groupByKey(b => (b.band, b.key))
-      .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout())(update)
+      .flatMapGroupsWithState(OutputMode.Append(), timeout)(
+        bucketUpdate(minSigMatches, maxBucket, stateTtlMs))
   }
+
+  /** The per-bucket state transition behind [[detect]] — surfaced so
+    * the timeout branch is unit-testable with `TestGroupState`
+    * (deterministic; a live-clock streaming test of a ms-scale TTL is
+    * a flake machine). */
+  private[streaming] def bucketUpdate(
+      minSigMatches: Int, maxBucket: Int, stateTtlMs: Long)(
+      bucket: (Int, String), batch: Iterator[Banded],
+      state: GroupState[List[(Long, Seq[Long])]]): Iterator[Hit] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    var seen = state.getOption.getOrElse(Nil)
+    val out = Seq.newBuilder[Hit]
+    // deterministic arrival order within the micro-batch
+    batch.toSeq.sortBy(_.docId).foreach { doc =>
+      seen.foreach { case (storedId, storedSig) =>
+        if (storedId != doc.docId) {
+          val m = storedSig.iterator.zip(doc.sig.iterator)
+            .count { case (a, b) => a == b }
+          if (m >= minSigMatches)
+            out += Hit(bucket._1, doc.docId, storedId, m)
+        }
+      }
+      seen = ((doc.docId, doc.sig) :: seen).take(maxBucket)
+    }
+    state.update(seen)
+    if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+    out.result().iterator
+  }
+
+  /** Exactly-once pair emission: a second stateful stage keyed by
+    * (d1, d2) that lets the FIRST hit for a pair through and swallows
+    * every later one — collisions in other bands of the same batch,
+    * and redeliveries in later batches, produce nothing. Within the
+    * first batch the surviving row is the best evidence (max
+    * sigMatches, then lowest band) so the output is deterministic.
+    *
+    * State is one boolean per emitted pair; like the bucket state it
+    * grows with distinct content, and `stateTtlMs` bounds it the same
+    * way (after expiry a re-colliding pair would re-emit — pick the
+    * TTL ≥ the upstream bucket TTL so a pair can only re-emit once
+    * its evidence has itself been forgotten). */
+  def distinctHits(hits: Dataset[Hit], stateTtlMs: Long = 0): Dataset[PairHit] = {
+    val spark = hits.sparkSession
+    import spark.implicits._
+    val timeout = if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    hits.groupByKey(h => (h.d1, h.d2))
+      .flatMapGroupsWithState(OutputMode.Append(), timeout)(pairDedup(stateTtlMs))
+  }
+
+  /** The per-pair state transition behind [[distinctHits]] — surfaced
+    * for the same `TestGroupState` reason as [[bucketUpdate]]. */
+  private[streaming] def pairDedup(stateTtlMs: Long)(
+      key: (Long, Long), batch: Iterator[Hit],
+      state: GroupState[Boolean]): Iterator[PairHit] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val alreadyEmitted = state.exists
+    if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+    if (alreadyEmitted) Iterator.empty
+    else {
+      state.update(true)
+      val best = batch.minBy(h => (-h.sigMatches, h.band))
+      Iterator(PairHit(key._1, key._2, best.sigMatches))
+    }
+  }
+
+  /** [[detect]] ∘ [[distinctHits]]: one row per near-dup pair. */
+  def detectOnce(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4, minSigMatches: Int = 12,
+      maxBucket: Int = 64, stateTtlMs: Long = 0): Dataset[PairHit] =
+    distinctHits(
+      detect(docs, idCol, textCol, k, bands, minSigMatches, maxBucket,
+        stateTtlMs),
+      stateTtlMs)
 }

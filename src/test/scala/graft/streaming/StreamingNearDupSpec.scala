@@ -61,6 +61,79 @@ class StreamingNearDupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("detectOnce: one row per pair across multi-band collisions and redeliveries") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingNearDup.detectOnce(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("neardup_once")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, base)); q.processAllAvailable()
+      // an EXACT copy collides in all 4 bands → 4 Hit rows upstream,
+      // but exactly one PairHit must come out
+      input.addData((3L, base)); q.processAllAvailable()
+      val first = spark.table("neardup_once")
+        .select("d1", "d2", "sigMatches").as[(Long, Long, Int)].collect()
+      first.toSeq shouldBe Seq((3L, 1L, 16))
+
+      // redelivery of the same doc re-collides in every band; the pair
+      // state swallows all of it
+      input.addData((3L, base)); q.processAllAvailable()
+      spark.table("neardup_once").count() shouldBe 1
+
+      // a fresh near-dup still gets its own (single) rows
+      input.addData((5L, base)); q.processAllAvailable()
+      val pairs = spark.table("neardup_once")
+        .select("d1", "d2").as[(Long, Long)].collect().toSet
+      pairs shouldBe Set((3L, 1L), (5L, 1L), (5L, 3L))
+    } finally q.stop()
+  }
+
+  test("stateTtlMs: timeout branch removes bucket state; data batches re-arm the TTL") {
+    // deterministic TestGroupState harness — a live-clock streaming
+    // test of a ms-scale processing-time TTL flakes on slow boxes
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    val stored = List((1L, Seq.fill(16)(7L)))
+
+    // timeout invocation: state must be dropped, nothing emitted
+    val timedOut = TestGroupState.create[List[(Long, Seq[Long])]](
+      Optional.of(stored), GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long], hasTimedOut = true)
+    StreamingNearDup.bucketUpdate(12, 64, stateTtlMs = 5000)(
+      (0, "k"), Iterator.empty, timedOut).toSeq shouldBe Seq.empty
+    timedOut.isRemoved shouldBe true
+
+    // data invocation with a TTL: matches emit AND the timeout re-arms
+    val live = TestGroupState.create[List[(Long, Seq[Long])]](
+      Optional.of(stored), GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long], hasTimedOut = false)
+    val hits = StreamingNearDup.bucketUpdate(12, 64, stateTtlMs = 5000)(
+      (0, "k"), Iterator(StreamingNearDup.Banded(0, "k", 2L, Seq.fill(16)(7L))),
+      live).toSeq
+    hits.map(h => (h.d1, h.d2)) shouldBe Seq((2L, 1L))
+    live.getTimeoutTimestampMs.get() shouldBe 6000L // batch time + TTL
+    live.get.map(_._1) shouldBe List(2L, 1L)
+
+    // pair-dedup stage: timeout drops the emitted-marker, so an
+    // expired pair WOULD re-emit (documented trade) — and a live
+    // second sighting is swallowed
+    val pairGone = TestGroupState.create[Boolean](
+      Optional.of(true), GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long], hasTimedOut = true)
+    StreamingNearDup.pairDedup(5000)((2L, 1L), Iterator.empty, pairGone)
+      .toSeq shouldBe Seq.empty
+    pairGone.isRemoved shouldBe true
+    val pairSeen = TestGroupState.create[Boolean](
+      Optional.of(true), GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long], hasTimedOut = false)
+    StreamingNearDup.pairDedup(5000)(
+      (2L, 1L), Iterator(StreamingNearDup.Hit(1, 2L, 1L, 16)), pairSeen)
+      .toSeq shouldBe Seq.empty
+    pairSeen.getTimeoutTimestampMs.get() shouldBe 6000L
+  }
+
   test("duplicate of a duplicate still resolves against bucket history") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
