@@ -21,6 +21,22 @@ import graft.operators.{ConnectedComponents, TextDedup}
   */
 object Curation {
 
+  /** Shared normalization (t7): lowercase, strip non-alnum, collapse
+    * spaces — the SAME expression backs batch curation and the
+    * streaming ingest gate, so both agree on what "identical" means. */
+  def normalize(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  private val stopListPred = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    .map(w => s"x = '$w'").mkString(" OR ")
+
+  /** Language gate (t1 heuristic) over a `w` array<string> column:
+    * English function-word density ≥ `minStopRatio`. */
+  def langGateOk(minStopRatio: Double): org.apache.spark.sql.Column =
+    expr(s"size(filter(w, x -> $stopListPred))").cast("double") /
+      size(col("w")) >= minStopRatio
+
   final case class StageCount(stage: String, docs: Long)
 
   final case class Result(curated: DataFrame, report: Seq[StageCount]) {
@@ -59,16 +75,12 @@ object Curation {
       col(textCol).as("text")))
 
     // 1. normalize (t7): lowercase, strip non-alnum, collapse spaces
-    val normed = base.withColumn("norm", trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")))
+    val normed = base.withColumn("norm", normalize(col("text")))
 
     // 2. language gate (t1 heuristic): English function-word density
-    val stopList = Seq("the", "a", "of", "and", "to", "in", "is", "it")
-      .map(w => s"x = '$w'").mkString(" OR ")
     val lang = stage("lang_gate", normed
       .withColumn("w", split(col("norm"), " "))
-      .filter(expr(s"size(filter(w, x -> $stopList))").cast("double") /
-        size(col("w")) >= minStopRatio), base)
+      .filter(langGateOk(minStopRatio)), base)
 
     // 3. quality gate (t2 family): minimum length
     val quality = stage("quality_gate",

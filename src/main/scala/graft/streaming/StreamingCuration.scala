@@ -1,0 +1,137 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.etl.Curation
+import graft.operators.TextDedup
+
+/** The ingest-time form of the batch curation pipeline
+  * ([[graft.etl.Curation.run]]): documents stream in and each one is
+  * normalized, language-gated, quality-gated, exact-deduped and
+  * near-dup-rejected against everything already admitted — so a
+  * pretraining corpus stays curated AS IT GROWS instead of being
+  * re-curated from scratch per snapshot (c1's streaming analog).
+  *
+  * Stage parity with batch: normalization and the gates are the SAME
+  * Column expressions ([[Curation.normalize]]/[[Curation.langGateOk]]);
+  * signatures are the same `graft_shingle_hash` → `graft_minhash`
+  * kernels; and the first-arrival-wins streaming decisions coincide
+  * with batch's min-id-wins whenever arrival order follows doc id
+  * (rejected docs still leave their signature in bucket state, which
+  * is exactly the transitive-closure behavior of batch's
+  * connected-components step: a near-dup of a REJECTED doc is also
+  * rejected).
+  *
+  * Dataflow: three stateful stages in one append-mode query —
+  * `dropDuplicates` on the normalized fingerprint (exact dedup, D1
+  * ledger semantics), a band-bucket `flatMapGroupsWithState` emitting
+  * a per-(doc, band) verdict, and a per-doc stage that admits a doc
+  * only if NO band found a stored near-match. Per-stage attrition is
+  * published through `observe` metrics (`curation_input`,
+  * `curation_lang_gate`, `curation_quality_gate`,
+  * `curation_exact_dedup`, `curation_near_dedup`) so a monitor reads
+  * the same ledger the batch report prints.
+  *
+  * State story: band-bucket state is [[StreamingNearDup]]'s (FIFO cap
+  * per bucket; bucket COUNT bounded operationally or by TTL at the
+  * caller's `maxBucket`/reset policy), `dropDuplicates` state is one
+  * fingerprint per distinct admitted text, and the per-doc stage
+  * keeps one boolean per admitted doc id.
+  */
+object StreamingCuration {
+
+  final case class BandedDoc(band: Int, key: String, docId: Long,
+      text: String, norm: String, sig: Seq[Long])
+  final case class Verdict(docId: Long, text: String, norm: String, hit: Boolean)
+  final case class CuratedDoc(id: Long, text: String, norm: String)
+
+  /** docs(idCol: long, textCol: string) stream → admitted docs
+    * (id, text, norm), with per-stage observe counters. */
+  def ingest(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      minStopRatio: Double = 0.05, minWords: Int = 10,
+      minhashK: Int = 16, bands: Int = 4, minSigMatches: Int = 12,
+      maxBucket: Int = 64): Dataset[CuratedDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = minhashK / bands
+
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .observe("curation_input", count(lit(1)).as("docs"))
+    val normed = base.withColumn("norm", Curation.normalize(col("text")))
+      .withColumn("w", split(col("norm"), " "))
+    val lang = normed.filter(Curation.langGateOk(minStopRatio))
+      .observe("curation_lang_gate", count(lit(1)).as("docs"))
+    val quality = lang.filter(size(col("w")) >= minWords)
+      .observe("curation_quality_gate", count(lit(1)).as("docs"))
+    // exact dedup: first arrival of a normalized fingerprint wins —
+    // the streaming dropDuplicates state IS the cross-batch ledger
+    val exact = quality.withColumn("nfp", md5(col("norm")))
+      .dropDuplicates("nfp")
+      .observe("curation_exact_dedup", count(lit(1)).as("docs"))
+
+    val banded = exact
+      .withColumn("xs", TextDedup.shingleHashes("w", 3))
+      .filter(size(col("xs")) > 0)
+      .withColumn("sig", TextDedup.minhashSig("xs", minhashK))
+      .select(col("id"), col("text"), col("norm"), col("sig"),
+        explode(array((0 until bands).map(j =>
+          struct(lit(j).as("band"),
+            concat_ws("-", (0 until rows).map(r =>
+              col("sig").getItem(j * rows + r)): _*).as("key"))): _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"),
+        col("id").as("docId"), col("text"), col("norm"), col("sig"))
+      .as[BandedDoc]
+
+    val verdicts = banded.groupByKey(b => (b.band, b.key))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(bandGate(minSigMatches, maxBucket))
+
+    verdicts.groupByKey(_.docId)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(admit)
+      .observe("curation_near_dedup", count(lit(1)).as("docs"))
+  }
+
+  /** Band-bucket stage: same state shape as
+    * [[StreamingNearDup.bucketUpdate]], but emits one verdict per
+    * (doc, band) ALWAYS — the downstream per-doc stage needs the
+    * no-hit rows too, or clean docs would simply vanish. Docs process
+    * in id order within a batch, so the lowest id of a same-batch
+    * near-dup group is stored first and survives — batch's
+    * min-id-wins rule. */
+  private[streaming] def bandGate(minSigMatches: Int, maxBucket: Int)(
+      bucket: (Int, String), batch: Iterator[BandedDoc],
+      state: GroupState[List[(Long, Seq[Long])]]): Iterator[Verdict] = {
+    var seen = state.getOption.getOrElse(Nil)
+    val out = Seq.newBuilder[Verdict]
+    batch.toSeq.sortBy(_.docId).foreach { doc =>
+      val hit = seen.exists { case (storedId, storedSig) =>
+        storedId != doc.docId &&
+          storedSig.iterator.zip(doc.sig.iterator)
+            .count { case (a, b) => a == b } >= minSigMatches
+      }
+      out += Verdict(doc.docId, doc.text, doc.norm, hit)
+      // rejected docs are stored too — transitive rejection (see class doc)
+      seen = ((doc.docId, doc.sig) :: seen).take(maxBucket)
+    }
+    state.update(seen)
+    out.result().iterator
+  }
+
+  /** Per-doc stage: all of a doc's band verdicts are produced in the
+    * same micro-batch (one exploded input row), so the admit decision
+    * is complete here; the boolean state only guards against a doc id
+    * being re-admitted by a later redelivery that dodged the exact
+    * ledger. */
+  private[streaming] def admit(docId: Long, batch: Iterator[Verdict],
+      state: GroupState[Boolean]): Iterator[CuratedDoc] = {
+    val vs = batch.toSeq
+    if (vs.isEmpty || vs.exists(_.hit) || state.exists) Iterator.empty
+    else {
+      state.update(true)
+      Iterator(CuratedDoc(docId, vs.head.text, vs.head.norm))
+    }
+  }
+}

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+
+import graft.SparkSpec
+import graft.etl.Curation
+
+/** Streaming curation must be the ingest-time analog of the batch
+  * pipeline: same fixture in → same survivors out, and the streaming
+  * observe counters ledger the same per-stage attrition the batch
+  * report prints. */
+class StreamingCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the CurationSpec fixture, verbatim — the parity contract is
+  // "same corpus, same attrition"
+  private val good = "the quick brown fox jumps over a lazy dog and then " +
+    "it runs off to the woods in a hurry because the hunt is on tonight"
+  private val goodDup = good.toUpperCase + "!!!"
+  private val goodNear = good + " extra trailing clause here to shift it"
+  private val nonEnglish = (1 to 30).map(i => s"wort$i").mkString(" ")
+  private val tooShort = "the cat is in it"
+  private val fixture = Seq(
+    (1L, good), (2L, goodDup), (3L, goodNear),
+    (4L, nonEnglish), (5L, tooShort))
+
+  private def tmp(prefix: String): Path = {
+    val p = Files.createTempDirectory(prefix)
+    p.toFile.deleteOnExit(); p
+  }
+
+  private def json(id: Long, text: String): String =
+    s"""{"doc_id":$id,"text":"${text.replace("\"", "\\\"")}"}"""
+
+  test("file drop -> streaming curation: batch survivors, batch attrition counters") {
+    val in = tmp("graft-cur-in")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .json(in.toString)
+    val q = StreamingCuration.ingest(stream)
+      .writeStream.format("memory").queryName("curation_out")
+      .outputMode("append").start()
+    try {
+      // drop one doc per file, in id order, processing between drops —
+      // arrival order = id order, where streaming first-wins coincides
+      // with batch min-id-wins
+      fixture.foreach { case (id, text) =>
+        Files.writeString(in.resolve(s"d$id.json"), json(id, text) + "\n")
+        q.processAllAvailable()
+      }
+
+      // survivors match the batch pipeline on the same fixture
+      val kept = spark.table("curation_out").select("id").as[Long].collect().toSet
+      kept shouldBe Set(1L)
+
+      // per-stage streaming counters == batch attrition report
+      val batchReport = Curation.run(fixture.toDF("doc_id", "text"), minWords = 10)
+        .report.map(s => s.stage -> s.docs).toMap
+      import scala.jdk.CollectionConverters._
+      def streamed(metric: String): Long = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get(metric)))
+        .map(_.getLong(0)).sum
+      streamed("curation_input") shouldBe batchReport("input")
+      streamed("curation_lang_gate") shouldBe batchReport("lang_gate")
+      streamed("curation_quality_gate") shouldBe batchReport("quality_gate")
+      streamed("curation_exact_dedup") shouldBe batchReport("exact_dedup")
+      streamed("curation_near_dedup") shouldBe batchReport("near_dedup")
+    } finally q.stop()
+  }
+
+  test("redelivered and cross-batch near-dup content stays rejected") {
+    val in = tmp("graft-cur-in2")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .json(in.toString)
+    val q = StreamingCuration.ingest(stream)
+      .writeStream.format("memory").queryName("curation_out2")
+      .outputMode("append").start()
+    try {
+      Files.writeString(in.resolve("a.json"), json(1L, good) + "\n")
+      q.processAllAvailable()
+      // exact redelivery under a new id: exact-dedup ledger swallows it
+      Files.writeString(in.resolve("b.json"), json(7L, good) + "\n")
+      // near-dup arriving batches later: band state remembers doc 1
+      Files.writeString(in.resolve("c.json"), json(9L, goodNear) + "\n")
+      q.processAllAvailable()
+      spark.table("curation_out2").select("id").as[Long].collect().toSet shouldBe
+        Set(1L)
+    } finally q.stop()
+  }
+}
