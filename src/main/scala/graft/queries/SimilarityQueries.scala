@@ -226,21 +226,29 @@ object SimilarityQueries extends QueryPack {
     * report the mean affinity and the 3 worst members (likely
     * mislabels / outliers a pipeline routes to review). One broadcast
     * join of the k-row centroid table against the corpus — single
-    * scan, no pair joins; the rank window partitions by label (k
-    * partitions, each a cell-sized sort — for corpus-sized cells use
-    * the TopKAgg partial-top-k shape instead). */
+    * scan, no pair joins. The worst-3 come from [[graft.functions
+    * .TopKAgg]] over the NEGATED score (bottom-k = top-k of -cos;
+    * negation is exact and involutive, and the aggregator's
+    * score-desc/id-asc order maps to the cos-asc/vec_id-asc contract)
+    * folded into the SAME hash aggregate as the per-label stats: an
+    * O(k) buffer with map-side partials, so corpus-sized label cells
+    * shuffle k rows instead of sorting the whole cell the way a rank
+    * window would. */
   private def s5(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.udaf
+    val bottomk = udaf(new graft.functions.TopKAgg(3))
     val e = emb(s, dir).select(col("vec_id"), col("label"), col("v"), col("norm"))
     val scored = e.join(broadcast(centroids(e)), Seq("label"))
       .select(col("label"), col("vec_id"),
         round(dot(col("v"), col("cv")) / (col("norm") * col("cnorm")), 6).as("cos"))
-    val stats = scored.groupBy(col("label"))
-      .agg(count(lit(1)).as("n_members"), round(avg(col("cos")), 6).as("avg_cos"))
-    val w = Window.partitionBy(col("label")).orderBy(col("cos").asc, col("vec_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
-      .join(stats, Seq("label"))
+    scored.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"), round(avg(col("cos")), 6).as("avg_cos"),
+        bottomk(negate(col("cos")), col("vec_id")).as("worst"))
+      .select(col("label"), col("n_members"), col("avg_cos"),
+        posexplode(col("worst")).as(Seq("pos", "sc")))
       .select(col("label").cast("long").as("label"),
-        col("rk").cast("long").as("rk"), col("vec_id"), col("cos"),
+        (col("pos") + 1).cast("long").as("rk"),
+        col("sc.id").as("vec_id"), negate(col("sc.score")).as("cos"),
         col("n_members"), col("avg_cos"))
       .orderBy(col("label"), col("rk"))
   }
