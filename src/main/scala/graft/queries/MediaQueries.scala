@@ -76,20 +76,39 @@ object MediaQueries extends QueryPack {
       |ORDER BY media_id""".stripMargin
 
   /** m3 — perceptual near-dup candidates: payloads sharing ≥1 sampled
-    * frame fingerprint, ranked by how many they share — the d2
-    * inverted-index pattern applied to binary media (a real pipeline
-    * swaps the frame md5 for a perceptual hash; the join shape is
-    * identical). Sharing a 16-byte window is already strong evidence
-    * for byte-level media. Hot-frame keys (black frames, silence)
-    * would get the d2 frequency cap at scale. */
+    * frame AVERAGE-HASH, ranked by how many they share — the d2
+    * inverted-index pattern applied to binary media. The fingerprint
+    * is a real perceptual hash now, not an exact md5: per 16-byte
+    * frame, bit i is set iff byte i is above the frame mean — the
+    * codec-free form of the classic aHash (mean-threshold bit grid),
+    * so frames with the same brightness SHAPE collide even when bytes
+    * differ. All-integer math (`16·bᵢ > Σb` instead of a float mean)
+    * keeps both engines bit-exact. The per-byte hex parse is a 16-term
+    * interpreted lambda per frame — fine off the hot path; a native
+    * kernel is the upgrade if media fingerprinting ever dominates.
+    * Hot-hash keys (flat/black frames — a 16-bit hash space has
+    * genuine boilerplate buckets) get the d2 frequency cap: hashes in
+    * more than maxDf=16 payloads leave candidate generation via a
+    * broadcast anti-join, bounding the self-join at Σ min(df, 16)²
+    * (measured: uncapped the pair set is ~1.1 M rows at sf0.1 and
+    * quadratic; capped it is ~15 k and linear). */
   private def m3(s: SparkSession, dir: String): DataFrame = {
     val f = media(s, dir)
       .withColumn("frames", Multimodal.frameSample(col("bytes"), 4, 16))
-      .select(col("media_id"),
-        explode(expr("transform(frames, f -> md5(hex(f)))")).as("fmd5"))
+      .withColumn("fbytes", expr(
+        "transform(frames, fr -> transform(sequence(0, 15), i -> " +
+          "cast(conv(substring(hex(fr), 2*i + 1, 2), 16, 10) as bigint)))"))
+      .select(col("media_id"), explode(expr(
+        "transform(fbytes, bs -> aggregate(sequence(0, 15), cast(0 as bigint), " +
+          "(acc, i) -> acc + if(16 * bs[i] > aggregate(bs, cast(0 as bigint), " +
+          "(a, x) -> a + x), shiftleft(cast(1 as bigint), i), cast(0 as bigint))))"))
+        .as("ahash"))
       .distinct()
-    f.as("a").hint("shuffle_hash").join(f.as("b").hint("shuffle_hash"),
-        col("a.fmd5") === col("b.fmd5") && col("a.media_id") < col("b.media_id"))
+    val hot = f.groupBy(col("ahash")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > 16).select("ahash")
+    val capped = f.join(broadcast(hot), Seq("ahash"), "left_anti")
+    capped.as("a").hint("shuffle_hash").join(capped.as("b").hint("shuffle_hash"),
+        col("a.ahash") === col("b.ahash") && col("a.media_id") < col("b.media_id"))
       .groupBy(col("a.media_id").as("id1"), col("b.media_id").as("id2"))
       .agg(count(lit(1)).as("shared_frames"))
       .orderBy(col("id1"), col("id2"))
@@ -98,13 +117,29 @@ object MediaQueries extends QueryPack {
   private val m3Sql =
     """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
       |           octet_length(encode(text)) AS n_bytes FROM documents),
+      |fr AS (
+      |  SELECT media_id,
+      |    substring(hx, (i * greatest((n_bytes - 16)//3, 1)) * 2 + 1, 32) AS fhex
+      |  FROM m, (SELECT unnest([0,1,2,3]) AS i)),
+      |fb AS (
+      |  SELECT media_id,
+      |    list_transform(range(0, 16), j ->
+      |      16 * (strpos('0123456789ABCDEF', substring(fhex, 2*j + 1, 1)) - 1)
+      |        + (strpos('0123456789ABCDEF', substring(fhex, 2*j + 2, 1)) - 1)) AS bs
+      |  FROM fr),
       |f AS (
       |  SELECT DISTINCT media_id,
-      |    md5(substring(hx, (i * greatest((n_bytes - 16)//3, 1)) * 2 + 1, 32)) AS fmd5
-      |  FROM m, (SELECT unnest([0,1,2,3]) AS i)),
+      |    CAST(list_sum(list_transform(range(0, 16), j ->
+      |      CASE WHEN 16 * bs[j + 1] > list_sum(bs) THEN (1 << j) ELSE 0 END))
+      |      AS BIGINT) AS ahash
+      |  FROM fb),
+      |capped AS (
+      |  SELECT f.media_id, f.ahash FROM f
+      |  JOIN (SELECT ahash FROM f GROUP BY ahash HAVING COUNT(*) <= 16) k
+      |    USING (ahash)),
       |pairs AS (
       |  SELECT a.media_id AS id1, b.media_id AS id2, COUNT(*) AS shared_frames
-      |  FROM f a JOIN f b ON a.fmd5 = b.fmd5 AND a.media_id < b.media_id
+      |  FROM capped a JOIN capped b ON a.ahash = b.ahash AND a.media_id < b.media_id
       |  GROUP BY a.media_id, b.media_id)
       |SELECT id1, id2, CAST(shared_frames AS BIGINT) AS shared_frames
       |FROM pairs
