@@ -337,6 +337,48 @@ object DedupQueries extends QueryPack {
       |ORDER BY ord""".stripMargin
   }
 
+  /** d7 — INTRA-document repetition (the Gopher/MassiveText-style
+    * "repeated n-gram fraction" quality filter, the within-doc
+    * complement of d1-d6's cross-doc dedup): per doc, the fraction of
+    * word 3-grams that duplicate an earlier 3-gram of the SAME doc.
+    * Highly repetitive docs (templated/looping text) are the classic
+    * pretraining poison this flags.
+    *
+    * Scale: a single scan; every measure is per-row array math
+    * (split → 3-gram transform → distinct), no joins, no shuffles
+    * except the final order — the cheapest filter in the curation
+    * arsenal, which is why pipelines run it first. String 3-grams
+    * (not hashes) so the distinct count is exact in both engines. */
+  private def d7(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 3)
+      .withColumn("n_grams", (size(col("w")) - 2).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(expr(
+        "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
+        .cast("long"))
+      .withColumn("dup_ratio", round(
+        lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 6))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_words"),
+        col("n_grams"), col("n_distinct"), col("dup_ratio"),
+        (col("dup_ratio") > 0.02).as("repetitive"))
+      .orderBy(col("doc_id"))
+
+  private val d7Sql =
+    """WITH g AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |t AS (
+      |  SELECT doc_id, len(w) AS n_words, len(w) - 2 AS n_grams,
+      |    len(list_distinct(list_transform(range(1, len(w) - 1),
+      |      i -> w[i]||' '||w[i+1]||' '||w[i+2]))) AS n_distinct
+      |  FROM g WHERE len(w) >= 3)
+      |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+      |  CAST(n_grams AS BIGINT) AS n_grams,
+      |  CAST(n_distinct AS BIGINT) AS n_distinct,
+      |  ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 6) AS dup_ratio,
+      |  (ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 6) > 0.02) AS repetitive
+      |FROM t
+      |ORDER BY doc_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup"    -> d1,
     "d2_ngram_jaccard"  -> d2,
@@ -344,6 +386,7 @@ object DedupQueries extends QueryPack {
     "d4_simhash"        -> d4,
     "d5_embedding_dup"  -> d5,
     "d6_dup_clusters"   -> d6,
+    "d7_intradoc_repeat" -> d7,
     "c1_curation_report" -> c1)
 
   override def oracle: Map[String, String] = Map(
@@ -353,5 +396,6 @@ object DedupQueries extends QueryPack {
     "d4_simhash"        -> d4Sql,
     "d5_embedding_dup"  -> d5Sql,
     "d6_dup_clusters"   -> d6Sql,
+    "d7_intradoc_repeat" -> d7Sql,
     "c1_curation_report" -> c1Sql)
 }

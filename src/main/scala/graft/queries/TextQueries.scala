@@ -316,6 +316,73 @@ object TextQueries extends QueryPack {
       |ORDER BY n_ab DESC, a, b
       |LIMIT 50""".stripMargin
 
+  /** t9 — PII detection & redaction, the scrub pass a curation
+    * pipeline runs before training. The `customer` table plays the
+    * raw-profile corpus: each row composes a free-text profile —
+    * name (which carries a TPC-H 9-digit id), a phone in the TPC-H
+    * dd-ddd-ddd-dddd shape and a 9-digit account id, both derived
+    * deterministically from the row's keys via printf (the trimmed
+    * test tables carry no phone/address columns, so the fixture
+    * synthesizes the SHAPES the scrubber must catch). The scan then
+    * redacts phones (→ [PHONE]) and residual digit runs ≥3
+    * (→ [ID]), counting hits of each class and emitting the redacted
+    * fingerprint. Order matters and is fixed: ids are counted AFTER
+    * phone redaction so phone digits aren't double-reported.
+    *
+    * Scale: single scan, pure regexp column ops (codegen'd), no
+    * shuffle but the final order — like d7, a first-pass filter.
+    * Patterns stay in the regex subset Java and RE2 interpret
+    * identically (character classes + bounded/greedy repetition). */
+  private def t9(s: SparkSession, dir: String): DataFrame = {
+    val phoneRe = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val idRe = "[0-9]{3,}"
+    Tables(s, dir, "customer")
+      .withColumn("profile", concat_ws(" ",
+        col("c_name"), lit("ph"),
+        format_string("%02d-%03d-%03d-%04d",
+          col("c_nationkey") + 10, col("c_custkey") % 1000,
+          (col("c_custkey") * 7) % 1000, (col("c_custkey") * 31) % 10000),
+        lit("acct"),
+        format_string("%09d", (col("c_custkey") * 2654435761L) % 1000000000L),
+        col("c_mktsegment")))
+      .withColumn("nophone", regexp_replace(col("profile"), phoneRe, "[PHONE]"))
+      .select(col("c_custkey"),
+        regexp_count(col("profile"), lit(phoneRe)).cast("long").as("n_phones"),
+        regexp_count(col("nophone"), lit(idRe)).cast("long").as("n_ids"),
+        length(regexp_replace(col("nophone"), idRe, "[ID]")).cast("long")
+          .as("len_redacted"),
+        md5(regexp_replace(col("nophone"), idRe, "[ID]")).as("fp"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val t9Sql =
+    """WITH p AS (
+      |  SELECT c_custkey,
+      |    c_name || ' ph ' ||
+      |    printf('%02d-%03d-%03d-%04d', c_nationkey + 10, c_custkey % 1000,
+      |      (c_custkey * 7) % 1000, (c_custkey * 31) % 10000) ||
+      |    ' acct ' ||
+      |    printf('%09d', (c_custkey * 2654435761) % 1000000000) ||
+      |    ' ' || c_mktsegment AS profile
+      |  FROM customer),
+      |np AS (
+      |  SELECT c_custkey, profile,
+      |    regexp_replace(profile, '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}',
+      |      '[PHONE]', 'g') AS nophone
+      |  FROM p),
+      |r AS (
+      |  SELECT c_custkey, profile, nophone,
+      |    regexp_replace(nophone, '[0-9]{3,}', '[ID]', 'g') AS redacted
+      |  FROM np)
+      |SELECT c_custkey,
+      |  CAST(len(regexp_extract_all(profile,
+      |    '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+      |  CAST(len(regexp_extract_all(nophone, '[0-9]{3,}')) AS BIGINT) AS n_ids,
+      |  CAST(length(redacted) AS BIGINT) AS len_redacted,
+      |  md5(redacted) AS fp
+      |FROM r
+      |ORDER BY c_custkey""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_lang_id"      -> t1,
     "t2_quality"      -> t2,
@@ -324,7 +391,8 @@ object TextQueries extends QueryPack {
     "t5_winnowing"    -> t5,
     "t6_stratified_sample" -> t6,
     "t7_norm_dedup"   -> t7,
-    "t8_collocations" -> t8)
+    "t8_collocations" -> t8,
+    "t9_pii_redact"   -> t9)
 
   override def oracle: Map[String, String] = Map(
     "t1_lang_id"      -> t1Sql,
@@ -334,5 +402,6 @@ object TextQueries extends QueryPack {
     "t5_winnowing"    -> t5Sql,
     "t6_stratified_sample" -> t6Sql,
     "t7_norm_dedup"   -> t7Sql,
-    "t8_collocations" -> t8Sql)
+    "t8_collocations" -> t8Sql,
+    "t9_pii_redact"   -> t9Sql)
 }
