@@ -383,6 +383,65 @@ object TextQueries extends QueryPack {
       |FROM r
       |ORDER BY c_custkey""".stripMargin
 
+  /** t10 — corpus-bigram language-model scoring, the CCNet-style
+    * "does this doc look like the corpus" quality signal: a bigram
+    * model is trained on the corpus itself (cnt(a,b) / cnt(a·)) and
+    * every doc is scored by its mean conditional bigram probability.
+    * Low scorers are out-of-distribution docs a pipeline routes to
+    * review (or a domain filter keeps, depending on direction).
+    *
+    * Determinism across engines, by construction: probabilities are
+    * exact integer-count ratios (one double division each), and the
+    * per-doc sum folds the probabilities in POSITION order (sorted
+    * struct array + left fold ≡ DuckDB `list_sum(list(p ORDER BY
+    * pos))`), so no parallel-reduction reorder can change the IEEE
+    * result — the same convention as the decimal-sum rule in
+    * [[graft.QueryPack]], applied to doubles.
+    *
+    * Scale: two hash aggregations build the model (bigram + unigram
+    * context counts — partial+final, keyed on words), two keyed joins
+    * score the corpus, one final per-doc aggregation. The model
+    * tables are vocabulary-sized: broadcastable here; at web scale
+    * they shuffle-join with the usual hot-word (stopword) skew
+    * handled by the e12 salting pattern. */
+  private def t10(s: SparkSession, dir: String): DataFrame = {
+    val bi = docs(s, dir)
+      .withColumn("w", words)
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS a, w[i+1] AS b))"))
+        .as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"), col("g.a").as("a"), col("g.b").as("b"))
+    val cab = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+    val ca = bi.groupBy(col("a")).agg(count(lit(1)).as("ca"))
+    bi.join(cab, Seq("a", "b")).join(ca, Seq("a"))
+      .withColumn("p", col("cab").cast("double") / col("ca"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("aggregate(transform(array_sort(collect_list(struct(pos, p))), " +
+          "s -> s.p), cast(0.0 AS double), (acc, x) -> acc + x)").as("sump"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sump") / col("n_bigrams"), 6).as("avg_p"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t10Sql =
+    """WITH g AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |bi AS (
+      |  SELECT doc_id, i AS pos, w[i] AS a, w[i+1] AS b
+      |  FROM g, unnest(range(1, len(w))) AS t(i)
+      |  WHERE len(w) >= 2),
+      |cab AS (SELECT a, b, COUNT(*) AS cab FROM bi GROUP BY a, b),
+      |ca AS (SELECT a, COUNT(*) AS ca FROM bi GROUP BY a),
+      |sp AS (
+      |  SELECT bi.doc_id, bi.pos, CAST(cab.cab AS DOUBLE) / ca.ca AS p
+      |  FROM bi JOIN cab USING (a, b) JOIN ca USING (a))
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  ROUND(list_sum(list(p ORDER BY pos)) / COUNT(*), 6) AS avg_p
+      |FROM sp
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_lang_id"      -> t1,
     "t2_quality"      -> t2,
@@ -392,7 +451,8 @@ object TextQueries extends QueryPack {
     "t6_stratified_sample" -> t6,
     "t7_norm_dedup"   -> t7,
     "t8_collocations" -> t8,
-    "t9_pii_redact"   -> t9)
+    "t9_pii_redact"   -> t9,
+    "t10_bigram_lm"   -> t10)
 
   override def oracle: Map[String, String] = Map(
     "t1_lang_id"      -> t1Sql,
@@ -403,5 +463,6 @@ object TextQueries extends QueryPack {
     "t6_stratified_sample" -> t6Sql,
     "t7_norm_dedup"   -> t7Sql,
     "t8_collocations" -> t8Sql,
-    "t9_pii_redact"   -> t9Sql)
+    "t9_pii_redact"   -> t9Sql,
+    "t10_bigram_lm"   -> t10Sql)
 }
