@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, MinHashSig, SafeDateKey, ShingleHash}
+import graft.functions.{BloomMightContain, DotProduct, MinHashSig, SafeDateKey, ShingleHash}
 
 /** Session extension wiring for graft's native expressions. Use via
   * `.withExtensions(new GraftExtensions)` or
@@ -35,7 +35,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => ShingleHash(args(0), args(1))),
     (new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
-      (args: Seq[Expression]) => MinHashSig(args(0), args(1))))
+      (args: Seq[Expression]) => MinHashSig(args(0), args(1))),
+    (new FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_contains"),
+      (args: Seq[Expression]) => BloomMightContain(args(0), args(1))))
 
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit = {

@@ -527,6 +527,44 @@ object EventsQueries extends QueryPack {
       |FROM x
       |ORDER BY agent_id, day, metric_id""".stripMargin
 
+  /** e16 — skew-proof weighted rollup through [[graft.operators
+    * .SaltedJoin]]: events ⋈ a 5-row per-type weight dim on
+    * `event_type` — a join key with FIVE distinct values, i.e. a
+    * plain shuffle join runs on ≤5 reducers no matter how many
+    * executors the cluster has, and any hot type is a straggler. The
+    * salted join (8 salts, salted by event_id) spreads each type
+    * over 8 reducers; the weight dim grows 8× (40 rows — the
+    * explicit, bounded price). The rollup after it is safe
+    * unsalted: partial aggregation means the 5-key final shuffle
+    * carries map-side combined partials, not rows (and if the GROUPS
+    * were hot, e12's SaltedAgg is the companion pattern).
+    *
+    * Result contract is the plain inner join + rollup, which is
+    * exactly what the DuckDB oracle runs. */
+  private def e16(s: SparkSession, dir: String): DataFrame = {
+    val dim = s.createDataFrame(Seq(
+      ("click", 0.25), ("view", 0.125), ("purchase", 1.0),
+      ("signup", 0.5), ("error", 0.0))).toDF("event_type", "weight")
+    graft.operators.SaltedJoin
+      .inner(ev(s, dir), dim, Seq("event_type"), salts = 8,
+        saltBy = col("event_id"))
+      .groupBy(col("event_type"), col("weight"))
+      .agg(count(lit(1)).as("n_events"),
+        money(sum(dec(col("value") * col("weight")))).as("weighted_value"))
+      .orderBy(col("event_type"))
+  }
+
+  private val e16Sql =
+    """WITH dim(event_type, weight) AS (VALUES
+      |  ('click', 0.25), ('view', 0.125), ('purchase', 1.0),
+      |  ('signup', 0.5), ('error', 0.0))
+      |SELECT e.event_type, CAST(dim.weight AS DOUBLE) AS weight, COUNT(*) AS n_events,
+      |  CAST(ROUND(SUM(CAST(e.value * dim.weight AS DECIMAL(18,2))), 2) AS DOUBLE)
+      |    AS weighted_value
+      |FROM events e JOIN dim USING (event_type)
+      |GROUP BY e.event_type, dim.weight
+      |ORDER BY e.event_type""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_scoreboard"     -> e1,
     "e2_json_extract"   -> e2,
@@ -542,7 +580,8 @@ object EventsQueries extends QueryPack {
     "e12_salted_rollup" -> e12,
     "e13_cohort_retention" -> e13,
     "e14_funnel" -> e14,
-    "e15_shift_pace" -> e15)
+    "e15_shift_pace" -> e15,
+    "e16_salted_join" -> e16)
 
   override def oracle: Map[String, String] = Map(
     "e1_scoreboard"     -> e1Sql,
@@ -559,5 +598,6 @@ object EventsQueries extends QueryPack {
     "e12_salted_rollup" -> e12Sql,
     "e13_cohort_retention" -> e13Sql,
     "e14_funnel" -> e14Sql,
-    "e15_shift_pace" -> e15Sql)
+    "e15_shift_pace" -> e15Sql,
+    "e16_salted_join" -> e16Sql)
 }

@@ -3,6 +3,7 @@ package graft.queries
 import graft.{QueryPack, Tables}
 import graft.QueryPack.{dec, money}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Second relational coverage pack: outer joins, cube grouping sets,
@@ -319,6 +320,109 @@ object MoreRelationalQueries extends QueryPack {
       |               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
       |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
 
+  /** q20 — percentile profile with a sketch accuracy contract (the
+    * q15 pattern applied to quantiles): per returnflag, the EXACT
+    * discrete p50/p95 of `l_extendedprice` (value at rank ⌈p·n⌉ — an
+    * actual element, bitwise identical in any engine, no
+    * interpolation arithmetic), plus `est_ok` booleans asserting the
+    * `percentile_approx` sketch landed within the ±2%-rank band
+    * around each target. The sketch guarantees ≤0.1%-rank error at
+    * accuracy=1000 for ANY merge order, so the boolean is stable
+    * under Spark's nondeterministic partial-aggregation order even
+    * though the raw estimate is not — which is exactly why the raw
+    * estimate is not emitted (same reasoning as q15's HLL).
+    *
+    * Scale: the exact path is a per-group sort (one shuffle on the
+    * group key) — fine when groups fit a partition; the sketch path
+    * is the one that survives corpus-sized groups (mergeable
+    * partials, O(accuracy) memory), and the contract gate is how the
+    * pipeline PROVES the cheap path tracks the exact one before
+    * switching over. */
+  private def q20(s: SparkSession, dir: String): DataFrame = {
+    val wN = Window.partitionBy(col("rf"))
+    val wR = Window.partitionBy(col("rf")).orderBy(col("x"))
+    val ranked = Tables(s, dir, "lineitem")
+      .select(col("l_returnflag").as("rf"), col("l_extendedprice").as("x"))
+      .withColumn("n", count(lit(1)).over(wN))
+      .withColumn("rn", row_number().over(wR))
+    def atRank(r: Column): Column = max(when(col("rn") === r, col("x")))
+    def target(p: Double): Column = ceil(lit(p) * col("n")).cast("long")
+    def clamp(c: Column): Column = greatest(lit(1L), least(col("n"), c))
+    val out = ranked.groupBy(col("rf"))
+      .agg(max(col("n")).as("n"),
+        atRank(target(0.50)).as("p50"),
+        atRank(target(0.95)).as("p95"),
+        atRank(clamp(target(0.48))).as("lo50"),
+        atRank(clamp(target(0.52))).as("hi50"),
+        atRank(clamp(target(0.93))).as("lo95"),
+        atRank(clamp(target(0.97))).as("hi95"),
+        percentile_approx(col("x"), lit(0.50), lit(1000)).as("a50"),
+        percentile_approx(col("x"), lit(0.95), lit(1000)).as("a95"))
+    out.select(col("rf").as("l_returnflag"), col("n"), col("p50"), col("p95"),
+        (col("a50") >= col("lo50") && col("a50") <= col("hi50")).as("est50_ok"),
+        (col("a95") >= col("lo95") && col("a95") <= col("hi95")).as("est95_ok"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q20Sql =
+    """WITH r AS (
+      |  SELECT l_returnflag AS rf, l_extendedprice AS x,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+      |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem)
+      |SELECT rf AS l_returnflag, CAST(n AS BIGINT) AS n,
+      |  MAX(CASE WHEN rn = CAST(ceil(0.50*n) AS BIGINT) THEN x END) AS p50,
+      |  MAX(CASE WHEN rn = CAST(ceil(0.95*n) AS BIGINT) THEN x END) AS p95,
+      |  TRUE AS est50_ok, TRUE AS est95_ok
+      |FROM r GROUP BY rf, n ORDER BY rf""".stripMargin
+
+  /** q21 — bloom-prefiltered semi join (the explicit form of Spark's
+    * `InjectRuntimeFilter`): revenue per returnflag over lineitems
+    * whose order is 1-URGENT. The urgent-order key set is sketched
+    * into a bloom filter driver-side (`df.stat.bloomFilter` — a
+    * treeAggregate of mergeable sketch partials over the SMALL side;
+    * no rows are collected) and probed on the lineitem scan via the
+    * native [[graft.functions.BloomMightContain]] expression, so
+    * ~fpp + selectivity of the big side survives to the shuffle
+    * instead of 100% of it. The exact left-semi join that follows
+    * removes the sketch's false positives — the bloom changes where
+    * rows die (map-side vs post-shuffle), never the result, which is
+    * why the oracle is the plain semi join.
+    *
+    * Scale: this is THE pattern for selective fact⋈dim-subset joins
+    * at 100 TB — the sketch is O(accuracy) bytes shipped once per
+    * executor in the plan, and the big-side shuffle shrinks by the
+    * join's selectivity (~20% here; often 100-1000× on real
+    * predicates). The construction-time job is the standard
+    * runtime-filter shape (a small-side-only aggregate, like DPP's
+    * subquery broadcast). */
+  private def q21(s: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val bloom = urgent.stat.bloomFilter("o_orderkey", 200000L, 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    Tables(s, dir, "lineitem")
+      .filter(call_function("graft_bloom_contains",
+        lit(bos.toByteArray), col("l_orderkey")))
+      .join(urgent.withColumnRenamed("o_orderkey", "l_orderkey"),
+        Seq("l_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        money(sum(dec(col("l_extendedprice")))).as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q21Sql =
+    """SELECT l_returnflag, COUNT(*) AS n_lines,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+      |                     WHERE o_orderpriority = '1-URGENT')
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_full_outer"   -> q10,
     "q11_cube"         -> q11,
@@ -329,7 +433,8 @@ object MoreRelationalQueries extends QueryPack {
     "q16_correlated"   -> q16,
     "q17_multiset_ops" -> q17,
     "q18_cms_heavy_hitters" -> q18,
-    "q19_running_window" -> q19)
+    "q19_running_window" -> q19,
+    "q20_quantile_contract" -> q20)
 
   override def oracle: Map[String, String] = Map(
     "q10_full_outer"   -> q10Sql,
@@ -341,5 +446,6 @@ object MoreRelationalQueries extends QueryPack {
     "q16_correlated"   -> q16Sql,
     "q17_multiset_ops" -> q17Sql,
     "q18_cms_heavy_hitters" -> q18Sql,
-    "q19_running_window" -> q19Sql)
+    "q19_running_window" -> q19Sql,
+    "q20_quantile_contract" -> q20Sql)
 }

@@ -286,17 +286,175 @@ object SimilarityQueries extends QueryPack {
       |WHERE rk <= 3
       |ORDER BY label, rk""".stripMargin
 
+  // ---------------------------------------------------------------- s6/d8
+
+  /** Embedding view for the k-means pair: v (double), vv = ‖v‖². */
+  private def evec(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("vv", dot(col("v"), col("v")))
+      .select(col("vec_id"), col("v"), col("vv"))
+
+  /** One k-means assignment pass: nearest centroid by squared L2,
+    * ties to the smaller centroid id. `cents` is (cid, cv, cc=‖cv‖²)
+    * — k rows, broadcast; the distance expansion ‖v‖²−2·v·c+‖c‖²
+    * reuses the per-row vv so each corpus row does k dot products
+    * map-side and nothing shuffles but the (vec_id→cid) result.
+    * The IEEE expression order matches the DuckDB mirror exactly
+    * (graft_dot and list_sum both fold left-to-right). */
+  private def assign(e: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("d2",
+        col("vv") - lit(2.0) * dot(col("v"), col("cv")) + col("cc"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("vv"),
+        col("cid").as("cluster"), col("d2"))
+  }
+
+  /** Centroid update: per-dimension mean via posexplode → two-level
+    * agg (the s2 centroid shape — partial+final all the way). */
+  private def centroidUpdate(a: DataFrame): DataFrame =
+    a.select(col("cluster").as("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+      .groupBy(col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+        .as("cv"))
+      .withColumn("cc", dot(col("cv"), col("cv")))
+
+  /** Final assignment after a fixed 2-round Lloyd iteration with
+    * deterministic seeding (centroids = vectors vec_id 0..7). */
+  private def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
+    val e = evec(s, dir)
+    val c0 = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("vv").as("cc"))
+    val a1 = assign(e, c0)
+    assign(e, centroidUpdate(a1))
+  }
+
+  /** s6 — deterministic k-means clustering (k=8, 2 Lloyd rounds,
+    * seeds = vec_id 0..7): the semantic-clustering primitive under
+    * SemDeDup/domain-discovery pipelines. Emits every vector's final
+    * cluster, the cluster size, and its squared distance.
+    *
+    * Scale: each round is one broadcast-assignment scan (k dots per
+    * row, map-side) + one partial+final mean agg keyed (cid, pos) —
+    * no corpus-sized shuffle; k in the thousands still broadcasts.
+    * Fixed iteration count (the production norm for curation
+    * clustering) keeps the plan static — no data-dependent driver
+    * loop; for convergence-driven runs compose with the d6/CC
+    * localCheckpoint-per-round pattern. */
+  private def s6(s: SparkSession, dir: String): DataFrame = {
+    val a2 = kmeansAssign(s, dir)
+    val sizes = a2.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
+    a2.join(sizes, Seq("cluster"))
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        col("n_members"), round(col("d2"), 6).as("dist2"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Shared oracle CTE prefix: the unrolled 2-round Lloyd iteration,
+    * formula-identical to [[assign]]/[[centroidUpdate]]. */
+  private val kmeansSql =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |ev AS (SELECT vec_id, v,
+      |       list_sum(list_transform(v, x -> x*x)) AS vv FROM e),
+      |c0 AS (SELECT vec_id AS cid, v AS cv,
+      |       list_sum(list_transform(v, x -> x*x)) AS cc FROM e WHERE vec_id < 8),
+      |a1 AS (
+      |  SELECT vec_id, v, vv, cid AS cluster FROM (
+      |    SELECT ev.vec_id, ev.v, ev.vv, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY ev.vec_id ORDER BY
+      |        ev.vv - 2*list_sum(list_transform(list_zip(ev.v, c.cv), x -> x[1]*x[2])) + c.cc ASC,
+      |        c.cid) AS rn
+      |    FROM ev CROSS JOIN c0 c) t WHERE rn = 1),
+      |m1 AS (
+      |  SELECT cluster AS cid, pos, AVG(x) AS m
+      |  FROM (SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+      |        FROM a1) u
+      |  GROUP BY cid, pos),
+      |c1 AS (
+      |  SELECT cid, list(m ORDER BY pos) AS cv,
+      |    list_sum(list_transform(list(m ORDER BY pos), x -> x*x)) AS cc
+      |  FROM m1 GROUP BY cid),
+      |a2 AS (
+      |  SELECT vec_id, v, cluster, d2 FROM (
+      |    SELECT ev.vec_id, ev.v, c.cid AS cluster,
+      |      ev.vv - 2*list_sum(list_transform(list_zip(ev.v, c.cv), x -> x[1]*x[2])) + c.cc AS d2,
+      |      ROW_NUMBER() OVER (PARTITION BY ev.vec_id ORDER BY
+      |        ev.vv - 2*list_sum(list_transform(list_zip(ev.v, c.cv), x -> x[1]*x[2])) + c.cc ASC,
+      |        c.cid) AS rn
+      |    FROM ev CROSS JOIN c1 c) t WHERE rn = 1)""".stripMargin
+
+  private val s6Sql = kmeansSql +
+    """
+      |SELECT a2.vec_id, CAST(cluster AS BIGINT) AS cluster, n_members,
+      |  ROUND(d2, 6) AS dist2
+      |FROM a2 JOIN (SELECT cluster, COUNT(*) AS n_members
+      |              FROM a2 GROUP BY cluster) sz USING (cluster)
+      |ORDER BY vec_id""".stripMargin
+
+  /** d8 — SemDeDup: semantic near-dup removal WITHIN k-means
+    * clusters. A vector is removed when a smaller-id member of its
+    * own cluster has cosine ≥ 0.45 (d5's exact-baseline threshold);
+    * the emitted keeper is the smallest such neighbor. The cluster
+    * prune is the whole point at scale: pairwise cosine runs per
+    * cell (Σ cells²/k² work vs n² for d5's exact baseline), and the
+    * hot-cell guard is the same cap pattern as d2's frequency cap —
+    * cells are size-bounded by construction of the clustering. */
+  private def d8(s: SparkSession, dir: String): DataFrame = {
+    val nm = kmeansAssign(s, dir)
+      .withColumn("norm", sqrt(col("vv")))
+      .select(col("cluster"), col("vec_id"), col("v"), col("norm"))
+    val w = Window.partitionBy(col("removed")).orderBy(col("keeper"))
+    nm.as("a")
+      .join(nm.as("b").hint("shuffle_hash"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.cluster").as("cluster"),
+        col("a.vec_id").as("keeper"), col("b.vec_id").as("removed"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6)
+          .as("cos"))
+      .filter(col("cos") >= 0.45)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("removed").as("vec_id"),
+        col("cluster").cast("long").as("cluster"), col("keeper"), col("cos"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val d8Sql = kmeansSql +
+    """,
+      |nm AS (SELECT vec_id, v, cluster,
+      |       sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM a2),
+      |pairs AS (
+      |  SELECT a.cluster, a.vec_id AS keeper, b.vec_id AS removed,
+      |    ROUND(list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]))
+      |      / (a.norm * b.norm), 6) AS cos
+      |  FROM nm a JOIN nm b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+      |SELECT removed AS vec_id, CAST(cluster AS BIGINT) AS cluster, keeper, cos
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY removed ORDER BY keeper) AS rn
+      |      FROM pairs WHERE cos >= 0.45) t
+      |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> s1,
     "s2_ivf_ann"   -> s2,
     "s3_topk_agg"  -> s3,
     "s4_lsh_ann"   -> s4,
-    "s5_label_noise" -> s5)
+    "s5_label_noise" -> s5,
+    "s6_kmeans"    -> s6,
+    "d8_semdedup"  -> d8)
 
   override def oracle: Map[String, String] = Map(
     "s1_knn_brute" -> s1Sql,
     "s2_ivf_ann"   -> s2Sql,
     "s3_topk_agg"  -> s1Sql,
     "s4_lsh_ann"   -> s4Sql,
-    "s5_label_noise" -> s5Sql)
+    "s5_label_noise" -> s5Sql,
+    "s6_kmeans"    -> s6Sql,
+    "d8_semdedup"  -> d8Sql)
 }

@@ -442,6 +442,71 @@ object TextQueries extends QueryPack {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** t11 — benchmark decontamination, the train/test-overlap audit
+    * every LLM data pipeline runs before training (the 8-word-gram
+    * variant of the GPT-3/PaLM 13-gram rule, sized to this corpus's
+    * doc lengths): the benchmark split is `doc_id % 10 = 7` and a
+    * training doc is contaminated when it shares ≥1 distinct word
+    * 8-gram with any benchmark doc. Reports, per contaminated doc,
+    * how many of its grams are contaminated, how many benchmark docs
+    * it touches, and the contaminated fraction — the evidence row a
+    * pipeline attaches when it quarantines the doc.
+    *
+    * Gram identity is the same md5-based int64 of the one-pass
+    * [[graft.functions.ShingleHash]] kernel used by d2/d3 (n=8), so
+    * the DuckDB mirror is formula-identical.
+    *
+    * Scale: THE textbook broadcast case — benchmark suites are MBs
+    * while the corpus is the 100 TB side, so the distinct benchmark
+    * gram set (with its doc ids) broadcasts and contamination is a
+    * map-side hash probe per corpus gram; the per-doc rollup is one
+    * partial+final hash agg keyed by doc_id (already co-grouped with
+    * the explode). No corpus-sized shuffle anywhere. */
+  private def t11(s: SparkSession, dir: String): DataFrame = {
+    val grams = docs(s, dir)
+      .withColumn("w", words)
+      .filter(size(col("w")) >= 8)
+      .select(col("doc_id"), col("w"))
+      .withColumn("xs", graft.operators.TextDedup.shingleHashes("w", 8))
+    val bench = grams.filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id").as("bench_doc"), explode(col("xs")).as("gram"))
+      .distinct()
+    val train = grams.filter(col("doc_id") % 10 =!= 7)
+    val hits = train
+      .select(col("doc_id"), size(col("xs")).cast("long").as("n_grams"),
+        explode(col("xs")).as("gram"))
+      .join(broadcast(bench), Seq("gram"))
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(countDistinct(col("gram")).as("n_contaminated"),
+        countDistinct(col("bench_doc")).as("n_bench_docs"))
+    hits.select(col("doc_id"), col("n_grams"), col("n_contaminated"),
+        col("n_bench_docs"),
+        round(col("n_contaminated").cast("double") / col("n_grams"), 6)
+          .as("contaminated_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t11Sql =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      list_transform(range(1, len(w)-6), i -> array_to_string(w[i:i+7], ' ')),
+      |      s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % 2147483647)) AS xs
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 8),
+      |bg AS (SELECT DISTINCT doc_id AS bench_doc, unnest(xs) AS gram
+      |       FROM g WHERE doc_id % 10 = 7),
+      |tg AS (SELECT doc_id, len(xs) AS n_grams, unnest(xs) AS gram
+      |       FROM g WHERE doc_id % 10 <> 7)
+      |SELECT tg.doc_id, CAST(tg.n_grams AS BIGINT) AS n_grams,
+      |  COUNT(DISTINCT tg.gram) AS n_contaminated,
+      |  COUNT(DISTINCT bg.bench_doc) AS n_bench_docs,
+      |  ROUND(CAST(COUNT(DISTINCT tg.gram) AS DOUBLE) / tg.n_grams, 6)
+      |    AS contaminated_frac
+      |FROM tg JOIN bg USING (gram)
+      |GROUP BY tg.doc_id, tg.n_grams
+      |ORDER BY tg.doc_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_lang_id"      -> t1,
     "t2_quality"      -> t2,
@@ -452,7 +517,8 @@ object TextQueries extends QueryPack {
     "t7_norm_dedup"   -> t7,
     "t8_collocations" -> t8,
     "t9_pii_redact"   -> t9,
-    "t10_bigram_lm"   -> t10)
+    "t10_bigram_lm"   -> t10,
+    "t11_decontam"    -> t11)
 
   override def oracle: Map[String, String] = Map(
     "t1_lang_id"      -> t1Sql,
@@ -464,5 +530,6 @@ object TextQueries extends QueryPack {
     "t7_norm_dedup"   -> t7Sql,
     "t8_collocations" -> t8Sql,
     "t9_pii_redact"   -> t9Sql,
-    "t10_bigram_lm"   -> t10Sql)
+    "t10_bigram_lm"   -> t10Sql,
+    "t11_decontam"    -> t11Sql)
 }
