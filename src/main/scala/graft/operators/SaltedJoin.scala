@@ -34,11 +34,25 @@ object SaltedJoin {
     * join key (a row id, a fine-grained column) — it only needs to
     * spread rows, not be unique. */
   def inner(big: DataFrame, small: DataFrame, keys: Seq[String],
-            salts: Int, saltBy: Column): DataFrame = {
+            salts: Int, saltBy: Column): DataFrame =
+    apply(big, small, keys, salts, saltBy, "inner")
+
+  /** Big-side-preserving join types only: each big row carries
+    * exactly ONE salt, so inner/left_outer/left_semi/left_anti are
+    * exact. Right/full would surface every unmatched SMALL copy
+    * `salts` times — structurally wrong, hence rejected (salt the
+    * other way around for a skewed right side). */
+  private val okTypes = Set("inner", "left_outer", "left", "left_semi",
+    "semi", "left_anti", "anti")
+
+  def apply(big: DataFrame, small: DataFrame, keys: Seq[String],
+            salts: Int, saltBy: Column, joinType: String): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
+    require(okTypes(joinType),
+      s"salted join preserves only the big side; got joinType=$joinType")
     val b = big.withColumn("__salt", pmod(hash(saltBy), lit(salts)))
     val sm = small.withColumn("__salt",
       explode(array((0 until salts).map(lit(_)): _*)))
-    b.join(sm, keys :+ "__salt").drop("__salt")
+    b.join(sm, keys :+ "__salt", joinType).drop("__salt")
   }
 }

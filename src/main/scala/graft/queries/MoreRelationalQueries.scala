@@ -434,7 +434,8 @@ object MoreRelationalQueries extends QueryPack {
     "q17_multiset_ops" -> q17,
     "q18_cms_heavy_hitters" -> q18,
     "q19_running_window" -> q19,
-    "q20_quantile_contract" -> q20)
+    "q20_quantile_contract" -> q20,
+    "q21_bloom_prefilter" -> q21)
 
   override def oracle: Map[String, String] = Map(
     "q10_full_outer"   -> q10Sql,
@@ -447,5 +448,6 @@ object MoreRelationalQueries extends QueryPack {
     "q17_multiset_ops" -> q17Sql,
     "q18_cms_heavy_hitters" -> q18Sql,
     "q19_running_window" -> q19Sql,
-    "q20_quantile_contract" -> q20Sql)
+    "q20_quantile_contract" -> q20Sql,
+    "q21_bloom_prefilter" -> q21Sql)
 }

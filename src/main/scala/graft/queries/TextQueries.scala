@@ -507,6 +507,64 @@ object TextQueries extends QueryPack {
       |GROUP BY tg.doc_id, tg.n_grams
       |ORDER BY tg.doc_id""".stripMargin
 
+  /** t12 — data-mixture weighting, the sampling-proportion step of a
+    * multi-source training pipeline: per-source token counts →
+    * temperature-flattened mixture weights (α = 0.5, i.e. weight ∝
+    * √share — the standard multilingual/multi-domain rebalancing
+    * that upsamples small sources without letting giants dominate) →
+    * the per-source sampling rate that would hit a 10k-token target
+    * mixture (the rate a content-hash sampler like t6 then applies).
+    *
+    * α is fixed at 0.5 deliberately: pow(x, α) is not required to be
+    * correctly rounded and differs across libms, but √ is exact in
+    * IEEE — so both engines compute bit-identical weights. The
+    * weight-sum denominator folds in source-name order (the t10
+    * sorted-fold convention) so parallel reduction can't perturb it.
+    *
+    * Scale: per-source token totals are one partial+final agg over
+    * the corpus; everything after operates on a #sources-row table
+    * (two 1-row broadcasts for the grand totals). At 100 TB this is
+    * exactly the shape you want — the corpus is touched once. */
+  private def t12(s: SparkSession, dir: String): DataFrame = {
+    val src = docs(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val tot = src.agg(sum(col("n_tokens")).as("t"))
+    val w = src.crossJoin(broadcast(tot))
+      .withColumn("rawf", col("n_tokens").cast("double") / col("t"))
+      .withColumn("sw", sqrt(col("rawf")))
+    val den = w.agg(
+      expr("aggregate(transform(array_sort(collect_list(struct(source, sw))), " +
+        "s -> s.sw), cast(0.0 AS double), (acc, x) -> acc + x)").as("d"))
+    w.crossJoin(broadcast(den))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("rawf"), 6).as("raw_frac"),
+        round(col("sw") / col("d"), 6).as("temp_frac"),
+        round(least(lit(1.0),
+          (col("sw") / col("d")) * lit(10000.0) / col("n_tokens")), 6)
+          .as("sample_rate"))
+      .orderBy(col("source"))
+  }
+
+  private val t12Sql =
+    """WITH src AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM src),
+      |w AS (
+      |  SELECT source, n_docs, n_tokens,
+      |    CAST(n_tokens AS DOUBLE) / t AS rawf,
+      |    sqrt(CAST(n_tokens AS DOUBLE) / t) AS sw
+      |  FROM src, tot),
+      |den AS (SELECT list_sum(list(sw ORDER BY source)) AS d FROM w)
+      |SELECT source, n_docs, n_tokens,
+      |  ROUND(rawf, 6) AS raw_frac,
+      |  ROUND(sw / d, 6) AS temp_frac,
+      |  ROUND(least(1.0, (sw / d) * 10000.0 / n_tokens), 6) AS sample_rate
+      |FROM w, den ORDER BY source""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_lang_id"      -> t1,
     "t2_quality"      -> t2,
@@ -518,7 +576,8 @@ object TextQueries extends QueryPack {
     "t8_collocations" -> t8,
     "t9_pii_redact"   -> t9,
     "t10_bigram_lm"   -> t10,
-    "t11_decontam"    -> t11)
+    "t11_decontam"    -> t11,
+    "t12_mix_weights" -> t12)
 
   override def oracle: Map[String, String] = Map(
     "t1_lang_id"      -> t1Sql,
@@ -531,5 +590,6 @@ object TextQueries extends QueryPack {
     "t8_collocations" -> t8Sql,
     "t9_pii_redact"   -> t9Sql,
     "t10_bigram_lm"   -> t10Sql,
-    "t11_decontam"    -> t11Sql)
+    "t11_decontam"    -> t11Sql,
+    "t12_mix_weights" -> t12Sql)
 }

@@ -85,6 +85,30 @@ class PlanAuditSpec extends SparkSpec {
     idxJoins.filter(_.contains("BroadcastHashJoin")) shouldBe empty
   }
 
+  test("t11: the benchmark gram set broadcasts; the corpus side probes") {
+    val p = plan("t11_decontam")
+    p should include("BroadcastHashJoin")
+  }
+
+  test("e16: the salt reaches the join keys (skew spread is real)") {
+    val p = plan("e16_salted_join")
+    val joinLines = p.linesIterator.filter(l =>
+      l.contains("Join") && l.contains("__salt")).toList
+    joinLines should not be empty
+  }
+
+  test("q21: the bloom probe filters the lineitem scan before the join") {
+    val p = plan("q21_bloom_prefilter")
+    p should include("graft_bloom_contains")
+    // the probe must sit BELOW the semi join (scan-side pruning)
+    p.indexOf("graft_bloom_contains") should be > p.indexOf("Join")
+  }
+
+  test("s6: centroid assignment broadcasts the k-row centroid table") {
+    val p = plan("s6_kmeans")
+    p should include("BroadcastNestedLoopJoin")
+  }
+
   test("no query collects mid-plan (everything stays distributed)") {
     // structural: every declared query builds a DataFrame lazily; a
     // .collect() in an operator would have materialized at build time

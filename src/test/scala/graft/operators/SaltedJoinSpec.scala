@@ -34,6 +34,25 @@ class SaltedJoinSpec extends SparkSpec {
     plan should include("__salt")
   }
 
+  test("left_outer preserves unmatched big rows exactly once") {
+    val bigPlus = big.union(Seq(("orphan", 1L), ("orphan", 2L)).toDF("k", "v"))
+    val plain = bigPlus.join(dim, Seq("k"), "left_outer")
+      .select($"k", $"v", $"w")
+      .as[(String, Long, Option[Double])].collect().toSeq.sorted
+    val salted = SaltedJoin(bigPlus, dim, Seq("k"), salts = 8,
+        saltBy = $"v", joinType = "left_outer")
+      .select($"k", $"v", $"w")
+      .as[(String, Long, Option[Double])].collect().toSeq.sorted
+    salted shouldBe plain
+  }
+
+  test("small-side-preserving join types are rejected") {
+    an[IllegalArgumentException] should be thrownBy
+      SaltedJoin(big, dim, Seq("k"), 8, $"v", "right_outer")
+    an[IllegalArgumentException] should be thrownBy
+      SaltedJoin(big, dim, Seq("k"), 8, $"v", "full_outer")
+  }
+
   test("salts=1 degenerates to the plain join") {
     val one = SaltedJoin.inner(big, dim, Seq("k"), salts = 1, saltBy = $"v")
     one.count() shouldBe big.join(dim, Seq("k")).count()
