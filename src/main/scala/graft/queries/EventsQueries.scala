@@ -565,6 +565,39 @@ object EventsQueries extends QueryPack {
       |GROUP BY e.event_type, dim.weight
       |ORDER BY e.event_type""".stripMargin
 
+  /** e17 — trailing time-RANGE window frame (q19 covers ROWS frames;
+    * this is the event-time sibling): per user, every event carries
+    * the count and value-sum of that user's events in the trailing
+    * hour INCLUDING itself — the per-entity rate/velocity feature a
+    * fraud or rate-limit pipeline derives. RANGE frames bound by the
+    * ORDER BY value (µs instants here), so tied timestamps all see
+    * the same frame — deterministic without a unique sort key, which
+    * is exactly why the frame orders by `tsu` and not `row_number`.
+    *
+    * Scale: one shuffle on user_id (high-cardinality ⇒ parallel),
+    * then a per-partition ordered scan with a sliding two-pointer
+    * frame — no self-join (the naive equivalent is an O(n·w)
+    * interval self-join; e11 shows that shape where it IS needed). */
+  private def e17(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
+      .rangeBetween(-3600000000L, 0L) // trailing hour, µs
+    ev(s, dir)
+      .withColumn("tsu", unix_micros(col("ts")))
+      .select(col("event_id"), col("user_id"), col("tsu"),
+        count(lit(1)).over(w).as("n_1h"),
+        money(sum(dec(col("value"))).over(w)).as("sum_1h"))
+      .orderBy(col("user_id"), col("tsu"), col("event_id"))
+  }
+
+  private val e17Sql =
+    """SELECT event_id, user_id, epoch_ns(ts)//1000 AS tsu,
+      |  COUNT(*) OVER w AS n_1h,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))) OVER w, 2) AS DOUBLE) AS sum_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)//1000
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, tsu, event_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_scoreboard"     -> e1,
     "e2_json_extract"   -> e2,
@@ -581,7 +614,8 @@ object EventsQueries extends QueryPack {
     "e13_cohort_retention" -> e13,
     "e14_funnel" -> e14,
     "e15_shift_pace" -> e15,
-    "e16_salted_join" -> e16)
+    "e16_salted_join" -> e16,
+    "e17_trailing_window" -> e17)
 
   override def oracle: Map[String, String] = Map(
     "e1_scoreboard"     -> e1Sql,
@@ -599,5 +633,6 @@ object EventsQueries extends QueryPack {
     "e13_cohort_retention" -> e13Sql,
     "e14_funnel" -> e14Sql,
     "e15_shift_pace" -> e15Sql,
-    "e16_salted_join" -> e16Sql)
+    "e16_salted_join" -> e16Sql,
+    "e17_trailing_window" -> e17Sql)
 }
