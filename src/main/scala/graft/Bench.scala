@@ -74,6 +74,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","method":"median_of_${Reps}_full_materialize"}""")
+    // compact trailer AFTER the big line: the driver captures the tail
+    // of stdout, and the per-query line can outgrow that capture — the
+    // total must always land inside it (BENCH_r03 lost its total this
+    // way)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -28,10 +28,15 @@ object Replay {
       .filter(pattern.map(p => col("src_file").contains(p)).getOrElse(lit(true)))
     val limited = limit match {
       case Some(n) =>
-        // first N files in path order — dense_rank over the file name
-        // keeps every line of a kept file without a driver-side list
-        val w = org.apache.spark.sql.expressions.Window.orderBy(col("src_file"))
-        raw.withColumn("__fr", dense_rank().over(w)).filter(col("__fr") <= n).drop("__fr")
+        // first N files in path order — rank the METADATA-scale
+        // distinct-file frame and semi-join the kept names back, so
+        // every line of a kept file survives without funneling the
+        // whole corpus through one global-window reducer (a
+        // full-replay limit at 100× would serialize on one core; the
+        // file list is always tiny relative to the lines)
+        val keep = raw.select(col("src_file")).distinct()
+          .orderBy(col("src_file")).limit(n)
+        raw.join(broadcast(keep), Seq("src_file"), "left_semi")
       case None => raw
     }
     limited.select(

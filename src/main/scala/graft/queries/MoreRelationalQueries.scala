@@ -332,19 +332,40 @@ object MoreRelationalQueries extends QueryPack {
     * though the raw estimate is not — which is exactly why the raw
     * estimate is not emitted (same reasoning as q15's HLL).
     *
-    * Scale: the exact path is a per-group sort (one shuffle on the
-    * group key) — fine when groups fit a partition; the sketch path
-    * is the one that survives corpus-sized groups (mergeable
-    * partials, O(accuracy) memory), and the contract gate is how the
-    * pipeline PROVES the cheap path tracks the exact one before
-    * switching over. */
+    * Scale: the exact path computes global ranks WITHOUT a per-group
+    * sort (a `partitionBy(rf)` window over 3 returnflags funnels the
+    * whole table through 3 reducers): rows are bucketed by a
+    * deterministic value formula (`floor(x / 1000)` — ~110 buckets
+    * per group), ranked locally per (group, bucket) — hundreds of
+    * independent window partitions, fully parallel — and the local
+    * ranks are promoted to global ones by adding per-bucket offsets
+    * from a metadata-scale prefix-sum frame (one row per bucket,
+    * broadcast back). Two parallel passes instead of one 3-reducer
+    * sort; bucket width is the skew knob. The sketch path is the one
+    * that survives corpus-sized groups (mergeable partials,
+    * O(accuracy) memory), and the contract gate is how the pipeline
+    * PROVES the cheap path tracks the exact one before switching
+    * over. */
   private def q20(s: SparkSession, dir: String): DataFrame = {
-    val wN = Window.partitionBy(col("rf"))
-    val wR = Window.partitionBy(col("rf")).orderBy(col("x"))
-    val ranked = Tables(s, dir, "lineitem")
+    val t = Tables(s, dir, "lineitem")
       .select(col("l_returnflag").as("rf"), col("l_extendedprice").as("x"))
-      .withColumn("n", count(lit(1)).over(wN))
-      .withColumn("rn", row_number().over(wR))
+      .withColumn("bk", floor(col("x") / 1000).cast("long"))
+    // per-(rf, bucket) counts → prefix-sum offsets; the frame is one
+    // row per bucket (~330 rows at ANY scale), so the ordered window
+    // here is over metadata, not data
+    val counts = t.groupBy(col("rf"), col("bk")).agg(count(lit(1)).as("c"))
+    val wOff = Window.partitionBy(col("rf")).orderBy(col("bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .select(col("rf"), col("bk"), col("off"))
+    val ns = counts.groupBy(col("rf")).agg(sum(col("c")).as("n"))
+    val wLoc = Window.partitionBy(col("rf"), col("bk")).orderBy(col("x"))
+    val ranked = t
+      .withColumn("lr", row_number().over(wLoc))
+      .join(broadcast(offsets), Seq("rf", "bk"))
+      .join(broadcast(ns), Seq("rf"))
+      .withColumn("rn", col("off") + col("lr"))
     def atRank(r: Column): Column = max(when(col("rn") === r, col("x")))
     def target(p: Double): Column = ceil(lit(p) * col("n")).cast("long")
     def clamp(c: Column): Column = greatest(lit(1L), least(col("n"), c))

@@ -109,6 +109,21 @@ class PlanAuditSpec extends SparkSpec {
     p should include("BroadcastNestedLoopJoin")
   }
 
+  test("no query plans an unpartitioned window (single-reducer funnel)") {
+    // A Window with an empty partitionSpec requires AllTuples — every
+    // row funnels through ONE task (Spark warns "No Partition Defined
+    // ... single partition" at runtime). Turn that warning into a
+    // regression gate across the whole declared surface. (Ordered
+    // windows over metadata-scale frames, e.g. q20's per-bucket
+    // offsets, are still partitioned — by group key — so they pass.)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    SparkEntry.queries.keys.foreach { q =>
+      val lp = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
+      val bad = lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      withClue(q)(bad shouldBe empty)
+    }
+  }
+
   test("no query collects mid-plan (everything stays distributed)") {
     // structural: every declared query builds a DataFrame lazily; a
     // .collect() in an operator would have materialized at build time
