@@ -102,8 +102,8 @@ object Curation {
       .filter(size(col("xs")) > 0)
       .select(col("id"), TextDedup.minhashSig("xs", minhashK).as("sig"))
     val pairs = TextDedup.lshCandidates(sigs, "id", minhashK, bands)
-      .withColumn("m", expr(
-        "size(filter(zip_with(sig1, sig2, (x, y) -> x = y), v -> v))"))
+      .withColumn("m",
+        call_function("graft_sig_matches", col("sig1"), col("sig2")))
       .filter(col("m") >= minSigMatches)
       .select(col("d1"), col("d2"))
     val clusters = ConnectedComponents.run(pairs, "d1", "d2", exact, "id")

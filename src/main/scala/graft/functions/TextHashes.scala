@@ -111,6 +111,44 @@ case class MinHashSig(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_sig_matches(sig1, sig2)` — positions where two signature
+  * arrays (array<long>, nulls allowed) hold equal non-null values, as
+  * int64. Replaces the interpreted
+  * `aggregate(zip_with(sig1, sig2, (x,y) -> if(x=y,1,0)), 0, +)`
+  * (d3's confirm filter) and Curation's
+  * `size(filter(zip_with(...), v -> v))` — both count only pairs
+  * where the equality is TRUE, so null-vs-anything contributes 0,
+  * exactly as here. */
+case class SigMatches(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sig_matches"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SigMatches.matches(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SigMatches.matches($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigMatches =
+    copy(left = newLeft, right = newRight)
+}
+
+object SigMatches {
+  def matches(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+}
+
 object MinHashSig {
   val P = 2147483647L
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomMightContain, DotProduct, MinHashSig, SafeDateKey, ShingleHash}
+import graft.functions.{AHash, BloomMightContain, DotProduct, MinHashSig, SafeDateKey, ShingleHash, SigMatches}
 
 /** Session extension wiring for graft's native expressions. Use via
   * `.withExtensions(new GraftExtensions)` or
@@ -38,7 +38,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => MinHashSig(args(0), args(1))),
     (new FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_contains"),
-      (args: Seq[Expression]) => BloomMightContain(args(0), args(1))))
+      (args: Seq[Expression]) => BloomMightContain(args(0), args(1))),
+    (new FunctionIdentifier("graft_ahash"),
+      new ExpressionInfo(classOf[AHash].getName, "graft_ahash"),
+      (args: Seq[Expression]) => AHash(args(0))),
+    (new FunctionIdentifier("graft_sig_matches"),
+      new ExpressionInfo(classOf[SigMatches].getName, "graft_sig_matches"),
+      (args: Seq[Expression]) => SigMatches(args(0), args(1))))
 
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit = {

@@ -121,8 +121,7 @@ object DedupQueries extends QueryPack {
       .lshCandidates(sigs, "doc_id", k = 16, bands = bands)
     cands
       .withColumn("sig_matches",
-        expr("aggregate(zip_with(sig1, sig2, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
-          .cast("long"))
+        call_function("graft_sig_matches", col("sig1"), col("sig2")))
       .filter(col("sig_matches") >= 12)
       .select(col("d1"), col("d2"), col("sig_matches"))
       .orderBy(col("d1"), col("d2"))

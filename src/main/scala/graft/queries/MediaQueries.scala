@@ -83,10 +83,11 @@ object MediaQueries extends QueryPack {
     * codec-free form of the classic aHash (mean-threshold bit grid),
     * so frames with the same brightness SHAPE collide even when bytes
     * differ. All-integer math (`16·bᵢ > Σb` instead of a float mean)
-    * keeps both engines bit-exact. The per-byte hex parse is a 16-term
-    * interpreted lambda per frame — fine off the hot path; a native
-    * kernel is the upgrade if media fingerprinting ever dominates.
-    * Hot-hash keys (flat/black frames — a 16-bit hash space has
+    * keeps both engines bit-exact. The hash is the native codegen
+    * kernel [[graft.functions.AHash]] — one tight loop over the raw
+    * frame bytes (the former hex-parse lambda pipeline evaluated ~50
+    * interpreted expression nodes per frame; equivalence pinned in
+    * FrameHashSpec). Hot-hash keys (flat/black frames — a 16-bit hash space has
     * genuine boilerplate buckets) get the d2 frequency cap: hashes in
     * more than maxDf=16 payloads leave candidate generation via a
     * broadcast anti-join, bounding the self-join at Σ min(df, 16)²
@@ -95,14 +96,9 @@ object MediaQueries extends QueryPack {
   private def m3(s: SparkSession, dir: String): DataFrame = {
     val f = media(s, dir)
       .withColumn("frames", Multimodal.frameSample(col("bytes"), 4, 16))
-      .withColumn("fbytes", expr(
-        "transform(frames, fr -> transform(sequence(0, 15), i -> " +
-          "cast(conv(substring(hex(fr), 2*i + 1, 2), 16, 10) as bigint)))"))
-      .select(col("media_id"), explode(expr(
-        "transform(fbytes, bs -> aggregate(sequence(0, 15), cast(0 as bigint), " +
-          "(acc, i) -> acc + if(16 * bs[i] > aggregate(bs, cast(0 as bigint), " +
-          "(a, x) -> a + x), shiftleft(cast(1 as bigint), i), cast(0 as bigint))))"))
-        .as("ahash"))
+      .select(col("media_id"), explode(col("frames")).as("fr"))
+      .select(col("media_id"),
+        call_function("graft_ahash", col("fr")).as("ahash"))
       .distinct()
     val hot = f.groupBy(col("ahash")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") > 16).select("ahash")
