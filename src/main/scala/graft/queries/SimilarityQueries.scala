@@ -402,18 +402,29 @@ object SimilarityQueries extends QueryPack {
     * own cluster has cosine ≥ 0.45 (d5's exact-baseline threshold);
     * the emitted keeper is the smallest such neighbor. The cluster
     * prune is the whole point at scale: pairwise cosine runs per
-    * cell (Σ cells²/k² work vs n² for d5's exact baseline), and the
-    * hot-cell guard is the same cap pattern as d2's frequency cap —
-    * cells are size-bounded by construction of the clustering. */
+    * cell (Σ cells²/k² work vs n² for d5's exact baseline). k-means
+    * does NOT bound cell sizes — a clumped corpus can put most
+    * vectors in one cluster — so the pair join runs through
+    * [[graft.operators.BoundedPairs]]: cells above `d8MaxCell` are
+    * hash-chunked and the left side replicated per chunk, spreading a
+    * degenerate cell across ⌈n/maxCell⌉ join keys instead of one
+    * quadratic reducer. The pair SET is unchanged (every within-cell
+    * pair still appears exactly once), so the oracle needs no
+    * chunking. */
+  private val d8MaxCell = 64
+
   private def d8(s: SparkSession, dir: String): DataFrame = {
     val nm = kmeansAssign(s, dir)
       .withColumn("norm", sqrt(col("vv")))
       .select(col("cluster"), col("vec_id"), col("v"), col("norm"))
+      // three consumers (size table + both pair sides) — persist so
+      // the 2-round Lloyd pipeline runs once; eager count ends the
+      // parallel cache-fill race (see jaccardPairsLeased)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    nm.count()
     val w = Window.partitionBy(col("removed")).orderBy(col("keeper"))
-    nm.as("a")
-      .join(nm.as("b").hint("shuffle_hash"),
-        col("a.cluster") === col("b.cluster") &&
-          col("a.vec_id") < col("b.vec_id"))
+    graft.operators.BoundedPairs
+      .withinGroupPairs(nm, "cluster", "vec_id", d8MaxCell)
       .select(col("a.cluster").as("cluster"),
         col("a.vec_id").as("keeper"), col("b.vec_id").as("removed"),
         round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6)
