@@ -88,6 +88,53 @@ object ShingleHash {
   }
 }
 
+/** `graft_shingle_seq(words, n)` — POSITIONAL word-n-gram hashes:
+  * one int64 per gram start position, in document order, duplicates
+  * kept (vs [[ShingleHash]]'s distinct set). The per-position form
+  * d9's repeated-span detection needs: position i of the output is
+  * the hash of words[i..i+n-1], so consecutive equal hashes across
+  * two documents are consecutive shared text. Same md5/conv formula
+  * as [[ShingleHash]] — `array_distinct(graft_shingle_seq(w,n))` ≡
+  * `graft_shingle_hash(w,n)` (pinned in TextHashesSpec). */
+case class ShingleSeq(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_seq"
+
+  override protected def nullSafeEval(words: Any, n: Any): Any =
+    ShingleSeq.seqHashes(words.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (w, n) => s"graft.functions.ShingleSeq.seqHashes($w, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ShingleSeq =
+    copy(left = newLeft, right = newRight)
+}
+
+object ShingleSeq {
+  def seqHashes(words: ArrayData, n: Int): ArrayData = {
+    val m = words.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](m - n + 1)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= m - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words.getUTF8String(i + j).toString)
+        j += 1
+      }
+      out(i) = ShingleHash.hashOne(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** `graft_minhash(xs, k)` — k MinHash values over an int64 shingle
   * array in ONE pass (vs k separate `array_min(transform(...))`
   * interpreted scans). Permutation constants are the fixed

@@ -122,6 +122,61 @@ object TextDedup {
       .distinct()
   }
 
+  /** Cross-document repeated-span detection (the substring-level
+    * dedup family of "Deduplicating Training Data Makes Language
+    * Models Better": long text runs repeated ACROSS documents, which
+    * doc-level near-dup misses when the rest of the documents
+    * differ). Suffix-array-free approximation over the positional
+    * n-gram index:
+    *
+    *  1. per doc, POSITIONAL n-gram hashes ([[graft.functions
+    *     .ShingleSeq]] — one hash per start position, one pass);
+    *  2. inverted index on gram hash, hot grams (df > `maxDf` docs —
+    *     boilerplate) leave candidate generation via a broadcast
+    *     anti-join (the d2 cap: bounds the index self-join at
+    *     Σ min(df, maxDf)²);
+    *  3. gram matches between doc pairs land on diagonals
+    *     (`diag = p1 − p2`); consecutive positions along a diagonal
+    *     are gaps-and-islands (`isl = p1 − row_number`), and each
+    *     island is a maximal shared run: `span_words = run + n − 1`.
+    *
+    * Emits (d1, d2, start1, start2, span_words) for spans ≥
+    * `minSpanWords`. A hot gram inside a long run splits it into two
+    * reported spans — the standard price of the cap; set maxDf above
+    * organic df so only true boilerplate is cut.
+    *
+    * Scale: the only corpus-sized shuffles are the inverted-index
+    * self-join (capped, shuffle_hash — never broadcast an index) and
+    * the (d1, d2, diag) window, whose key cardinality is ~the match
+    * count — no global or low-cardinality funnel anywhere. */
+  def repeatedSpans(docs: DataFrame, idCol: String, wordsCol: String,
+      n: Int, maxDf: Int, minSpanWords: Int): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("__id"),
+        posexplode(call_function("graft_shingle_seq", col(wordsCol), lit(n)))
+          .as(Seq("__pos", "__g")))
+    val hot = grams.groupBy(col("__g"))
+      .agg(countDistinct(col("__id")).as("__df"))
+      .filter(col("__df") > maxDf).select("__g")
+    val capped = grams.join(broadcast(hot), Seq("__g"), "left_anti")
+    val matches = capped.as("a").hint("shuffle_hash")
+      .join(capped.as("b").hint("shuffle_hash"),
+        col("a.__g") === col("b.__g") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("d1"), col("b.__id").as("d2"),
+        col("a.__pos").as("p1"), col("b.__pos").as("p2"))
+      .withColumn("diag", col("p1") - col("p2"))
+    val wIsl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("d1"), col("d2"), col("diag")).orderBy(col("p1"))
+    matches
+      .withColumn("isl", col("p1") - row_number().over(wIsl))
+      .groupBy(col("d1"), col("d2"), col("diag"), col("isl"))
+      .agg(min(col("p1")).as("start1"), min(col("p2")).as("start2"),
+        (count(lit(1)) + (n - 1)).as("span_words"))
+      .filter(col("span_words") >= minSpanWords)
+      .select(col("d1"), col("d2"), col("start1"), col("start2"),
+        col("span_words"))
+  }
+
   /** 32-bit SimHash per doc from (doc, word, count) rows. */
   def simhash(wordCounts: DataFrame, idCol: String): DataFrame = {
     val hashed = wordCounts.withColumn("__h",

@@ -378,7 +378,53 @@ object DedupQueries extends QueryPack {
       |FROM t
       |ORDER BY doc_id""".stripMargin
 
+  /** d9 — substring-level cross-doc dedup: maximal runs of shared
+    * 8-grams between document pairs, reported as spans ≥ 20 words —
+    * [[graft.operators.TextDedup.repeatedSpans]] (positional gram
+    * index → diagonal gaps-and-islands). Catches long boilerplate /
+    * quoted passages that doc-level d2-d8 miss when the surrounding
+    * documents differ. df cap 10 mirrors d2 (hot grams leave
+    * candidate generation only). */
+  private val d9MaxDf = 10
+  private val d9MinSpan = 20
+
+  private def d9(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextDedup
+      .repeatedSpans(
+        docs(s, dir)
+          .withColumn("w", split(col("text"), " "))
+          .filter(size(col("w")) >= 8),
+        "doc_id", "w", n = 8, maxDf = d9MaxDf, minSpanWords = d9MinSpan)
+      .orderBy(col("d1"), col("d2"), col("start1"), col("start2"))
+
+  private val d9Sql =
+    s"""WITH g AS (
+      |  SELECT doc_id, list_transform(range(1, len(w)-6),
+      |    i -> CAST(('0x'||substr(md5(array_to_string(w[i:i+7], ' ')),1,15)) AS BIGINT)
+      |         % 2147483647) AS xs
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 8),
+      |pg AS (SELECT doc_id, generate_subscripts(xs, 1) - 1 AS pos, unnest(xs) AS gram
+      |       FROM g),
+      |hot AS (SELECT gram FROM pg GROUP BY gram
+      |        HAVING COUNT(DISTINCT doc_id) > $d9MaxDf),
+      |capped AS (SELECT * FROM pg WHERE gram NOT IN (SELECT gram FROM hot)),
+      |m AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, a.pos AS p1, b.pos AS p2,
+      |    a.pos - b.pos AS diag
+      |  FROM capped a JOIN capped b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+      |runs AS (
+      |  SELECT d1, d2, diag, p1, p2,
+      |    p1 - ROW_NUMBER() OVER (PARTITION BY d1, d2, diag ORDER BY p1) AS isl
+      |  FROM m)
+      |SELECT d1, d2, CAST(MIN(p1) AS INT) AS start1, CAST(MIN(p2) AS INT) AS start2,
+      |  CAST(COUNT(*) + 7 AS BIGINT) AS span_words
+      |FROM runs GROUP BY d1, d2, diag, isl
+      |HAVING COUNT(*) + 7 >= $d9MinSpan
+      |ORDER BY d1, d2, start1, start2""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d9_substring_dedup" -> d9,
     "d1_exact_dedup"    -> d1,
     "d2_ngram_jaccard"  -> d2,
     "d3_minhash_lsh"    -> d3,
@@ -389,6 +435,7 @@ object DedupQueries extends QueryPack {
     "c1_curation_report" -> c1)
 
   override def oracle: Map[String, String] = Map(
+    "d9_substring_dedup" -> d9Sql,
     "d1_exact_dedup"    -> d1Sql,
     "d2_ngram_jaccard"  -> d2Sql,
     "d3_minhash_lsh"    -> d3Sql,

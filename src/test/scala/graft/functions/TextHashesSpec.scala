@@ -45,6 +45,28 @@ class TextHashesSpec extends SparkSpec {
     kernel shouldBe sql
   }
 
+  test("graft_shingle_seq: positional grams; distinct equals graft_shingle_hash") {
+    val seq = docs.select(
+      call_function("graft_shingle_seq", $"w", lit(3)).as("xs"))
+      .as[Seq[Long]].collect()
+    val dis = docs.select(
+      call_function("graft_shingle_hash", $"w", lit(3)).as("xs"))
+      .as[Seq[Long]].collect()
+    // positional form: size(w) - 2 entries, order = document order
+    seq(0).length shouldBe 5 // 7 words, 3-grams
+    seq(0).distinct.sorted shouldBe dis(0).sorted
+    seq(2) shouldBe Seq.empty // shorter than gram width
+    // position i hashes words i..i+2 — check one by hand
+    seq(0)(1) shouldBe ShingleHash.hashOne("agg row scan")
+    // repeated grams are KEPT (the whole point vs the distinct set)
+    val rep = Seq("a b c a b c a b").toDF("text")
+      .withColumn("w", split($"text", " "))
+      .select(call_function("graft_shingle_seq", $"w", lit(3)).as("xs"))
+      .as[Seq[Long]].head()
+    rep.length shouldBe 6
+    rep(0) shouldBe rep(3) // "a b c" at positions 0 and 3
+  }
+
   test("kernels survive codegen over many rows") {
     val n = spark.range(2000)
       .select(split(concat_ws(" ", lit("a"), $"id", lit("b"), $"id" + 1, lit("c")), " ").as("w"))
