@@ -102,21 +102,54 @@ object TextDedup {
   def minhashSig(xsCol: String, k: Int): Column =
     call_function("graft_minhash", col(xsCol), lit(k))
 
-  /** LSH candidate pairs over a `sig` array column: k values banded
-    * into `bands` groups; pairs sharing any band collide. Returns
-    * (d1, d2, sig1, sig2). */
-  def lshCandidates(sigs: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
+  /** (id, sig, band, key) banded frame — the LSH index layout shared
+    * by the self-join and two-sided forms (and the shape a persisted
+    * signature index stores). */
+  private def bandedFrame(sigs: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
-    val banded = sigs.select(col(idCol).as("__id"), col("sig"),
+    sigs.select(col(idCol).as("__id"), col("sig"),
       explode(array((0 until bands).map(j =>
         struct(lit(j).as("band"),
           concat_ws("-", (0 until rows).map(r => col("sig").getItem(j * rows + r)): _*)
             .as("key"))): _*))
         .as("bk"))
       .select(col("__id"), col("sig"), col("bk.band"), col("bk.key"))
+  }
+
+  /** LSH candidate pairs over a `sig` array column: k values banded
+    * into `bands` groups; pairs sharing any band collide. Returns
+    * (d1, d2, sig1, sig2). */
+  def lshCandidates(sigs: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
+    val banded = bandedFrame(sigs, idCol, k, bands)
     banded.as("a").hint("shuffle_hash").join(banded.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("d1"), col("b.__id").as("d2"),
+        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+      .distinct()
+  }
+
+  /** Two-sided LSH candidates: a NEW batch of signatures against a
+    * PERSISTED corpus index — the incremental production flow ("dedup
+    * today's crawl against the existing corpus without recomputing
+    * it"). `d1` is always the delta doc, `d2` the index doc; rows
+    * with equal ids (re-crawled docs meeting their own index entry)
+    * are excluded. Restricted to a corpus split, the result is
+    * exactly the cross-side slice of the self-join on the union
+    * (pinned in TextDedupSpec).
+    *
+    * Scale: the banded index frame is what a production pipeline
+    * snapshots (id, sig, band, key — bucketable/bucket-joinable by
+    * (band, key)); the delta side is typically ≪ the index, but BOTH
+    * sides stay shuffle_hash — an index never broadcasts, and a
+    * "small" crawl delta at 100 TB corpus scale is still big. */
+  def lshCandidatesTwoSided(delta: DataFrame, index: DataFrame,
+      idCol: String, k: Int, bands: Int): DataFrame = {
+    val da = bandedFrame(delta, idCol, k, bands)
+    val ix = bandedFrame(index, idCol, k, bands)
+    da.as("a").hint("shuffle_hash").join(ix.as("b").hint("shuffle_hash"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.__id") =!= col("b.__id"))
       .select(col("a.__id").as("d1"), col("b.__id").as("d2"),
         col("a.sig").as("sig1"), col("b.sig").as("sig2"))
       .distinct()

@@ -127,7 +127,9 @@ object DedupQueries extends QueryPack {
       .orderBy(col("d1"), col("d2"))
   }
 
-  private val d3Sql = {
+  /** Shared oracle prefix for d3/d10: minhash signatures + the
+    * banded LSH index frame (sigs0 → sigs → banded CTEs). */
+  private val lshBandedSqlPrefix = {
     val sigExprs = perms.zipWithIndex.map { case ((a, b), i) =>
       s"list_min(list_transform(xs, x -> ($a * x + $b) % $P)) AS h$i"
     }.mkString(",\n    ")
@@ -142,19 +144,24 @@ object DedupQueries extends QueryPack {
       |sigs AS (SELECT doc_id, $sigList AS sig, $bandStructs AS bks FROM sigs0),
       |banded AS (
       |  SELECT doc_id, sig, bk['band'] AS band, bk['key'] AS key
-      |  FROM (SELECT doc_id, sig, unnest(bks) AS bk FROM sigs)),
+      |  FROM (SELECT doc_id, sig, unnest(bks) AS bk FROM sigs))""".stripMargin
+  }
+
+  private val sigMatchesSql =
+    """list_sum(list_transform(list_zip(sig1, sig2),
+      |    x -> CASE WHEN x[1] = x[2] THEN 1 ELSE 0 END))""".stripMargin
+
+  private val d3Sql =
+    s"""$lshBandedSqlPrefix,
       |cands AS (
       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.sig AS sig1, b.sig AS sig2
       |  FROM banded a JOIN banded b
       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
       |SELECT d1, d2,
-      |  CAST(list_sum(list_transform(list_zip(sig1, sig2),
-      |    x -> CASE WHEN x[1] = x[2] THEN 1 ELSE 0 END)) AS BIGINT) AS sig_matches
+      |  CAST($sigMatchesSql AS BIGINT) AS sig_matches
       |FROM cands
-      |WHERE list_sum(list_transform(list_zip(sig1, sig2),
-      |    x -> CASE WHEN x[1] = x[2] THEN 1 ELSE 0 END)) >= 12
+      |WHERE $sigMatchesSql >= 12
       |ORDER BY d1, d2""".stripMargin
-  }
 
   /** d4 — SimHash: 32-bit weighted word-hash signature per doc;
     * near-dups have hamming distance ≤ 3. Pair generation via the
@@ -378,6 +385,41 @@ object DedupQueries extends QueryPack {
       |FROM t
       |ORDER BY doc_id""".stripMargin
 
+  /** d10 — incremental (delta-vs-index) LSH near-dup: today's batch
+    * (doc_id % 10 = 3 stands in for the new crawl) probed against the
+    * persisted corpus signature index (the rest) via
+    * [[graft.operators.TextDedup.lshCandidatesTwoSided]] — the batch
+    * production flow where the corpus index is NOT recomputed per
+    * run. Confirmation is d3's ≥12/16 signature agreement through
+    * the `graft_sig_matches` kernel; d1 is always the delta doc. */
+  private def d10(s: SparkSession, dir: String): DataFrame = {
+    val sigs = withShingles(s, dir)
+      .select(col("doc_id"),
+        graft.operators.TextDedup.minhashSig("xs", 16).as("sig"))
+    val delta = sigs.filter(col("doc_id") % 10 === 3)
+    val index = sigs.filter(col("doc_id") % 10 =!= 3)
+    graft.operators.TextDedup
+      .lshCandidatesTwoSided(delta, index, "doc_id", k = 16, bands = bands)
+      .withColumn("sig_matches",
+        call_function("graft_sig_matches", col("sig1"), col("sig2")))
+      .filter(col("sig_matches") >= 12)
+      .select(col("d1"), col("d2"), col("sig_matches"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  private val d10Sql =
+    s"""$lshBandedSqlPrefix,
+      |cands AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.sig AS sig1, b.sig AS sig2
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.key = b.key
+      |   AND a.doc_id % 10 = 3 AND b.doc_id % 10 <> 3)
+      |SELECT d1, d2,
+      |  CAST($sigMatchesSql AS BIGINT) AS sig_matches
+      |FROM cands
+      |WHERE $sigMatchesSql >= 12
+      |ORDER BY d1, d2""".stripMargin
+
   /** d9 — substring-level cross-doc dedup: maximal runs of shared
     * 8-grams between document pairs, reported as spans ≥ 20 words —
     * [[graft.operators.TextDedup.repeatedSpans]] (positional gram
@@ -424,6 +466,7 @@ object DedupQueries extends QueryPack {
       |ORDER BY d1, d2, start1, start2""".stripMargin
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d10_incremental_lsh" -> d10,
     "d9_substring_dedup" -> d9,
     "d1_exact_dedup"    -> d1,
     "d2_ngram_jaccard"  -> d2,
@@ -435,6 +478,7 @@ object DedupQueries extends QueryPack {
     "c1_curation_report" -> c1)
 
   override def oracle: Map[String, String] = Map(
+    "d10_incremental_lsh" -> d10Sql,
     "d9_substring_dedup" -> d9Sql,
     "d1_exact_dedup"    -> d1Sql,
     "d2_ngram_jaccard"  -> d2Sql,

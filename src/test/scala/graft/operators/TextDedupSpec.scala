@@ -116,6 +116,43 @@ class TextDedupSpec extends SparkSpec {
       org.apache.spark.storage.StorageLevel.NONE
   }
 
+  test("two-sided LSH candidates = cross-side slice of the union self-join") {
+    // signatures engineered so band keys collide within {1,2,3} and
+    // within {10,11}, never across groups
+    val sigA = Seq.fill(16)(100L)
+    val sigB = Seq.fill(16)(200L)
+    val sigs = Seq(
+      (1L, sigA), (2L, sigA), (3L, sigA),
+      (10L, sigB), (11L, sigB),
+      (20L, Seq.tabulate(16)(i => 900L + i))).toDF("id", "sig")
+    val delta = sigs.filter(col("id") < 10)
+    val index = sigs.filter(col("id") >= 10)
+    val two = TextDedup.lshCandidatesTwoSided(delta, index, "id", 16, 4)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    // self-join on the union, restricted to cross-side pairs, with
+    // the two-sided orientation (d1 = delta side)
+    val self = TextDedup.lshCandidates(sigs, "id", 16, 4)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val crossSelf = self.collect {
+      case (a, b) if a < 10 && b >= 10 => (a, b)
+      case (a, b) if b < 10 && a >= 10 => (b, a)
+    }
+    two shouldBe crossSelf
+    // and the within-side pairs exist in the self-join but not here
+    self.exists { case (a, b) => a < 10 && b < 10 } shouldBe true
+    two.exists { case (a, b) => b < 10 } shouldBe false
+  }
+
+  test("two-sided LSH keeps the delta orientation and drops same-id hits") {
+    import org.apache.spark.sql.functions.lit
+    val sig = Seq.fill(16)(5L)
+    val delta = Seq((1L, sig)).toDF("id", "sig")
+    val index = Seq((1L, sig), (2L, sig)).toDF("id", "sig") // 1 re-crawled
+    val out = TextDedup.lshCandidatesTwoSided(delta, index, "id", 16, 4)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    out shouldBe Set((1L, 2L)) // own index entry excluded
+  }
+
   test("cap bounds the candidate-join input: hot rows leave the capped index") {
     val docs = ((1 to 20).map(i => (s"d$i", Seq(7L))) :+ ("r", Seq(7L, 8L)))
       .toDF("id", "xs")
