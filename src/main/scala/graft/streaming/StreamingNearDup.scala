@@ -118,9 +118,13 @@ object StreamingNearDup {
     *
     * State is one boolean per emitted pair; like the bucket state it
     * grows with distinct content, and `stateTtlMs` bounds it the same
-    * way (after expiry a re-colliding pair would re-emit — pick the
-    * TTL ≥ the upstream bucket TTL so a pair can only re-emit once
-    * its evidence has itself been forgotten). */
+    * way. CONTRACT (pinned in StreamingNearDupSpec): with
+    * `stateTtlMs > 0`, pair uniqueness is per-TTL-window — the TTL
+    * slides on every sighting, and once a pair's marker expires a
+    * later collision re-emits it. Global exactly-once requires
+    * `stateTtlMs = 0` (unbounded state) or a downstream batch dedup.
+    * Pick the TTL ≥ the upstream bucket TTL so a pair can only
+    * re-emit once its evidence has itself been forgotten. */
   def distinctHits(hits: Dataset[Hit], stateTtlMs: Long = 0): Dataset[PairHit] = {
     val spark = hits.sparkSession
     import spark.implicits._

@@ -134,6 +134,60 @@ class StreamingNearDupSpec extends SparkSpec {
     pairSeen.getTimeoutTimestampMs.get() shouldBe 6000L
   }
 
+  test("TTL re-emission contract: pair uniqueness is per-TTL-window, not global") {
+    // The full lifecycle, pinned so consumers can rely on it:
+    //  1. first sighting emits (and arms the TTL);
+    //  2. later sightings inside the window are swallowed;
+    //  3. at expiry the emitted-marker is dropped silently;
+    //  4. a sighting AFTER expiry emits again — i.e. with stateTtlMs
+    //     set, "(d1,d2) appears once" holds WITHIN one TTL window
+    //     only. Global uniqueness requires stateTtlMs = 0 (or a
+    //     downstream batch dedup). This is the documented trade for
+    //     bounded state on an unbounded stream.
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    def freshState = TestGroupState.create[Boolean](
+      Optional.empty[Boolean], GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long], hasTimedOut = false)
+    val hit = StreamingNearDup.Hit(0, 2L, 1L, 14)
+
+    // 1. first sighting: emits, marker set, TTL armed
+    val s1 = freshState
+    StreamingNearDup.pairDedup(5000)((2L, 1L), Iterator(hit), s1)
+      .toSeq.map(p => (p.d1, p.d2)) shouldBe Seq((2L, 1L))
+    s1.get shouldBe true
+    s1.getTimeoutTimestampMs.get() shouldBe 6000L
+
+    // 2. re-sighting within the window: swallowed, TTL re-armed
+    val s2 = TestGroupState.create[Boolean](
+      Optional.of(true), GroupStateTimeout.ProcessingTimeTimeout,
+      3000L, Optional.empty[Long], hasTimedOut = false)
+    StreamingNearDup.pairDedup(5000)((2L, 1L), Iterator(hit), s2)
+      .toSeq shouldBe Seq.empty
+    s2.getTimeoutTimestampMs.get() shouldBe 8000L // sliding, not fixed
+
+    // 3. expiry: marker dropped, nothing emitted
+    val s3 = TestGroupState.create[Boolean](
+      Optional.of(true), GroupStateTimeout.ProcessingTimeTimeout,
+      9000L, Optional.empty[Long], hasTimedOut = true)
+    StreamingNearDup.pairDedup(5000)((2L, 1L), Iterator.empty, s3)
+      .toSeq shouldBe Seq.empty
+    s3.isRemoved shouldBe true
+
+    // 4. post-expiry sighting: the pair re-emits (fresh state again)
+    val s4 = freshState
+    StreamingNearDup.pairDedup(5000)((2L, 1L), Iterator(hit), s4)
+      .toSeq.map(p => (p.d1, p.d2)) shouldBe Seq((2L, 1L))
+
+    // and with stateTtlMs = 0 no timeout is ever armed → global dedup
+    val s5 = TestGroupState.create[Boolean](
+      Optional.empty[Boolean], GroupStateTimeout.NoTimeout,
+      1000L, Optional.empty[Long], hasTimedOut = false)
+    StreamingNearDup.pairDedup(0)((2L, 1L), Iterator(hit), s5)
+      .toSeq.map(p => (p.d1, p.d2)) shouldBe Seq((2L, 1L))
+    s5.getTimeoutTimestampMs.isPresent shouldBe false
+  }
+
   test("duplicate of a duplicate still resolves against bucket history") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
