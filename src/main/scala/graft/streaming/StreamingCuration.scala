@@ -35,10 +35,18 @@ import graft.operators.TextDedup
   * the same ledger the batch report prints.
   *
   * State story: band-bucket state is [[StreamingNearDup]]'s (FIFO cap
-  * per bucket; bucket COUNT bounded operationally or by TTL at the
-  * caller's `maxBucket`/reset policy), `dropDuplicates` state is one
-  * fingerprint per distinct admitted text, and the per-doc stage
-  * keeps one boolean per admitted doc id.
+  * per bucket), `dropDuplicates` state is one fingerprint per
+  * distinct admitted text, and the per-doc stage keeps one boolean
+  * per admitted doc id. `stateTtlMs > 0` arms a processing-time
+  * timeout on BOTH flatMapGroupsWithState stages (idle band buckets
+  * and admit markers are dropped), bounding their state on an
+  * unbounded ingest session with the same per-TTL-window contract as
+  * [[StreamingNearDup.distinctHits]]: after expiry a re-delivered doc
+  * id can re-admit, and dedup recall reaches back `stateTtlMs` of
+  * wall clock. The exact-dedup `dropDuplicates` ledger has no
+  * processing-time TTL knob (bound it with
+  * `withWatermark` + `dropDuplicatesWithinWatermark` upstream when
+  * the stream carries event time, or a periodic reset).
   */
 object StreamingCuration {
 
@@ -52,7 +60,7 @@ object StreamingCuration {
   def ingest(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       minStopRatio: Double = 0.05, minWords: Int = 10,
       minhashK: Int = 16, bands: Int = 4, minSigMatches: Int = 12,
-      maxBucket: Int = 64): Dataset[CuratedDoc] = {
+      maxBucket: Int = 64, stateTtlMs: Long = 0): Dataset[CuratedDoc] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val rows = minhashK / bands
@@ -84,13 +92,15 @@ object StreamingCuration {
         col("id").as("docId"), col("text"), col("norm"), col("sig"))
       .as[BandedDoc]
 
+    val timeout = if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     val verdicts = banded.groupByKey(b => (b.band, b.key))
-      .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout())(bandGate(minSigMatches, maxBucket))
+      .flatMapGroupsWithState(OutputMode.Append(), timeout)(
+        bandGate(minSigMatches, maxBucket, stateTtlMs))
 
     verdicts.groupByKey(_.docId)
-      .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout())(admit)
+      .flatMapGroupsWithState(OutputMode.Append(), timeout)(
+        admit(stateTtlMs))
       .observe("curation_near_dedup", count(lit(1)).as("docs"))
   }
 
@@ -101,9 +111,11 @@ object StreamingCuration {
     * in id order within a batch, so the lowest id of a same-batch
     * near-dup group is stored first and survives — batch's
     * min-id-wins rule. */
-  private[streaming] def bandGate(minSigMatches: Int, maxBucket: Int)(
+  private[streaming] def bandGate(
+      minSigMatches: Int, maxBucket: Int, stateTtlMs: Long = 0)(
       bucket: (Int, String), batch: Iterator[BandedDoc],
       state: GroupState[List[(Long, Seq[Long])]]): Iterator[Verdict] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     var seen = state.getOption.getOrElse(Nil)
     val out = Seq.newBuilder[Verdict]
     batch.toSeq.sortBy(_.docId).foreach { doc =>
@@ -117,6 +129,7 @@ object StreamingCuration {
       seen = ((doc.docId, doc.sig) :: seen).take(maxBucket)
     }
     state.update(seen)
+    if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
     out.result().iterator
   }
 
@@ -124,10 +137,13 @@ object StreamingCuration {
     * same micro-batch (one exploded input row), so the admit decision
     * is complete here; the boolean state only guards against a doc id
     * being re-admitted by a later redelivery that dodged the exact
-    * ledger. */
-  private[streaming] def admit(docId: Long, batch: Iterator[Verdict],
+    * ledger (per-TTL-window when `stateTtlMs > 0` — see class doc). */
+  private[streaming] def admit(stateTtlMs: Long = 0)(
+      docId: Long, batch: Iterator[Verdict],
       state: GroupState[Boolean]): Iterator[CuratedDoc] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     val vs = batch.toSeq
+    if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
     if (vs.isEmpty || vs.exists(_.hit) || state.exists) Iterator.empty
     else {
       state.update(true)

@@ -42,6 +42,31 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("d9/d10: positional-gram and banded-index self-joins never broadcast") {
+    // same lock as d2-d4: the index-sized candidate joins (gram hash
+    // for d9, band/key for d10) must stay shuffled hash joins; only
+    // size-bounded frames (hot-gram anti list) may broadcast
+    Seq("d9_substring_dedup", "d10_incremental_lsh").foreach { q =>
+      withClue(q) {
+        val p = plan(q)
+        p should include("ShuffledHashJoin")
+        val idxJoins = p.linesIterator.filter(l =>
+          l.contains("Join") && !l.contains("LeftAnti") &&
+            (l.contains("__g") || l.contains("band"))).toList
+        idxJoins.filter(_.contains("BroadcastHashJoin")) shouldBe empty
+      }
+    }
+  }
+
+  test("d8: the cell-bound chunk key reaches the pair join") {
+    // BoundedPairs must key the join on (cluster, __t), not cluster
+    // alone — otherwise a degenerate cell is one quadratic reducer
+    val p = plan("d8_semdedup")
+    val joinLines = p.linesIterator.filter(l =>
+      l.contains("Join") && l.contains("__t")).toList
+    joinLines should not be empty
+  }
+
   test("e10: the as-of operator plans as one merge with a sort per side") {
     val p = plan("e10_asof_operator")
     p should include("AsOfJoin")

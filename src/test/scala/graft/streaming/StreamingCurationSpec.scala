@@ -68,6 +68,50 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateTtlMs: timeout branches drop bucket and admit state; TTLs re-arm") {
+    // deterministic TestGroupState harness (live-clock ms-TTL
+    // streaming tests hang on this VM's checkpoint file-create path)
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    val sig = Seq.fill(16)(7L)
+
+    // band-bucket timeout: state dropped, nothing emitted
+    val bGone = TestGroupState.create[List[(Long, Seq[Long])]](
+      Optional.of(List((1L, sig))), GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long], hasTimedOut = true)
+    StreamingCuration.bandGate(12, 64, stateTtlMs = 5000)(
+      (0, "k"), Iterator.empty, bGone).toSeq shouldBe Seq.empty
+    bGone.isRemoved shouldBe true
+
+    // live band data under TTL: verdicts emit and the timeout re-arms
+    val bLive = TestGroupState.create[List[(Long, Seq[Long])]](
+      Optional.of(List((1L, sig))), GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long], hasTimedOut = false)
+    val vs = StreamingCuration.bandGate(12, 64, stateTtlMs = 5000)(
+      (0, "k"),
+      Iterator(StreamingCuration.BandedDoc(0, "k", 2L, "t", "t", sig)),
+      bLive).toSeq
+    vs.map(v => (v.docId, v.hit)) shouldBe Seq((2L, true))
+    bLive.getTimeoutTimestampMs.get() shouldBe 6000L
+
+    // admit-marker timeout: marker dropped silently...
+    val aGone = TestGroupState.create[Boolean](
+      Optional.of(true), GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long], hasTimedOut = true)
+    StreamingCuration.admit(5000)(9L, Iterator.empty, aGone)
+      .toSeq shouldBe Seq.empty
+    aGone.isRemoved shouldBe true
+    // ...so a post-expiry redelivery re-admits (per-TTL-window
+    // contract, same as StreamingNearDup.distinctHits)
+    val aFresh = TestGroupState.create[Boolean](
+      Optional.empty[Boolean], GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long], hasTimedOut = false)
+    StreamingCuration.admit(5000)(
+      9L, Iterator(StreamingCuration.Verdict(9L, "t", "t", hit = false)),
+      aFresh).toSeq.map(_.id) shouldBe Seq(9L)
+    aFresh.getTimeoutTimestampMs.get() shouldBe 6000L
+  }
+
   test("redelivered and cross-batch near-dup content stays rejected") {
     val in = tmp("graft-cur-in2")
     val stream = spark.readStream
