@@ -565,7 +565,78 @@ object TextQueries extends QueryPack {
       |  ROUND(least(1.0, (sw / d) * 10000.0 / n_tokens), 6) AS sample_rate
       |FROM w, den ORDER BY source""".stripMargin
 
+  /** t13 — mixture APPLICATION: t12's temperature-flattened
+    * per-source sampling rates driven through a deterministic
+    * content-hash sampler (the t6 family: u = md5(doc_id)-derived
+    * uniform in [0,1), keep iff u < rate), with per-source
+    * accounting of what the sampled corpus would contain. This is
+    * the production step after t12 — the mixture is not a report, it
+    * selects the actual training set; hash-based selection makes the
+    * sample reproducible across runs/engines and stable under
+    * corpus re-partitioning (no RNG state).
+    *
+    * The uniform is exact in both engines: a 60-bit md5 prefix as
+    * int64, divided by 2^60 (one correctly-rounded IEEE division),
+    * compared against t12's ROUNDED rate (the hash-gated quantity).
+    *
+    * Scale: one broadcast of the #sources-row rate table, one corpus
+    * scan, partial+final agg — the corpus is touched once, same as
+    * t12. */
+  private def t13(s: SparkSession, dir: String): DataFrame = {
+    val rates = t12(s, dir).select(col("source"), col("sample_rate"))
+    val u = expr(
+      "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) " +
+        "as double) / 1152921504606846976.0") // / 2^60 → uniform [0,1)
+    val keep = col("u") < col("sample_rate")
+    docs(s, dir)
+      .join(broadcast(rates), Seq("source"))
+      .withColumn("u", u)
+      .groupBy(col("source"), col("sample_rate"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_selected"),
+        sum(when(keep, size(split(col("text"), " ")).cast("long"))
+          .otherwise(0L)).as("sel_tokens"))
+      .select(col("source"), col("sample_rate"), col("n_docs"),
+        col("n_selected"), col("sel_tokens"),
+        round(col("n_selected").cast("double") / col("n_docs"), 6)
+          .as("realized_rate"))
+      .orderBy(col("source"))
+  }
+
+  private val t13Sql =
+    """WITH src AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM src),
+      |w AS (
+      |  SELECT source, n_tokens,
+      |    sqrt(CAST(n_tokens AS DOUBLE) / t) AS sw
+      |  FROM src, tot),
+      |den AS (SELECT list_sum(list(sw ORDER BY source)) AS d FROM w),
+      |rates AS (
+      |  SELECT source,
+      |    ROUND(least(1.0, (sw / d) * 10000.0 / n_tokens), 6) AS sample_rate
+      |  FROM w, den),
+      |docs2 AS (
+      |  SELECT d.source, r.sample_rate, d.text,
+      |    CAST(('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,15)) AS BIGINT)
+      |      / 1152921504606846976.0 AS u
+      |  FROM documents d JOIN rates r USING (source))
+      |SELECT source, sample_rate, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN u < sample_rate THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_selected,
+      |  CAST(SUM(CASE WHEN u < sample_rate
+      |    THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT) AS sel_tokens,
+      |  ROUND(CAST(SUM(CASE WHEN u < sample_rate THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 6) AS realized_rate
+      |FROM docs2
+      |GROUP BY source, sample_rate
+      |ORDER BY source""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t13_mixture_sample" -> t13,
     "t1_lang_id"      -> t1,
     "t2_quality"      -> t2,
     "t3_tokens"       -> t3,
@@ -580,6 +651,7 @@ object TextQueries extends QueryPack {
     "t12_mix_weights" -> t12)
 
   override def oracle: Map[String, String] = Map(
+    "t13_mixture_sample" -> t13Sql,
     "t1_lang_id"      -> t1Sql,
     "t2_quality"      -> t2Sql,
     "t3_tokens"       -> t3Sql,
