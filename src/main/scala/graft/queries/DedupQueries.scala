@@ -439,7 +439,9 @@ object DedupQueries extends QueryPack {
         "doc_id", "w", n = 8, maxDf = d9MaxDf, minSpanWords = d9MinSpan)
       .orderBy(col("d1"), col("d2"), col("start1"), col("start2"))
 
-  private val d9Sql =
+  /** Shared oracle prefix for d9/d11: positional grams → capped
+    * inverted index → diagonal runs → spans CTE. */
+  private val spansSqlPrefix =
     s"""WITH g AS (
       |  SELECT doc_id, list_transform(range(1, len(w)-6),
       |    i -> CAST(('0x'||substr(md5(array_to_string(w[i:i+7], ' ')),1,15)) AS BIGINT)
@@ -458,15 +460,89 @@ object DedupQueries extends QueryPack {
       |runs AS (
       |  SELECT d1, d2, diag, p1, p2,
       |    p1 - ROW_NUMBER() OVER (PARTITION BY d1, d2, diag ORDER BY p1) AS isl
-      |  FROM m)
-      |SELECT d1, d2, CAST(MIN(p1) AS INT) AS start1, CAST(MIN(p2) AS INT) AS start2,
-      |  CAST(COUNT(*) + 7 AS BIGINT) AS span_words
-      |FROM runs GROUP BY d1, d2, diag, isl
-      |HAVING COUNT(*) + 7 >= $d9MinSpan
+      |  FROM m),
+      |spans AS (
+      |  SELECT d1, d2, CAST(MIN(p1) AS INT) AS start1, CAST(MIN(p2) AS INT) AS start2,
+      |    CAST(COUNT(*) + 7 AS BIGINT) AS span_words
+      |  FROM runs GROUP BY d1, d2, diag, isl
+      |  HAVING COUNT(*) + 7 >= $d9MinSpan)""".stripMargin
+
+  private val d9Sql =
+    s"""$spansSqlPrefix
+      |SELECT d1, d2, start1, start2, span_words
+      |FROM spans
       |ORDER BY d1, d2, start1, start2""".stripMargin
+
+  /** d11 — span REMOVAL, the apply step of d9: for every repeated
+    * span the copy in the LOWER doc id survives and the higher-id
+    * doc's occurrence is scrubbed (Lee et al.'s remove-all-but-one
+    * policy, keyed deterministically by id). Overlapping spans merge
+    * naturally through the position-set union; output is the
+    * per-affected-doc accounting plus an md5 of the scrubbed text
+    * (text itself stays distributed — only the fingerprint leaves).
+    *
+    * Scale: the removal position set is bounded by total matched
+    * span words (not corpus size); the scrub is an anti-join on
+    * (doc, pos) + one ordered re-fold per affected doc — no global
+    * structure anywhere. */
+  private def d11(s: SparkSession, dir: String): DataFrame = {
+    val wdocs = docs(s, dir)
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 8)
+    val spans = graft.operators.TextDedup
+      .repeatedSpans(wdocs, "doc_id", "w", n = 8,
+        maxDf = d9MaxDf, minSpanWords = d9MinSpan)
+    val rm = spans.select(col("d2").as("doc_id"),
+        explode(sequence(col("start2").cast("long"),
+          col("start2").cast("long") + col("span_words") - 1)).as("pos"))
+      .distinct()
+    val words = wdocs
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("p", "word")))
+      .select(col("doc_id"), col("p").cast("long").as("pos"), col("word"))
+    val kept = words.join(rm, Seq("doc_id", "pos"), "left_anti")
+    val affected = rm.select("doc_id").distinct()
+    kept.join(affected, Seq("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        md5(expr("concat_ws(' ', transform(" +
+          "array_sort(collect_list(struct(pos, word))), s -> s.word))"))
+          .as("clean_md5"))
+      .join(wdocs.select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"), col("n_kept"),
+        (col("n_words") - col("n_kept")).as("n_removed"), col("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d11Sql =
+    s"""$spansSqlPrefix,
+      |rm AS (
+      |  SELECT DISTINCT d2 AS doc_id,
+      |    unnest(range(start2, start2 + span_words)) AS pos
+      |  FROM spans),
+      |wd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |words AS (
+      |  SELECT doc_id, generate_subscripts(w, 1) - 1 AS pos, unnest(w) AS word
+      |  FROM wd WHERE len(w) >= 8),
+      |kept AS (
+      |  SELECT wo.doc_id, wo.pos, wo.word
+      |  FROM words wo LEFT JOIN rm ON wo.doc_id = rm.doc_id AND wo.pos = rm.pos
+      |  WHERE rm.doc_id IS NULL),
+      |affected AS (SELECT DISTINCT doc_id FROM rm)
+      |SELECT k.doc_id, CAST(len(wd.w) AS BIGINT) AS n_words,
+      |  COUNT(*) AS n_kept,
+      |  CAST(len(wd.w) - COUNT(*) AS BIGINT) AS n_removed,
+      |  md5(string_agg(k.word, ' ' ORDER BY k.pos)) AS clean_md5
+      |FROM kept k
+      |JOIN affected USING (doc_id)
+      |JOIN wd ON k.doc_id = wd.doc_id
+      |GROUP BY k.doc_id, len(wd.w)
+      |ORDER BY k.doc_id""".stripMargin
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d10_incremental_lsh" -> d10,
+    "d11_span_scrub"    -> d11,
     "d9_substring_dedup" -> d9,
     "d1_exact_dedup"    -> d1,
     "d2_ngram_jaccard"  -> d2,
@@ -479,6 +555,7 @@ object DedupQueries extends QueryPack {
 
   override def oracle: Map[String, String] = Map(
     "d10_incremental_lsh" -> d10Sql,
+    "d11_span_scrub"    -> d11Sql,
     "d9_substring_dedup" -> d9Sql,
     "d1_exact_dedup"    -> d1Sql,
     "d2_ngram_jaccard"  -> d2Sql,
