@@ -115,6 +115,11 @@ class PlanAuditSpec extends SparkSpec {
     p should include("BroadcastHashJoin")
   }
 
+  test("t13: the mixture-rate table broadcasts; the corpus side probes") {
+    val p = plan("t13_mixture_sample")
+    p should include("BroadcastHashJoin")
+  }
+
   test("e16: the salt reaches the join keys (skew spread is real)") {
     val p = plan("e16_salted_join")
     val joinLines = p.linesIterator.filter(l =>
