@@ -451,7 +451,64 @@ object SimilarityQueries extends QueryPack {
       |      FROM pairs WHERE cos >= 0.45) t
       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  /** d12 — incremental SemDeDup (the embedding analog of d10's
+    * delta-vs-index flow): a new batch of vectors (vec_id % 10 = 4
+    * stands in for today's embeddings) checked against the persisted
+    * corpus WITHOUT re-pairing the corpus with itself. The quantizer
+    * is frozen (the production norm: k-means centroids trained once
+    * on the historical corpus assign both sides map-side), so a delta
+    * vector only compares against index members of its own cell; a
+    * delta vector is flagged when an index neighbor has cosine ≥ 0.45
+    * and the emitted keeper is the smallest such index id (d8's
+    * policy).
+    *
+    * Scale: delta-side work is |delta| × cell-size dot products —
+    * nothing touches index×index; the cluster equi-join stays
+    * shuffle_hash (an index never broadcasts). For degenerate cells,
+    * compose with the BoundedPairs chunk pattern (two-sided variant:
+    * chunk the index side, replicate the delta side). */
+  private def d12(s: SparkSession, dir: String): DataFrame = {
+    val nm = kmeansAssign(s, dir)
+      .withColumn("norm", sqrt(col("vv")))
+      .select(col("cluster"), col("vec_id"), col("v"), col("norm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    nm.count()
+    val delta = nm.filter(col("vec_id") % 10 === 4)
+    val index = nm.filter(col("vec_id") % 10 =!= 4)
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("keeper"))
+    delta.as("a")
+      .join(index.as("b").hint("shuffle_hash"),
+        col("a.cluster") === col("b.cluster"))
+      .select(col("a.vec_id").as("vec_id"),
+        col("a.cluster").cast("long").as("cluster"),
+        col("b.vec_id").as("keeper"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6)
+          .as("cos"))
+      .filter(col("cos") >= 0.45)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cluster"), col("keeper"), col("cos"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val d12Sql = kmeansSql +
+    """,
+      |nm AS (SELECT vec_id, v, cluster,
+      |       sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM a2),
+      |pairs AS (
+      |  SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+      |    b.vec_id AS keeper,
+      |    ROUND(list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]))
+      |      / (a.norm * b.norm), 6) AS cos
+      |  FROM nm a JOIN nm b ON a.cluster = b.cluster
+      |   AND a.vec_id % 10 = 4 AND b.vec_id % 10 <> 4)
+      |SELECT vec_id, cluster, keeper, cos
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY keeper) AS rn
+      |      FROM pairs WHERE cos >= 0.45) t
+      |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d12_incr_semdedup" -> d12,
     "s1_knn_brute" -> s1,
     "s2_ivf_ann"   -> s2,
     "s3_topk_agg"  -> s3,
@@ -461,6 +518,7 @@ object SimilarityQueries extends QueryPack {
     "d8_semdedup"  -> d8)
 
   override def oracle: Map[String, String] = Map(
+    "d12_incr_semdedup" -> d12Sql,
     "s1_knn_brute" -> s1Sql,
     "s2_ivf_ann"   -> s2Sql,
     "s3_topk_agg"  -> s1Sql,

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryPack, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline over the
@@ -635,7 +636,76 @@ object TextQueries extends QueryPack {
       |GROUP BY source, sample_rate
       |ORDER BY source""".stripMargin
 
+  /** t14 — sequence packing: the concat-and-chunk step that turns a
+    * curated corpus into fixed-budget training sequences (B = 512
+    * tokens). Documents are concatenated per source in a
+    * deterministic content-hash order (the t6/t13 convention, so the
+    * packing is reproducible and partition-independent) and a doc is
+    * assigned to the sequence its FIRST token falls in
+    * (`seq_id = tokens_before div B`). Emits per-sequence packing
+    * stats.
+    *
+    * Scale: the running token total is NOT a per-source window (20
+    * sources → 20 reducers funneling the corpus — the q20 trap).
+    * Same cure as q20: bucket by the leading hash byte (256
+    * deterministic buckets per source), local cumsums per
+    * (source, bucket) — thousands of independent window partitions —
+    * plus broadcast prefix-sum offsets from the metadata-scale
+    * per-bucket count frame. `div` keeps the arithmetic in exact
+    * int64 (a double division would lose token-offset precision past
+    * 2^53 on a real corpus). */
+  private def t14(s: SparkSession, dir: String): DataFrame = {
+    val B = 512
+    val t = docs(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("bk", substring(col("h"), 1, 2))
+    val counts = t.groupBy(col("source"), col("bk"))
+      .agg(sum(col("n_tokens")).as("c"))
+    val wOff = Window.partitionBy(col("source")).orderBy(col("bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .select(col("source"), col("bk"), col("off"))
+    val wLoc = Window.partitionBy(col("source"), col("bk"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.withColumn("lc", sum(col("n_tokens")).over(wLoc))
+      .join(broadcast(offsets), Seq("source", "bk"))
+      .withColumn("before", col("off") + col("lc") - col("n_tokens"))
+      .withColumn("seq_id", expr(s"before div $B"))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"))
+      .orderBy(col("source"), col("seq_id"))
+  }
+
+  private val t14Sql =
+    """WITH t AS (
+      |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    md5(CAST(doc_id AS VARCHAR)) AS h,
+      |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bk
+      |  FROM documents),
+      |counts AS (SELECT source, bk, SUM(n_tokens) AS c FROM t GROUP BY source, bk),
+      |offsets AS (
+      |  SELECT source, bk,
+      |    COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY bk
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |  FROM counts),
+      |ranked AS (
+      |  SELECT t.source, t.doc_id, t.n_tokens,
+      |    o.off + SUM(t.n_tokens) OVER (PARTITION BY t.source, t.bk
+      |      ORDER BY t.h, t.doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t.n_tokens AS before
+      |  FROM t JOIN offsets o ON t.source = o.source AND t.bk = o.bk)
+      |SELECT source, CAST(before // 512 AS BIGINT) AS seq_id,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+      |FROM ranked
+      |GROUP BY source, before // 512
+      |ORDER BY source, seq_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_seq_pack"       -> t14,
     "t13_mixture_sample" -> t13,
     "t1_lang_id"      -> t1,
     "t2_quality"      -> t2,
@@ -651,6 +721,7 @@ object TextQueries extends QueryPack {
     "t12_mix_weights" -> t12)
 
   override def oracle: Map[String, String] = Map(
+    "t14_seq_pack"       -> t14Sql,
     "t13_mixture_sample" -> t13Sql,
     "t1_lang_id"      -> t1Sql,
     "t2_quality"      -> t2Sql,
