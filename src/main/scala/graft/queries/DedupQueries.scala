@@ -420,6 +420,89 @@ object DedupQueries extends QueryPack {
       |WHERE $sigMatchesSql >= 12
       |ORDER BY d1, d2""".stripMargin
 
+  /** d13 — approximation audit: precision/recall of the LSH path
+    * (d3: band collisions + ≥12/16 signature agreement) against the
+    * exact inverted-index Jaccard pairs (d2: ≥0.8), as one report
+    * row. This is q20's accuracy-contract philosophy applied to
+    * dedup: before switching a 100 TB pipeline from the exact index
+    * to the linear-cost LSH path, PROVE on a slice that the sketch
+    * tracks the truth — and keep the audit running as the corpus
+    * drifts.
+    *
+    * Scale: both operand pipelines are the already-bounded d2/d3
+    * shapes; the comparison itself is a full-outer join on pair keys
+    * (output-sized) and one global count row. */
+  private def d13(s: SparkSession, dir: String): DataFrame = {
+    val ws = withShingles(s, dir)
+    val exact = graft.operators.TextDedup
+      .jaccardPairs(ws, "doc_id", "xs", threshold = 0.8, maxDf = d2MaxDf)
+      .select(col("d1"), col("d2"), lit(1).as("e"))
+    val sigs = ws.select(col("doc_id"),
+      graft.operators.TextDedup.minhashSig("xs", 16).as("sig"))
+    val lsh = graft.operators.TextDedup
+      .lshCandidates(sigs, "doc_id", k = 16, bands = bands)
+      .withColumn("m", call_function("graft_sig_matches", col("sig1"), col("sig2")))
+      .filter(col("m") >= 12)
+      .select(col("d1"), col("d2"), lit(1).as("l"))
+    exact.join(lsh, Seq("d1", "d2"), "full_outer")
+      .agg(
+        count(col("e")).as("n_exact"),
+        count(col("l")).as("n_lsh"),
+        count(when(col("e").isNotNull && col("l").isNotNull, 1)).as("n_both"))
+      .select(col("n_exact"), col("n_lsh"), col("n_both"),
+        round(col("n_both").cast("double") / col("n_lsh"), 6).as("prec"),
+        round(col("n_both").cast("double") / col("n_exact"), 6).as("recall"))
+  }
+
+  private val d13Sql = {
+    val sigExprs = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(xs, x -> ($a * x + $b) % $P)) AS h$i"
+    }.mkString(",\n    ")
+    val sigList = (0 until 16).map(i => s"h$i").mkString("[", ", ", "]")
+    val bandStructs = (0 until bands).map(j =>
+      s"{'band': $j, 'key': h${j * 4}||'-'||h${j * 4 + 1}||'-'||h${j * 4 + 2}||'-'||h${j * 4 + 3}}"
+    ).mkString("[", ", ", "]")
+    s"""WITH ws AS ($withShinglesSql),
+      |sh AS (SELECT doc_id, unnest(xs) AS sh FROM ws),
+      |hot AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) > $d2MaxDf),
+      |capped AS (SELECT * FROM sh WHERE sh NOT IN (SELECT sh FROM hot)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+      |v AS (
+      |  SELECT d1, d2, len(list_intersect(x.xs, y.xs)) AS common,
+      |    len(x.xs) AS n1, len(y.xs) AS n2
+      |  FROM cand JOIN ws x ON d1 = x.doc_id JOIN ws y ON d2 = y.doc_id),
+      |exactp AS (
+      |  SELECT d1, d2 FROM v
+      |  WHERE ROUND(CAST(common AS DOUBLE)/(n1 + n2 - common), 6) >= 0.8),
+      |sigs0 AS (SELECT doc_id, $sigExprs FROM ws),
+      |sigs AS (SELECT doc_id, $sigList AS sig, $bandStructs AS bks FROM sigs0),
+      |banded AS (
+      |  SELECT doc_id, sig, bk['band'] AS band, bk['key'] AS key
+      |  FROM (SELECT doc_id, sig, unnest(bks) AS bk FROM sigs)),
+      |cands AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.sig AS sig1, b.sig AS sig2
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+      |lshp AS (
+      |  SELECT d1, d2 FROM cands
+      |  WHERE $sigMatchesSql >= 12),
+      |j AS (
+      |  SELECT COALESCE(e.d1, l.d1) AS d1, COALESCE(e.d2, l.d2) AS d2,
+      |    e.d1 IS NOT NULL AS in_e, l.d1 IS NOT NULL AS in_l
+      |  FROM exactp e FULL OUTER JOIN lshp l ON e.d1 = l.d1 AND e.d2 = l.d2)
+      |SELECT
+      |  CAST(SUM(CASE WHEN in_e THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+      |  CAST(SUM(CASE WHEN in_l THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh,
+      |  CAST(SUM(CASE WHEN in_e AND in_l THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+      |  ROUND(CAST(SUM(CASE WHEN in_e AND in_l THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / SUM(CASE WHEN in_l THEN 1 ELSE 0 END), 6) AS prec,
+      |  ROUND(CAST(SUM(CASE WHEN in_e AND in_l THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / SUM(CASE WHEN in_e THEN 1 ELSE 0 END), 6) AS recall
+      |FROM j""".stripMargin
+  }
+
   /** d9 — substring-level cross-doc dedup: maximal runs of shared
     * 8-grams between document pairs, reported as spans ≥ 20 words —
     * [[graft.operators.TextDedup.repeatedSpans]] (positional gram
@@ -543,6 +626,7 @@ object DedupQueries extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d10_incremental_lsh" -> d10,
     "d11_span_scrub"    -> d11,
+    "d13_lsh_audit"     -> d13,
     "d9_substring_dedup" -> d9,
     "d1_exact_dedup"    -> d1,
     "d2_ngram_jaccard"  -> d2,
@@ -556,6 +640,7 @@ object DedupQueries extends QueryPack {
   override def oracle: Map[String, String] = Map(
     "d10_incremental_lsh" -> d10Sql,
     "d11_span_scrub"    -> d11Sql,
+    "d13_lsh_audit"     -> d13Sql,
     "d9_substring_dedup" -> d9Sql,
     "d1_exact_dedup"    -> d1Sql,
     "d2_ngram_jaccard"  -> d2Sql,
