@@ -3,7 +3,7 @@ package graft.props
 import org.scalacheck.{Gen, Prop, Properties}
 import org.scalacheck.Prop.forAll
 
-import graft.functions.{MinHashSig, ScoredId, ShingleHash, TopKAgg}
+import graft.functions.{AHash, MinHashSig, ScoredId, ShingleHash, ShingleSeq, SigMatches, TopKAgg}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -72,6 +72,50 @@ object GraftProperties extends Properties("graft") {
         a.foldLeft(agg.zero)(agg.reduce)))
       val whole = agg.finish((a ++ b).foldLeft(agg.zero)(agg.reduce))
       r1 == r2 && r1 == whole
+    }
+
+  property("shingleSeq positions: length m-n+1, seq(i) hashes gram i, distinct = set") =
+    forAll(words) { ws =>
+      val seq = ShingleSeq.seqHashes(arr(ws), 3).toLongArray
+      val set = ShingleHash.hashes(arr(ws), 3).toLongArray.toSet
+      seq.length == math.max(0, ws.length - 2) &&
+        seq.toSet == set &&
+        seq.zipWithIndex.forall { case (h, i) =>
+          h == ShingleHash.hashOne(ws.slice(i, i + 3).mkString(" "))
+        }
+    }
+
+  private val frame = Gen.listOfN(16, Gen.choose(0, 255)).map(_.map(_.toByte).toArray)
+
+  property("ahash: 16-bit range, constant frames hash 0, short frames hash 0") =
+    forAll(frame, Gen.choose(0, 255), Gen.choose(0, 15)) { (f, c, cut) =>
+      AHash.ahash(f) >= 0 && AHash.ahash(f) < (1L << 16) &&
+        AHash.ahash(Array.fill(16)(c.toByte)) == 0L &&
+        AHash.ahash(f.take(cut)) == 0L
+    }
+
+  property("ahash is brightness-scale invariant (the perceptual property)") =
+    forAll(Gen.listOfN(16, Gen.choose(0, 63)), Gen.choose(1, 4)) { (bs, c) =>
+      // multiplying every byte by c preserves which bytes sit above the
+      // mean, so the hash must not change (no clipping: 63*4 < 256)
+      val f1 = bs.map(_.toByte).toArray
+      val f2 = bs.map(b => (b * c).toByte).toArray
+      AHash.ahash(f1) == AHash.ahash(f2)
+    }
+
+  private val sigArr = Gen.listOf(Gen.option(Gen.choose(0L, 100L)))
+  private def sigData(xs: Seq[Option[Long]]) =
+    new GenericArrayData(xs.map(_.map(Long.box).orNull: Any).toArray)
+
+  property("sigMatches: symmetric, bounded, self = non-null count, nulls = 0") =
+    forAll(sigArr, sigArr) { (a, b) =>
+      val ab = SigMatches.matches(sigData(a), sigData(b))
+      val ba = SigMatches.matches(sigData(b), sigData(a))
+      val self = SigMatches.matches(sigData(a), sigData(a))
+      ab == ba &&
+        ab <= math.min(a.length, b.length) &&
+        self == a.count(_.isDefined) &&
+        SigMatches.matches(sigData(Seq(None, None)), sigData(Seq(None, None))) == 0L
     }
 
   property("dateKey falls back to UTC on any garbage zone id") =
