@@ -28,10 +28,7 @@ object BoundedPairs {
   def withinGroupPairs(
       df: DataFrame, groupCol: String, idCol: String, maxCell: Int): DataFrame = {
     require(maxCell > 0, "maxCell must be positive")
-    val sizes = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
-      .withColumn("__m", greatest(lit(1),
-        ceil(col("__n") / lit(maxCell.toDouble)).cast("int")))
-      .select(col(groupCol), col("__m"))
+    val sizes = chunkCounts(df, groupCol, maxCell)
     val tagged = df.join(broadcast(sizes), Seq(groupCol))
     val aSide = tagged
       .withColumn("__t", explode(sequence(lit(0), col("__m") - 1)))
@@ -45,4 +42,37 @@ object BoundedPairs {
           col("a.__t") === col("b.__t") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
   }
+
+  /** Two-sided form: every (left row, right row) pair sharing `g`
+    * with DIFFERENT ids — the delta-vs-index shape (d12). The RIGHT
+    * (index) side is chunked by its own group sizes; the LEFT
+    * (delta) side replicates per target chunk, so one degenerate
+    * index cell spreads across ⌈n_right/maxCell⌉ keys instead of one
+    * reducer. Pair set = the plain group equi-join minus same-id
+    * rows, each pair exactly once. */
+  def crossGroupPairs(
+      left: DataFrame, right: DataFrame,
+      groupCol: String, idCol: String, maxCell: Int): DataFrame = {
+    require(maxCell > 0, "maxCell must be positive")
+    val sizes = chunkCounts(right, groupCol, maxCell)
+    val aSide = left.join(broadcast(sizes), Seq(groupCol))
+      .withColumn("__t", explode(sequence(lit(0), col("__m") - 1)))
+      .drop("__m")
+    val bSide = right.join(broadcast(sizes), Seq(groupCol))
+      .withColumn("__t", pmod(xxhash64(col(idCol)), col("__m")).cast("int"))
+      .drop("__m")
+    aSide.as("a").hint("shuffle_hash")
+      .join(bSide.as("b").hint("shuffle_hash"),
+        col(s"a.$groupCol") === col(s"b.$groupCol") &&
+          col("a.__t") === col("b.__t") &&
+          col(s"a.$idCol") =!= col(s"b.$idCol"))
+  }
+
+  /** One row per group: `__m` = ⌈group size / maxCell⌉ chunks —
+    * metadata-scale, always broadcastable. */
+  private def chunkCounts(df: DataFrame, groupCol: String, maxCell: Int): DataFrame =
+    df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__m", greatest(lit(1),
+        ceil(col("__n") / lit(maxCell.toDouble)).cast("int")))
+      .select(col(groupCol), col("__m"))
 }

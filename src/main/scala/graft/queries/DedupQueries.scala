@@ -565,9 +565,12 @@ object DedupQueries extends QueryPack {
     * (text itself stays distributed — only the fingerprint leaves).
     *
     * Scale: the removal position set is bounded by total matched
-    * span words (not corpus size); the scrub is an anti-join on
-    * (doc, pos) + one ordered re-fold per affected doc — no global
-    * structure anywhere. */
+    * span words (not corpus size), and the per-word positional frame
+    * is built ONLY for affected docs — the doc-level semi-join runs
+    * first, so the token-level explode/anti-join/re-fold never
+    * touches the unaffected corpus (exploding every token of a
+    * 100 TB corpus into a shuffle to scrub 1% of docs would be the
+    * wrong order). */
   private def d11(s: SparkSession, dir: String): DataFrame = {
     val wdocs = docs(s, dir)
       .withColumn("w", split(col("text"), " "))
@@ -575,16 +578,20 @@ object DedupQueries extends QueryPack {
     val spans = graft.operators.TextDedup
       .repeatedSpans(wdocs, "doc_id", "w", n = 8,
         maxDf = d9MaxDf, minSpanWords = d9MinSpan)
+    // rm feeds two consumers (affected-doc list + position anti-join);
+    // persist so the whole span pipeline runs once (eager count ends
+    // the parallel cache-fill race — see jaccardPairsLeased)
     val rm = spans.select(col("d2").as("doc_id"),
         explode(sequence(col("start2").cast("long"),
           col("start2").cast("long") + col("span_words") - 1)).as("pos"))
       .distinct()
-    val words = wdocs
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rm.count()
+    val affected = rm.select("doc_id").distinct()
+    val words = wdocs.join(affected, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), posexplode(col("w")).as(Seq("p", "word")))
       .select(col("doc_id"), col("p").cast("long").as("pos"), col("word"))
-    val kept = words.join(rm, Seq("doc_id", "pos"), "left_anti")
-    val affected = rm.select("doc_id").distinct()
-    kept.join(affected, Seq("doc_id"))
+    words.join(rm, Seq("doc_id", "pos"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_kept"),

@@ -463,10 +463,11 @@ object SimilarityQueries extends QueryPack {
     * policy).
     *
     * Scale: delta-side work is |delta| × cell-size dot products —
-    * nothing touches index×index; the cluster equi-join stays
-    * shuffle_hash (an index never broadcasts). For degenerate cells,
-    * compose with the BoundedPairs chunk pattern (two-sided variant:
-    * chunk the index side, replicate the delta side). */
+    * nothing touches index×index; the cluster join runs through
+    * [[graft.operators.BoundedPairs.crossGroupPairs]], which chunks
+    * degenerate index cells and replicates the delta side per chunk
+    * (d8's guard, two-sided), and stays shuffle_hash (an index never
+    * broadcasts). */
   private def d12(s: SparkSession, dir: String): DataFrame = {
     val nm = kmeansAssign(s, dir)
       .withColumn("norm", sqrt(col("vv")))
@@ -476,9 +477,8 @@ object SimilarityQueries extends QueryPack {
     val delta = nm.filter(col("vec_id") % 10 === 4)
     val index = nm.filter(col("vec_id") % 10 =!= 4)
     val w = Window.partitionBy(col("vec_id")).orderBy(col("keeper"))
-    delta.as("a")
-      .join(index.as("b").hint("shuffle_hash"),
-        col("a.cluster") === col("b.cluster"))
+    graft.operators.BoundedPairs
+      .crossGroupPairs(delta, index, "cluster", "vec_id", maxCell = d8MaxCell)
       .select(col("a.vec_id").as("vec_id"),
         col("a.cluster").cast("long").as("cluster"),
         col("b.vec_id").as("keeper"),

@@ -38,6 +38,28 @@ class BoundedPairsSpec extends SparkSpec {
     chunks.map(_.getLong(1)).max.toInt should be < 60 // ≪ 200
   }
 
+  test("crossGroupPairs: same pairs as the plain group join, same-id dropped") {
+    // dominant index cell (150 rows) + small one; delta overlaps one id
+    val index = ((0 until 150).map(i => ("big", i.toLong)) ++
+      (500 until 520).map(i => ("small", i.toLong))).toDF("g", "id")
+    val delta = Seq(("big", 7L), ("big", 1000L), ("small", 505L), ("none", 1L))
+      .toDF("g", "id")
+    val out = BoundedPairs.crossGroupPairs(delta, index, "g", "id", maxCell = 32)
+      .select(col("a.id").as("d"), col("b.id").as("i"))
+    val expected = delta.as("l").join(index.as("r"), Seq("g"))
+      .filter(col("l.id") =!= col("r.id"))
+      .select(col("l.id").as("d"), col("r.id").as("i"))
+    out.count() shouldBe expected.count()
+    out.except(expected).count() shouldBe 0L
+    expected.except(out).count() shouldBe 0L
+    out.distinct().count() shouldBe out.count() // each pair exactly once
+    // the re-crawled id (7 in big, 505 in small) never pairs with itself
+    out.filter(col("d") === col("i")).count() shouldBe 0L
+    // chunk key reaches the physical join
+    BoundedPairs.crossGroupPairs(delta, index, "g", "id", 32)
+      .queryExecution.executedPlan.toString should include("__t")
+  }
+
   test("groups at or under maxCell pay zero replication") {
     val df = (0 until 10).map(i => ("g", i.toLong)).toDF("g", "id")
     val out = BoundedPairs.withinGroupPairs(df, "g", "id", maxCell = 32)
