@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe ordered prefix sums — the cure for the two window
+  * funnels PlanAuditSpec outlaws: an unpartitioned `Window.orderBy`
+  * (one reducer for everything) and a low-cardinality
+  * `partitionBy(k).orderBy(x)` (k reducers for the corpus, e.g. 3
+  * returnflags or 20 sources).
+  *
+  * `prefixSum` computes, per group, the running `sum(weight)` in
+  * `(bucket, order)` order WITHOUT a per-group sort: rows are
+  * bucketed by a caller-supplied DETERMINISTIC expression that is
+  * monotone in the intended order (`floor(x/1000)`, a leading hash
+  * byte), local running sums run per (group, bucket) — thousands of
+  * independent window partitions — and per-bucket totals (one row
+  * per bucket, metadata-scale at any SF) turn into broadcast
+  * prefix-sum offsets. Two fully parallel passes; bucket width is
+  * the skew knob.
+  *
+  * The bucket expression must be deterministic — NOT
+  * `repartitionByRange` partition ids, whose sampled boundaries can
+  * disagree between the counts pass and the rank pass (measured;
+  * see ROUND_NOTES).
+  *
+  * Row-number ranks are `weight = lit(1)`; q20's exact quantile
+  * ranks and t14's sequence-packing token offsets are both this
+  * operator.
+  */
+object OffsetWindow {
+
+  /** Adds `out` = running sum of `weight` within each `groupCols`
+    * group, ordered by (`bucket`, `order`), inclusive of the current
+    * row. `bucket` must be monotone non-decreasing in (`order`) per
+    * group OR independent of it only when ranks within a bucket
+    * never cross buckets (hash buckets are valid when `order` starts
+    * with the same hash — the t14 shape). */
+  def prefixSum(df: DataFrame, groupCols: Seq[String], bucket: Column,
+      order: Seq[Column], weight: Column, out: String): DataFrame = {
+    // empty group list → one logical group; a lit partition key keeps
+    // the offset window over the (tiny) bucket-count frame partitioned
+    val gcols: Seq[Column] =
+      if (groupCols.nonEmpty) groupCols.map(col) else Seq(lit(0).as("__g"))
+    val gnames: Seq[String] =
+      if (groupCols.nonEmpty) groupCols else Seq("__g")
+    val t = df.withColumn("__bk", bucket)
+      .withColumn("__w", weight.cast("long"))
+    val base = if (groupCols.nonEmpty) t else t.withColumn("__g", lit(0))
+    val counts = base.groupBy((gnames :+ "__bk").map(col): _*)
+      .agg(sum(col("__w")).as("__c"))
+    val wOff = Window.partitionBy(gnames.map(col): _*).orderBy(col("__bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
+      .select((gnames :+ "__bk" :+ "__off").map(col): _*)
+    val wLoc = Window.partitionBy((gnames :+ "__bk").map(col): _*)
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("__lc", sum(col("__w")).over(wLoc))
+      .join(broadcast(offsets), gnames :+ "__bk")
+      .withColumn(out, col("__off") + col("__lc"))
+      .drop("__bk", "__lc", "__off", "__w")
+      .drop((if (groupCols.nonEmpty) Nil else Seq("__g")): _*)
+  }
+
+  /** 1-based global rank of each row within its group, ordered by
+    * (`bucket`, `order`) — `prefixSum` with unit weight. */
+  def globalRank(df: DataFrame, groupCols: Seq[String], bucket: Column,
+      order: Seq[Column], out: String): DataFrame =
+    prefixSum(df, groupCols, bucket, order, lit(1L), out)
+}

@@ -349,23 +349,12 @@ object MoreRelationalQueries extends QueryPack {
   private def q20(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir, "lineitem")
       .select(col("l_returnflag").as("rf"), col("l_extendedprice").as("x"))
-      .withColumn("bk", floor(col("x") / 1000).cast("long"))
-    // per-(rf, bucket) counts → prefix-sum offsets; the frame is one
-    // row per bucket (~330 rows at ANY scale), so the ordered window
-    // here is over metadata, not data
-    val counts = t.groupBy(col("rf"), col("bk")).agg(count(lit(1)).as("c"))
-    val wOff = Window.partitionBy(col("rf")).orderBy(col("bk"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = counts
-      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
-      .select(col("rf"), col("bk"), col("off"))
-    val ns = counts.groupBy(col("rf")).agg(sum(col("c")).as("n"))
-    val wLoc = Window.partitionBy(col("rf"), col("bk")).orderBy(col("x"))
-    val ranked = t
-      .withColumn("lr", row_number().over(wLoc))
-      .join(broadcast(offsets), Seq("rf", "bk"))
+    val ns = t.groupBy(col("rf")).agg(count(lit(1)).as("n"))
+    val ranked = graft.operators.OffsetWindow
+      .globalRank(t, Seq("rf"),
+        bucket = floor(col("x") / 1000).cast("long"),
+        order = Seq(col("x")), out = "rn")
       .join(broadcast(ns), Seq("rf"))
-      .withColumn("rn", col("off") + col("lr"))
     def atRank(r: Column): Column = max(when(col("rn") === r, col("x")))
     def target(p: Double): Column = ceil(lit(p) * col("n")).cast("long")
     def clamp(c: Column): Column = greatest(lit(1L), least(col("n"), c))

@@ -660,20 +660,12 @@ object TextQueries extends QueryPack {
       .select(col("source"), col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .withColumn("h", md5(col("doc_id").cast("string")))
-      .withColumn("bk", substring(col("h"), 1, 2))
-    val counts = t.groupBy(col("source"), col("bk"))
-      .agg(sum(col("n_tokens")).as("c"))
-    val wOff = Window.partitionBy(col("source")).orderBy(col("bk"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = counts
-      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
-      .select(col("source"), col("bk"), col("off"))
-    val wLoc = Window.partitionBy(col("source"), col("bk"))
-      .orderBy(col("h"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t.withColumn("lc", sum(col("n_tokens")).over(wLoc))
-      .join(broadcast(offsets), Seq("source", "bk"))
-      .withColumn("before", col("off") + col("lc") - col("n_tokens"))
+    graft.operators.OffsetWindow
+      .prefixSum(t, Seq("source"),
+        bucket = substring(col("h"), 1, 2),
+        order = Seq(col("h"), col("doc_id")),
+        weight = col("n_tokens"), out = "cum")
+      .withColumn("before", col("cum") - col("n_tokens"))
       .withColumn("seq_id", expr(s"before div $B"))
       .groupBy(col("source"), col("seq_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"))
