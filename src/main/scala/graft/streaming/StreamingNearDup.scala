@@ -52,14 +52,15 @@ object StreamingNearDup {
     *
     * @param stateTtlMs drop band buckets idle this long (processing
     *        time); 0 = keep forever (see class doc). */
-  def detect(
-      docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 16, bands: Int = 4, minSigMatches: Int = 12,
-      maxBucket: Int = 64, stateTtlMs: Long = 0): Dataset[Hit] = {
+  /** docs/corpus → the banded (band, key, docId, sig) frame — one
+    * shape for the live stream, and for a batch corpus being turned
+    * into seed state. */
+  private def bandedFrame(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, bands: Int): Dataset[Banded] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val rows = k / bands
-    val banded = docs
+    docs
       .select(col(idCol).as("docId"), split(col(textCol), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .withColumn("xs", TextDedup.shingleHashes("w", 3))
@@ -72,12 +73,54 @@ object StreamingNearDup {
       .select(col("bk.band").as("band"), col("bk.key").as("key"),
         col("docId"), col("sig"))
       .as[Banded]
+  }
 
+  def detect(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4, minSigMatches: Int = 12,
+      maxBucket: Int = 64, stateTtlMs: Long = 0): Dataset[Hit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val timeout = if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
-    banded
+    bandedFrame(docs, idCol, textCol, k, bands)
       .groupByKey(b => (b.band, b.key))
       .flatMapGroupsWithState(OutputMode.Append(), timeout)(
+        bucketUpdate(minSigMatches, maxBucket, stateTtlMs))
+  }
+
+  /** [[detect]] with the band-bucket state SEEDED from a batch corpus
+    * — the streaming half of the incremental flow (batch half:
+    * `TextDedup.lshCandidatesTwoSided`): the stream dedups against
+    * the EXISTING corpus from its very first micro-batch instead of
+    * only against what it has itself seen. The seed corpus runs
+    * through the same kernel pipeline as the stream, so batch and
+    * stream agree on every signature; per bucket the newest
+    * `maxBucket` members are kept (highest doc id first — the FIFO
+    * order live updates maintain).
+    *
+    * Scale: initial state is distributed exactly like live state
+    * (sharded by bucket key across executors); seeding cost is one
+    * pass over the corpus + one shuffle on the bucket key. */
+  def detectSeeded(
+      docs: DataFrame, idCol: String, textCol: String, corpus: DataFrame,
+      k: Int = 16, bands: Int = 4, minSigMatches: Int = 12,
+      maxBucket: Int = 64, stateTtlMs: Long = 0): Dataset[Hit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val timeout = if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    val initial = bandedFrame(corpus, idCol, textCol, k, bands)
+      .groupByKey(b => (b.band, b.key))
+      .mapGroups { (key, members) =>
+        val seen = members.toList.sortBy(-_.docId).take(maxBucket)
+          .map(b => (b.docId, b.sig))
+        (key, seen)
+      }
+      .groupByKey(_._1).mapValues(_._2)
+    bandedFrame(docs, idCol, textCol, k, bands)
+      .groupByKey(b => (b.band, b.key))
+      .flatMapGroupsWithState(OutputMode.Append(), timeout, initial)(
         bucketUpdate(minSigMatches, maxBucket, stateTtlMs))
   }
 

@@ -38,6 +38,35 @@ class StreamingNearDupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("detectSeeded: the stream dedups against a batch corpus from batch one") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((1L, base), (2L, unrelated)).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val hits = StreamingNearDup.detectSeeded(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", corpus)
+    val q = hits.writeStream.format("memory").queryName("neardup_seeded")
+      .outputMode("append").start()
+    try {
+      // FIRST batch: a near-dup of pre-indexed doc 1 is caught
+      // immediately (unseeded detect would see an empty bucket here),
+      // and fresh unrelated content passes
+      input.addData((10L, nearDup), (11L, unrelated2))
+      q.processAllAvailable()
+      val out = spark.table("neardup_seeded")
+        .select("d1", "d2", "sigMatches")
+        .as[(Long, Long, Int)].collect().toSet
+      out.map(h => (h._1, h._2)) shouldBe Set((10L, 1L))
+      all(out.map(_._3)) should be >= 12
+
+      // live updates keep working on top of the seed: a dup of the
+      // STREAMED doc 11 also resolves
+      input.addData((12L, unrelated2 + " tail"))
+      q.processAllAvailable()
+      spark.table("neardup_seeded").select("d1", "d2")
+        .as[(Long, Long)].collect().toSet shouldBe Set((10L, 1L), (12L, 11L))
+    } finally q.stop()
+  }
+
   test("FIFO cap evicts the oldest bucket members, bounding state") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
