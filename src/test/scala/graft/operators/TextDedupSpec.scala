@@ -116,6 +116,56 @@ class TextDedupSpec extends SparkSpec {
       org.apache.spark.storage.StorageLevel.NONE
   }
 
+  test("repeatedSpans: maximal runs with exact starts and lengths") {
+    def doc(words: String*) = words.mkString(" ")
+    val shared = (1 to 12).map(i => s"s$i") // a 12-word shared passage
+    val d1txt = doc((Seq("a1", "a2") ++ shared ++ Seq("a3", "a4")): _*)
+    val d2txt = doc((Seq("b1", "b2", "b3") ++ shared ++ Seq("b4")): _*)
+    val other = doc((1 to 20).map(i => s"z$i"): _*)
+    val docs = Seq((1L, d1txt), (2L, d2txt), (3L, other)).toDF("doc_id", "text")
+      .withColumn("w", split(col("text"), " "))
+    val spans = TextDedup.repeatedSpans(docs, "doc_id", "w",
+      n = 8, maxDf = 100, minSpanWords = 10)
+      .as[(Long, Long, Int, Int, Long)].collect().toSet
+    // the shared passage: 12 words → 5 consecutive shared 8-grams →
+    // one maximal span of 12 words, at word 2 in doc1 and word 3 in doc2
+    spans shouldBe Set((1L, 2L, 2, 3, 12L))
+  }
+
+  test("repeatedSpans: separate runs stay separate; below-threshold spans drop") {
+    val runA = (1 to 10).map(i => s"a$i")
+    val runB = (1 to 9).map(i => s"b$i") // 9 words: below minSpanWords=10
+    val d1 = (runA ++ Seq("x1", "x2", "x3") ++ runB).mkString(" ")
+    val d2 = (runB ++ Seq("y1", "y2", "y3", "y4") ++ runA).mkString(" ")
+    val docs = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+      .withColumn("w", split(col("text"), " "))
+    val spans = TextDedup.repeatedSpans(docs, "doc_id", "w",
+      n = 8, maxDf = 100, minSpanWords = 10)
+      .as[(Long, Long, Int, Int, Long)].collect().toSet
+    // only runA (10 words) crosses the threshold; runB (9) is dropped;
+    // runA sits at word 0 in doc1 and word 13 in doc2
+    spans shouldBe Set((1L, 2L, 0, 13, 10L))
+  }
+
+  test("repeatedSpans: periodic text does not blow up or duplicate spans") {
+    // the same 4-word phrase repeated: every occurrence of each gram
+    // matches every occurrence in the other doc (many diagonals) —
+    // spans must stay distinct per (pair, diagonal, island)
+    val phrase = Seq("p1", "p2", "p3", "p4")
+    val d1 = (Seq.fill(6)(phrase).flatten).mkString(" ") // 24 words
+    val d2 = (Seq.fill(5)(phrase).flatten ++ Seq("tail")).mkString(" ")
+    val docs = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+      .withColumn("w", split(col("text"), " "))
+    val spans = TextDedup.repeatedSpans(docs, "doc_id", "w",
+      n = 8, maxDf = 100, minSpanWords = 10)
+      .select("d1", "d2", "start1", "start2", "span_words")
+    val rows = spans.collect()
+    rows.length should be > 0
+    spans.distinct().count() shouldBe rows.length.toLong
+    // the dominant diagonal (aligned starts) covers the full 20-word overlap
+    rows.map(_.getLong(4)).max shouldBe 20L
+  }
+
   test("two-sided LSH candidates = cross-side slice of the union self-join") {
     // signatures engineered so band keys collide within {1,2,3} and
     // within {10,11}, never across groups
