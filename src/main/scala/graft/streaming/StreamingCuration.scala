@@ -55,15 +55,46 @@ object StreamingCuration {
   final case class Verdict(docId: Long, text: String, norm: String, hit: Boolean)
   final case class CuratedDoc(id: Long, text: String, norm: String)
 
+  /** The normalize → shingle → sig → band-explode block, shared by
+    * the live stream and the seed-corpus path so both sides agree on
+    * every signature. Input must carry (id, text, norm, w). */
+  private def bandedDocs(normed: DataFrame, minhashK: Int, bands: Int): Dataset[BandedDoc] = {
+    val spark = normed.sparkSession
+    import spark.implicits._
+    val rows = minhashK / bands
+    normed
+      .withColumn("xs", TextDedup.shingleHashes("w", 3))
+      .filter(size(col("xs")) > 0)
+      .withColumn("sig", TextDedup.minhashSig("xs", minhashK))
+      .select(col("id"), col("text"), col("norm"), col("sig"),
+        explode(array((0 until bands).map(j =>
+          struct(lit(j).as("band"),
+            concat_ws("-", (0 until rows).map(r =>
+              col("sig").getItem(j * rows + r)): _*).as("key"))): _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"),
+        col("id").as("docId"), col("text"), col("norm"), col("sig"))
+      .as[BandedDoc]
+  }
+
   /** docs(idCol: long, textCol: string) stream → admitted docs
-    * (id, text, norm), with per-stage observe counters. */
+    * (id, text, norm), with per-stage observe counters.
+    *
+    * `seedCorpus` (id, text — typically the previously ADMITTED
+    * corpus) pre-populates the near-dup band buckets through the
+    * SAME normalize/signature pipeline, so ingest rejects near-dups
+    * of the existing corpus from the first micro-batch — the
+    * curation analog of [[StreamingNearDup.detectSeeded]]. Note the
+    * exact-dedup `dropDuplicates` ledger cannot be seeded this way
+    * (no initial-state API); an exact dup of a seed doc is still
+    * caught by the near-dup stage (identical text ⇒ identical
+    * signatures ⇒ bucket hit). */
   def ingest(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       minStopRatio: Double = 0.05, minWords: Int = 10,
       minhashK: Int = 16, bands: Int = 4, minSigMatches: Int = 12,
-      maxBucket: Int = 64, stateTtlMs: Long = 0): Dataset[CuratedDoc] = {
+      maxBucket: Int = 64, stateTtlMs: Long = 0,
+      seedCorpus: Option[DataFrame] = None): Dataset[CuratedDoc] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val rows = minhashK / bands
 
     val base = docs.select(col(idCol).as("id"), col(textCol).as("text"))
       .observe("curation_input", count(lit(1)).as("docs"))
@@ -79,24 +110,29 @@ object StreamingCuration {
       .dropDuplicates("nfp")
       .observe("curation_exact_dedup", count(lit(1)).as("docs"))
 
-    val banded = exact
-      .withColumn("xs", TextDedup.shingleHashes("w", 3))
-      .filter(size(col("xs")) > 0)
-      .withColumn("sig", TextDedup.minhashSig("xs", minhashK))
-      .select(col("id"), col("text"), col("norm"), col("sig"),
-        explode(array((0 until bands).map(j =>
-          struct(lit(j).as("band"),
-            concat_ws("-", (0 until rows).map(r =>
-              col("sig").getItem(j * rows + r)): _*).as("key"))): _*)).as("bk"))
-      .select(col("bk.band").as("band"), col("bk.key").as("key"),
-        col("id").as("docId"), col("text"), col("norm"), col("sig"))
-      .as[BandedDoc]
+    val banded = bandedDocs(exact, minhashK, bands)
 
     val timeout = if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
-    val verdicts = banded.groupByKey(b => (b.band, b.key))
-      .flatMapGroupsWithState(OutputMode.Append(), timeout)(
-        bandGate(minSigMatches, maxBucket, stateTtlMs))
+    val grouped = banded.groupByKey(b => (b.band, b.key))
+    val verdicts = seedCorpus match {
+      case Some(c) =>
+        val seedNormed = c.select(col(idCol).as("id"), col(textCol).as("text"))
+          .withColumn("norm", Curation.normalize(col("text")))
+          .withColumn("w", split(col("norm"), " "))
+        val initial = bandedDocs(seedNormed, minhashK, bands)
+          .groupByKey(b => (b.band, b.key))
+          .mapGroups { (key, members) =>
+            (key, members.toList.sortBy(-_.docId).take(maxBucket)
+              .map(d => (d.docId, d.sig)))
+          }
+          .groupByKey(_._1).mapValues(_._2)
+        grouped.flatMapGroupsWithState(OutputMode.Append(), timeout, initial)(
+          bandGate(minSigMatches, maxBucket, stateTtlMs))
+      case None =>
+        grouped.flatMapGroupsWithState(OutputMode.Append(), timeout)(
+          bandGate(minSigMatches, maxBucket, stateTtlMs))
+    }
 
     verdicts.groupByKey(_.docId)
       .flatMapGroupsWithState(OutputMode.Append(), timeout)(

@@ -68,6 +68,29 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("seedCorpus: ingest rejects near-dups of the existing corpus from batch one") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // the existing (already-admitted) corpus holds `good`
+    val corpus = Seq((1L, good)).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingCuration.ingest(
+      input.toDF().toDF("doc_id", "text"),
+      seedCorpus = Some(corpus))
+    val q = out.writeStream.format("memory").queryName("curation_seeded")
+      .outputMode("append").start()
+    try {
+      // FIRST batch: a near-dup and an exact (renormalized) dup of the
+      // seeded doc are both rejected; fresh English content is admitted
+      val fresh = "a completely different story about the sea and the " +
+        "ships that sail far away to the north in winter when it is cold"
+      input.addData((10L, goodNear), (11L, goodDup), (12L, fresh))
+      q.processAllAvailable()
+      spark.table("curation_seeded").select("id")
+        .as[Long].collect().toSet shouldBe Set(12L)
+    } finally q.stop()
+  }
+
   test("stateTtlMs: timeout branches drop bucket and admit state; TTLs re-arm") {
     // deterministic TestGroupState harness (live-clock ms-TTL
     // streaming tests hang on this VM's checkpoint file-create path)
