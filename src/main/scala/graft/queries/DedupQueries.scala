@@ -630,7 +630,62 @@ object DedupQueries extends QueryPack {
       |GROUP BY k.doc_id, len(wd.w)
       |ORDER BY k.doc_id""".stripMargin
 
+  /** d14 — edit-distance-VERIFIED near-dup: LSH band collisions
+    * (the d3 candidate generator) re-joined to the raw text and
+    * confirmed by exact Levenshtein similarity
+    * `1 − lev/max(len)` ≥ 0.8 — the strictest verification tier
+    * (hash-sketch candidates, character-exact confirmation). MinHash
+    * estimates set overlap and can pass reordered bags; edit
+    * similarity certifies the documents really read the same, which
+    * is the evidence tier a deletion decision wants.
+    *
+    * Scale: candidate generation is the linear LSH path; the text
+    * re-join is two keyed shuffle joins against the corpus by doc id
+    * (no index blowup — one row per candidate side); verification is
+    * O(len²) per pair but only on the LSH-surviving sliver. At
+    * production lengths, cap the DP with Spark's 3-arg
+    * `levenshtein(l, r, maxDist)` early-exit (returns −1 above the
+    * cap; the gated query uses the exact 2-arg form because DuckDB
+    * has no capped variant to mirror). */
+  private def d14(s: SparkSession, dir: String): DataFrame = {
+    val sigs = withShingles(s, dir)
+      .select(col("doc_id"),
+        graft.operators.TextDedup.minhashSig("xs", 16).as("sig"))
+    val cands = graft.operators.TextDedup
+      .lshCandidates(sigs, "doc_id", k = 16, bands = bands)
+      .select(col("d1"), col("d2"))
+    val t = docs(s, dir)
+    cands
+      .join(t.select(col("doc_id").as("d1"), col("text").as("t1")), "d1")
+      .join(t.select(col("doc_id").as("d2"), col("text").as("t2")), "d2")
+      .withColumn("lev", levenshtein(col("t1"), col("t2")).cast("long"))
+      .withColumn("edit_sim",
+        lit(1.0) - col("lev").cast("double") /
+          greatest(length(col("t1")), length(col("t2"))))
+      .filter(col("edit_sim") >= 0.8)
+      .select(col("d1"), col("d2"), col("lev"),
+        round(col("edit_sim"), 6).as("edit_sim"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  private val d14Sql =
+    s"""$lshBandedSqlPrefix,
+      |cands AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+      |p AS (
+      |  SELECT c.d1, c.d2, levenshtein(x.text, y.text) AS lev,
+      |    GREATEST(length(x.text), length(y.text)) AS ml
+      |  FROM cands c JOIN documents x ON c.d1 = x.doc_id
+      |               JOIN documents y ON c.d2 = y.doc_id)
+      |SELECT d1, d2, CAST(lev AS BIGINT) AS lev,
+      |  ROUND(1.0 - CAST(lev AS DOUBLE) / ml, 6) AS edit_sim
+      |FROM p WHERE 1.0 - CAST(lev AS DOUBLE) / ml >= 0.8
+      |ORDER BY d1, d2""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d14_edit_dedup"    -> d14,
     "d10_incremental_lsh" -> d10,
     "d11_span_scrub"    -> d11,
     "d13_lsh_audit"     -> d13,
@@ -645,6 +700,7 @@ object DedupQueries extends QueryPack {
     "c1_curation_report" -> c1)
 
   override def oracle: Map[String, String] = Map(
+    "d14_edit_dedup"    -> d14Sql,
     "d10_incremental_lsh" -> d10Sql,
     "d11_span_scrub"    -> d11Sql,
     "d13_lsh_audit"     -> d13Sql,

@@ -507,7 +507,85 @@ object SimilarityQueries extends QueryPack {
       |      FROM pairs WHERE cos >= 0.45) t
       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  /** s7 — scalar-quantization audit: per-dimension min/max int8
+    * quantization of the embedding column (the 4× storage/bandwidth
+    * reduction an ANN serving layer applies) with per-label
+    * reconstruction-error stats — the report that decides whether
+    * quantized vectors are safe to search. Quantize:
+    * `q = ⌊(x−mn)/(mx−mn)·255 + ½⌋` (explicit floor(+½) instead of
+    * `round`, whose half-even/half-up convention differs between
+    * engines), reconstruct `x̂ = mn + q·(mx−mn)/255`, report per-label
+    * mean row-MSE and worst absolute error.
+    *
+    * Determinism: per-row squared errors fold in position order and
+    * per-label row-MSEs fold in vec_id order (the t10 sorted-fold
+    * convention) — every double on both engines is the same sequence
+    * of IEEE ops, so rounding is purely canonical.
+    *
+    * Scale: the stats table is #dims rows (broadcast); quantization
+    * is a map-side probe; both aggs are partial+final keyed by row
+    * then label. The corpus is scanned twice (stats pass, error
+    * pass) — at 100 TB the stats pass runs on a sample in practice,
+    * same plan shape. */
+  private def s7(s: SparkSession, dir: String): DataFrame = {
+    val pe = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .withColumn("x", col("xf").cast("double"))
+    val stats = pe.groupBy(col("pos"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val q = pe.join(broadcast(stats), "pos")
+      .withColumn("qq", when(col("mx") === col("mn"), lit(0L))
+        .otherwise(floor((col("x") - col("mn")) / (col("mx") - col("mn")) * 255 + 0.5)))
+      .withColumn("err",
+        col("x") - (col("mn") + col("qq") * (col("mx") - col("mn")) / 255.0))
+    val perRow = q.groupBy(col("vec_id"), col("label"))
+      .agg(
+        expr("aggregate(transform(array_sort(collect_list(struct(pos, err))), " +
+          "s -> s.err * s.err), cast(0.0 AS double), (acc, x) -> acc + x)").as("sse"),
+        count(lit(1)).as("n_dims"),
+        max(abs(col("err"))).as("mabs"))
+      .withColumn("row_mse", col("sse") / col("n_dims"))
+    perRow.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("aggregate(transform(array_sort(collect_list(struct(vec_id, row_mse))), " +
+          "s -> s.row_mse), cast(0.0 AS double), (acc, x) -> acc + x)").as("summse"),
+        max(col("mabs")).as("worst"))
+      .select(col("label"), col("n_vecs"),
+        round(col("summse") / col("n_vecs"), 12).as("mse"),
+        round(col("worst"), 9).as("max_abs_err"))
+      .orderBy(col("label"))
+  }
+
+  private val s7Sql =
+    """WITH pe AS (
+      |  SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS pos,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |stats AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM pe GROUP BY pos),
+      |q AS (
+      |  SELECT pe.vec_id, pe.label, pe.pos, pe.x, s.mn, s.mx,
+      |    CASE WHEN s.mx = s.mn THEN 0
+      |         ELSE floor((pe.x - s.mn) / (s.mx - s.mn) * 255 + 0.5) END AS qq
+      |  FROM pe JOIN stats s ON pe.pos = s.pos),
+      |e AS (
+      |  SELECT vec_id, label, pos,
+      |    x - (mn + qq * (mx - mn) / 255.0) AS err
+      |  FROM q),
+      |perrow AS (
+      |  SELECT vec_id, label,
+      |    list_sum(list(err * err ORDER BY pos)) / COUNT(*) AS row_mse,
+      |    MAX(abs(err)) AS mabs
+      |  FROM e GROUP BY vec_id, label)
+      |SELECT label, COUNT(*) AS n_vecs,
+      |  ROUND(list_sum(list(row_mse ORDER BY vec_id)) / COUNT(*), 12) AS mse,
+      |  ROUND(MAX(mabs), 9) AS max_abs_err
+      |FROM perrow
+      |GROUP BY label
+      |ORDER BY label""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s7_quant_audit" -> s7,
     "d12_incr_semdedup" -> d12,
     "s1_knn_brute" -> s1,
     "s2_ivf_ann"   -> s2,
@@ -518,6 +596,7 @@ object SimilarityQueries extends QueryPack {
     "d8_semdedup"  -> d8)
 
   override def oracle: Map[String, String] = Map(
+    "s7_quant_audit" -> s7Sql,
     "d12_incr_semdedup" -> d12Sql,
     "s1_knn_brute" -> s1Sql,
     "s2_ivf_ann"   -> s2Sql,

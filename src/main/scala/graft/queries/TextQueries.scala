@@ -696,7 +696,119 @@ object TextQueries extends QueryPack {
       |GROUP BY source, before // 512
       |ORDER BY source, seq_id""".stripMargin
 
+  /** t15 — TF-IDF salient terms per source, the domain-profile step
+    * that characterizes what each corpus slice is "about" (and the
+    * feature weighting a quality classifier trains on). Score is the
+    * LOG-FREE variant `tf × N / df` (the t8 convention: `log` is not
+    * correctly rounded across libms, so the score stays an exact
+    * integer ratio through one IEEE division — bit-identical in both
+    * engines); support-filtered at tf ≥ 5, top-10 per source with
+    * (score desc, term) deterministic tie-break.
+    *
+    * Scale: tokenize+explode is one corpus scan; tf and df are
+    * partial+final hash aggs keyed on words; the df join is
+    * vocabulary-sized with ≤ #sources rows per term (no hot-key
+    * blowup — the skewed unigram join of t10 does not occur here
+    * because tf already collapsed the corpus). The rank window runs
+    * per source over the tf≥5 slice (vocabulary-scale, not
+    * corpus-scale); if a per-source vocab ever outgrows a reducer,
+    * s3's TopKAgg is the drop-in replacement. */
+  private def t15(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("source"), col("doc_id"), explode(words).as("term"))
+    val dfreq = tok.select(col("term"), col("doc_id")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    val tf = tok.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .filter(col("tf") >= 5)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("source"), col("rk").cast("long").as("rk"), col("term"),
+        col("tf"), col("df"), round(col("tfidf"), 6).as("tfidf"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  private val t15Sql =
+    """WITH tok AS (
+      |  SELECT source, doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |dfreq AS (
+      |  SELECT term, COUNT(*) AS df
+      |  FROM (SELECT DISTINCT term, doc_id FROM tok) GROUP BY term),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |tf AS (
+      |  SELECT source, term, COUNT(*) AS tf FROM tok
+      |  GROUP BY source, term HAVING COUNT(*) >= 5),
+      |sc AS (
+      |  SELECT source, term, tf, df,
+      |    CAST(tf * n_docs AS DOUBLE) / df AS tfidf
+      |  FROM tf JOIN dfreq USING (term), n),
+      |rk AS (
+      |  SELECT source, term, tf, df, tfidf,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |                       ORDER BY tfidf DESC, term) AS rk
+      |  FROM sc)
+      |SELECT source, CAST(rk AS BIGINT) AS rk, term, tf, df,
+      |  ROUND(tfidf, 6) AS tfidf
+      |FROM rk WHERE rk <= 10
+      |ORDER BY source, rk""".stripMargin
+
+  /** t16 — tokenizer-vocabulary coverage: build the top-V corpus
+    * vocabulary (V = 500 by count, term tie-break) and report each
+    * source's out-of-vocabulary rate — the audit a tokenizer-training
+    * step runs to size V and to catch sources the vocab underserves
+    * (high OOV → the source's text will fragment into bytes/unks).
+    *
+    * Scale: vocab selection is a partial+final count agg followed by
+    * a top-k (`TakeOrderedAndProject` — per-partition heaps, no
+    * global sort, the q3 shape); the V-row vocab broadcasts and
+    * coverage is a map-side probe per token. The corpus is touched
+    * twice (count pass, probe pass), shuffled only by the
+    * vocabulary-sized aggs. */
+  private def t16(s: SparkSession, dir: String): DataFrame = {
+    val vSize = 500
+    val tok = docs(s, dir).select(col("source"), explode(words).as("term"))
+    val vocab = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(vSize)
+      .select(col("term"), lit(1L).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"),
+        countDistinct(when(col("in_vocab").isNull, col("term"))).as("n_oov_types"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+      .orderBy(col("source"))
+  }
+
+  private val t16Sql =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+      |vocab AS (
+      |  SELECT term FROM (
+      |    SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term
+      |    ORDER BY cnt DESC, term LIMIT 500)),
+      |probed AS (
+      |  SELECT t.source, t.term, v.term IS NULL AS oov
+      |  FROM tok t LEFT JOIN vocab v ON t.term = v.term)
+      |SELECT source, COUNT(*) AS n_tokens,
+      |  CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  COUNT(DISTINCT CASE WHEN oov THEN term END) AS n_oov_types,
+      |  ROUND(CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / COUNT(*), 6) AS oov_rate
+      |FROM probed
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t16_vocab_coverage" -> t16,
+    "t15_tfidf"          -> t15,
     "t14_seq_pack"       -> t14,
     "t13_mixture_sample" -> t13,
     "t1_lang_id"      -> t1,
@@ -713,6 +825,8 @@ object TextQueries extends QueryPack {
     "t12_mix_weights" -> t12)
 
   override def oracle: Map[String, String] = Map(
+    "t16_vocab_coverage" -> t16Sql,
+    "t15_tfidf"          -> t15Sql,
     "t14_seq_pack"       -> t14Sql,
     "t13_mixture_sample" -> t13Sql,
     "t1_lang_id"      -> t1Sql,
