@@ -402,9 +402,14 @@ object TextQueries extends QueryPack {
     * Scale: two hash aggregations build the model (bigram + unigram
     * context counts — partial+final, keyed on words), two keyed joins
     * score the corpus, one final per-doc aggregation. The model
-    * tables are vocabulary-sized: broadcastable here; at web scale
-    * they shuffle-join with the usual hot-word (stopword) skew
-    * handled by the e12 salting pattern. */
+    * tables are vocabulary-sized and the scoring joins are keyed on
+    * WORDS — at web scale stopword keys ("the", "of") carry a huge
+    * fraction of all bigram rows, so both joins run through
+    * [[graft.operators.SaltedJoin]] (8-way deterministic salt on
+    * (doc_id, pos), small side replicated) — each hot word spreads
+    * over 8 reducers instead of pinning one straggler. The salted
+    * join is pair-for-pair identical to the plain join (e16's gate),
+    * so the oracle is untouched. */
   private def t10(s: SparkSession, dir: String): DataFrame = {
     val bi = docs(s, dir)
       .withColumn("w", words)
@@ -415,7 +420,10 @@ object TextQueries extends QueryPack {
       .select(col("doc_id"), col("pos"), col("g.a").as("a"), col("g.b").as("b"))
     val cab = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
     val ca = bi.groupBy(col("a")).agg(count(lit(1)).as("ca"))
-    bi.join(cab, Seq("a", "b")).join(ca, Seq("a"))
+    val saltBy = struct(col("doc_id"), col("pos"))
+    graft.operators.SaltedJoin.inner(
+      graft.operators.SaltedJoin.inner(bi, cab, Seq("a", "b"), 8, saltBy),
+      ca, Seq("a"), 8, saltBy)
       .withColumn("p", col("cab").cast("double") / col("ca"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),

@@ -127,6 +127,13 @@ class PlanAuditSpec extends SparkSpec {
     joinLines should not be empty
   }
 
+  test("t10: the stopword-skew salt reaches both model-join keys") {
+    val p = plan("t10_bigram_lm")
+    val joinLines = p.linesIterator.filter(l =>
+      l.contains("Join") && l.contains("__salt")).toList
+    joinLines.size should be >= 2 // bigram-count join AND context-count join
+  }
+
   test("q21: the bloom probe filters the lineitem scan before the join") {
     val p = plan("q21_bloom_prefilter")
     p should include("graft_bloom_contains")
