@@ -43,10 +43,14 @@ import graft.operators.TextDedup
   * unbounded ingest session with the same per-TTL-window contract as
   * [[StreamingNearDup.distinctHits]]: after expiry a re-delivered doc
   * id can re-admit, and dedup recall reaches back `stateTtlMs` of
-  * wall clock. The exact-dedup `dropDuplicates` ledger has no
-  * processing-time TTL knob (bound it with
-  * `withWatermark` + `dropDuplicatesWithinWatermark` upstream when
-  * the stream carries event time, or a periodic reset).
+  * wall clock. The exact-dedup ledger is bounded the event-time way:
+  * pass `eventTimeCol` and the stage becomes `withWatermark` +
+  * `dropDuplicatesWithinWatermark` — a fingerprint's state is evicted
+  * once the watermark passes its event time + `watermarkDelay`, so
+  * ledger size tracks the delay window instead of the corpus. With no
+  * event-time column the stage stays the unbounded global
+  * `dropDuplicates` (exact-dedup recall never expires — the right
+  * default for a bounded backfill, documented for unbounded ingest).
   */
 object StreamingCuration {
 
@@ -92,11 +96,15 @@ object StreamingCuration {
       minStopRatio: Double = 0.05, minWords: Int = 10,
       minhashK: Int = 16, bands: Int = 4, minSigMatches: Int = 12,
       maxBucket: Int = 64, stateTtlMs: Long = 0,
-      seedCorpus: Option[DataFrame] = None): Dataset[CuratedDoc] = {
+      seedCorpus: Option[DataFrame] = None,
+      eventTimeCol: Option[String] = None,
+      watermarkDelay: String = "10 minutes"): Dataset[CuratedDoc] = {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    val base = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    val keep = Seq(col(idCol).as("id"), col(textCol).as("text")) ++
+      eventTimeCol.map(col)
+    val base = docs.select(keep: _*)
       .observe("curation_input", count(lit(1)).as("docs"))
     val normed = base.withColumn("norm", Curation.normalize(col("text")))
       .withColumn("w", split(col("norm"), " "))
@@ -104,10 +112,7 @@ object StreamingCuration {
       .observe("curation_lang_gate", count(lit(1)).as("docs"))
     val quality = lang.filter(size(col("w")) >= minWords)
       .observe("curation_quality_gate", count(lit(1)).as("docs"))
-    // exact dedup: first arrival of a normalized fingerprint wins —
-    // the streaming dropDuplicates state IS the cross-batch ledger
-    val exact = quality.withColumn("nfp", md5(col("norm")))
-      .dropDuplicates("nfp")
+    val exact = exactStage(quality, eventTimeCol, watermarkDelay)
       .observe("curation_exact_dedup", count(lit(1)).as("docs"))
 
     val banded = bandedDocs(exact, minhashK, bands)
@@ -138,6 +143,26 @@ object StreamingCuration {
       .flatMapGroupsWithState(OutputMode.Append(), timeout)(
         admit(stateTtlMs))
       .observe("curation_near_dedup", count(lit(1)).as("docs"))
+  }
+
+  /** Exact-dedup ledger stage: first arrival of a normalized
+    * fingerprint wins. With `eventTimeCol` set, the ledger is
+    * watermark-bounded: `dropDuplicatesWithinWatermark` keeps a
+    * fingerprint's state only until the watermark passes its event
+    * time + `watermarkDelay` — after that a re-arrival is admitted
+    * again (per-window exact dedup, the event-time analog of the
+    * near-dup stages' `stateTtlMs` contract). Without it the state is
+    * one fingerprint per distinct admitted text, forever (global
+    * dedup, unbounded on an endless stream). Input must carry `norm`;
+    * emits the input columns plus `nfp`. */
+  private[streaming] def exactStage(quality: DataFrame,
+      eventTimeCol: Option[String], watermarkDelay: String): DataFrame = {
+    val fp = quality.withColumn("nfp", md5(col("norm")))
+    eventTimeCol match {
+      case Some(et) => fp.withWatermark(et, watermarkDelay)
+        .dropDuplicatesWithinWatermark("nfp")
+      case None => fp.dropDuplicates("nfp")
+    }
   }
 
   /** Band-bucket stage: same state shape as

@@ -135,6 +135,51 @@ class StreamingCurationSpec extends SparkSpec {
     aFresh.getTimeoutTimestampMs.get() shouldBe 6000L
   }
 
+  test("exactStage: watermark bounds the ledger — dedup within window, re-admit after expiry") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = StreamingCuration.exactStage(
+      input.toDF().toDF("id", "norm", "ts"), Some("ts"), "10 minutes")
+    val q = out.writeStream.format("memory").queryName("exact_wm")
+      .outputMode("append").start()
+    try {
+      // same fingerprint twice inside the delay window: second dropped
+      input.addData((1L, "same", at(0)), (2L, "same", at(1)))
+      q.processAllAvailable()
+      // unrelated doc an hour later advances the watermark to 10:50,
+      // past "same"'s expiry (10:00 + 10 min)
+      input.addData((3L, "other", at(60)))
+      q.processAllAvailable()
+      // the fingerprint's state was evicted: a (non-late) re-arrival
+      // is admitted again — exact dedup is per-watermark-window
+      input.addData((4L, "same", at(59)))
+      q.processAllAvailable()
+      spark.table("exact_wm").select("id").as[Long].collect().toSet shouldBe
+        Set(1L, 3L, 4L)
+    } finally q.stop()
+  }
+
+  test("exactStage without event time: the ledger is global (never re-admits)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingCuration.exactStage(
+      input.toDF().toDF("id", "norm"), None, "10 minutes")
+    val q = out.writeStream.format("memory").queryName("exact_global")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "same"))
+      q.processAllAvailable()
+      input.addData((2L, "same"))
+      q.processAllAvailable()
+      spark.table("exact_global").select("id").as[Long].collect().toSet shouldBe
+        Set(1L)
+    } finally q.stop()
+  }
+
   test("redelivered and cross-batch near-dup content stays rejected") {
     val in = tmp("graft-cur-in2")
     val stream = spark.readStream
