@@ -45,7 +45,16 @@ object GraphQueries extends QueryPack {
     val edges = pairs
       .select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
       .unionAll(pairs.select((col("sk") * 2 + 1).as("src"), (col("ck") * 2).as("dst")))
+    // the edge/degree subtree (fact join + distinct) is STATIC across
+    // rounds — persist both or every round recomputes it (measured:
+    // 7.8 s → ~2 s at sf0.1). Eager count ends the cache-fill race
+    // (the d8/jaccardPairsLeased convention).
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    deg.count()
+    val edgesDeg = edges.join(deg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edgesDeg.count()
     val nDf = deg.agg(count(lit(1)).as("n"))
 
     val sortedFold = expr(
@@ -56,8 +65,7 @@ object GraphQueries extends QueryPack {
       .select(col("src").as("node"),
         (lit(1.0).cast("double") / col("n")).as("r"))
     for (_ <- 1 to 3) {
-      val contrib = edges
-        .join(deg, "src")
+      val contrib = edgesDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst"), col("src"),
           (col("r") / col("deg")).as("c"))

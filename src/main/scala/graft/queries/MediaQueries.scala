@@ -141,13 +141,44 @@ object MediaQueries extends QueryPack {
       |FROM pairs
       |ORDER BY id1, id2""".stripMargin
 
+  /** m4 — media DUP CLUSTERS: connected components over the m3
+    * perceptual-pair graph (the d6 step applied to binary media) —
+    * pairs become deletion decisions: each payload labels itself
+    * with the min media id reachable through shared-frame edges,
+    * `keep` marks the canonical survivor. Same
+    * [[graft.operators.ConnectedComponents]] pointer-jumping operator
+    * (O(log diameter) rounds, lineage cut per round); the oracle
+    * walks the graph with the recursive reachability CTE. */
+  private def m4(s: SparkSession, dir: String): DataFrame = {
+    val edges = m3(s, dir).select(col("id1"), col("id2"))
+    graft.operators.ConnectedComponents
+      .run(edges, "id1", "id2", media(s, dir), "media_id")
+      .select(col("id").as("media_id"), col("cluster"),
+        (col("cluster") === col("id")).as("keep"))
+      .orderBy(col("media_id"))
+  }
+
+  private val m4Sql =
+    s"""WITH RECURSIVE pairs AS (SELECT id1, id2 FROM ($m3Sql)),
+      |sym AS (SELECT id1 AS s, id2 AS t FROM pairs
+      |        UNION ALL SELECT id2, id1 FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT reach.id, sym.t FROM reach JOIN sym ON reach.r = sym.s)
+      |SELECT id AS media_id, MIN(r) AS cluster, MIN(r) = id AS keep
+      |FROM reach GROUP BY id
+      |ORDER BY media_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_profile" -> m1,
     "m2_frame_sample"  -> m2,
-    "m3_frame_neardup" -> m3)
+    "m3_frame_neardup" -> m3,
+    "m4_media_clusters" -> m4)
 
   override def oracle: Map[String, String] = Map(
     "m1_media_profile" -> m1Sql,
     "m2_frame_sample"  -> m2Sql,
-    "m3_frame_neardup" -> m3Sql)
+    "m3_frame_neardup" -> m3Sql,
+    "m4_media_clusters" -> m4Sql)
 }

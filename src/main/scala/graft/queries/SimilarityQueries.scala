@@ -584,7 +584,45 @@ object SimilarityQueries extends QueryPack {
       |GROUP BY label
       |ORDER BY label""".stripMargin
 
+  /** s8 — embedding-space-BALANCED sampling: the diversity-sampling
+    * curation step (a light coreset): k-means cells (the s6 frozen
+    * quantizer) each contribute up to 5 vectors, chosen by the
+    * t6 content-hash rank — so the sample covers embedding space
+    * instead of mirroring its density, and is reproducible across
+    * runs/engines (no RNG). Dense clusters are downsampled hardest;
+    * tiny cells keep everything — the embedding analog of t6's
+    * per-stratum cap.
+    *
+    * Scale: assignment is the broadcast-centroid scan; the rank
+    * window partitions by cluster (k cells — thousands at scale, one
+    * reducer each over |cell| rows; for corpus-sized cells the t6
+    * hash-prefilter note applies verbatim). */
+  private def s8(s: SparkSession, dir: String): DataFrame = {
+    val perCell = 5
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    kmeansAssign(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= perCell)
+      .select(col("cluster").cast("long").as("cluster"),
+        col("rk").cast("long").as("rk"), col("vec_id"),
+        round(col("d2"), 6).as("dist2"))
+      .orderBy(col("cluster"), col("rk"))
+  }
+
+  private val s8Sql = kmeansSql +
+    """
+      |SELECT cluster, CAST(rk AS BIGINT) AS rk, vec_id, ROUND(d2, 6) AS dist2
+      |FROM (
+      |  SELECT CAST(cluster AS BIGINT) AS cluster, vec_id, d2,
+      |    ROW_NUMBER() OVER (PARTITION BY cluster
+      |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+      |  FROM a2) t
+      |WHERE rk <= 5
+      |ORDER BY cluster, rk""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s8_balanced_sample" -> s8,
     "s7_quant_audit" -> s7,
     "d12_incr_semdedup" -> d12,
     "s1_knn_brute" -> s1,
@@ -596,6 +634,7 @@ object SimilarityQueries extends QueryPack {
     "d8_semdedup"  -> d8)
 
   override def oracle: Map[String, String] = Map(
+    "s8_balanced_sample" -> s8Sql,
     "s7_quant_audit" -> s7Sql,
     "d12_incr_semdedup" -> d12Sql,
     "s1_knn_brute" -> s1Sql,
