@@ -127,6 +127,23 @@ class PlanAuditSpec extends SparkSpec {
     joinLines should not be empty
   }
 
+  test("t16: the top-V vocabulary is a top-k (no global sort) and broadcasts") {
+    val p = plan("t16_vocab_coverage")
+    p should include("TakeOrderedAndProject") // per-partition heaps, not Sort
+    p should include("BroadcastHashJoin")     // V-row vocab probes map-side
+  }
+
+  test("s7: the per-dimension stats table broadcasts; the corpus side probes") {
+    val p = plan("s7_quant_audit")
+    p should include("BroadcastHashJoin")
+  }
+
+  test("g1: the static edge+degree frames are cached across rounds") {
+    val p = plan("g1_pagerank")
+    // without the persist every round re-runs the fact join + distinct
+    p should include("InMemoryTableScan")
+  }
+
   test("t10: the stopword-skew salt reaches both model-join keys") {
     val p = plan("t10_bigram_lm")
     val joinLines = p.linesIterator.filter(l =>
