@@ -1,7 +1,7 @@
 package graft.etl
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Write-side layout contracts for a curated corpus — the storage
   * half of the scale story. At 100 TB the NEXT job's cost is decided
@@ -35,6 +35,61 @@ object CorpusLayout {
       .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
       .mode("overwrite")
       .parquet(path)
+  }
+
+  /** Morton bit-spread: inserts a 0 between each of the low 16 bits
+    * (x₁₅…x₀ → 0x₁₅0x₁₄…0x₀) — the classic interleave mask ladder,
+    * pure column bit math (codegen'd, no UDF). */
+  private def spread16(c: Column): Column = {
+    val s1 = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333L))
+    s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Z-order (Morton) key over two numeric columns, each range-scaled
+    * to 16 bits against caller-supplied [lo, hi] bounds (one stats
+    * pass, or domain knowledge). Nulls and out-of-range values clamp
+    * to the domain edges — they land in the first/last z-stripe
+    * instead of corrupting the curve. */
+  def zorderKey(a: Column, aLo: Column, aHi: Column,
+      b: Column, bLo: Column, bHi: Column): Column = {
+    def bucket(x: Column, lo: Column, hi: Column): Column = {
+      val clamped = least(greatest(coalesce(x.cast("double"), lo), lo), hi)
+      when(hi === lo, lit(0L)).otherwise(
+        floor((clamped - lo) / (hi - lo) * 65535).cast("long"))
+    }
+    spread16(bucket(a, aLo, aHi))
+      .bitwiseOR(shiftleft(spread16(bucket(b, bLo, bHi)), 1))
+  }
+
+  /** Parquet files laid out on the Z-order curve of (`colA`, `colB`):
+    * a stats pass finds the domain, every row gets its interleaved-bit
+    * Morton key, and files are range-partitioned + sorted on it. Each
+    * file then covers a RECTANGLE in (A, B) space instead of a full
+    * stripe, so parquet min/max footer stats prune files for range
+    * predicates on EITHER column (or both) — the multi-dimensional
+    * generalization of `writePartitioned`'s single-axis in-file sort,
+    * and the standard lakehouse answer (Delta/Iceberg `ZORDER BY`)
+    * re-expressed as plain Spark column math.
+    *
+    * `repartitionByRange`'s sampled boundaries are fine HERE (unlike
+    * the OffsetWindow rank pattern): layout needs no cross-pass
+    * boundary agreement, only that each file holds a contiguous
+    * z-range. */
+  def writeZOrdered(df: DataFrame, path: String, colA: String,
+      colB: String, numFiles: Int): Unit = {
+    val stats = df.agg(
+      min(col(colA).cast("double")).as("alo"), max(col(colA).cast("double")).as("ahi"),
+      min(col(colB).cast("double")).as("blo"), max(col(colB).cast("double")).as("bhi"))
+    df.crossJoin(broadcast(stats))
+      .withColumn("__z", zorderKey(col(colA), col("alo"), col("ahi"),
+        col(colB), col("blo"), col("bhi")))
+      .drop("alo", "ahi", "blo", "bhi")
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
   }
 
   /** Bucketed + sorted table: co-locates `bucketCols` keys at write

@@ -11,6 +11,57 @@ import graft.SparkSpec
 class CorpusLayoutSpec extends SparkSpec {
   import spark.implicits._
 
+  test("zorderKey: domain corners map to the interleaved-bit corners") {
+    val corners = Seq((0L, 0L), (65535L, 0L), (0L, 65535L), (65535L, 65535L))
+      .toDF("a", "b")
+      .withColumn("z", CorpusLayout.zorderKey(
+        col("a"), lit(0.0), lit(65535.0), col("b"), lit(0.0), lit(65535.0)))
+      .select("z").as[Long].collect()
+    corners shouldBe Array(0L, 0x55555555L, 0xAAAAAAAAL.toLong & 0xFFFFFFFFL, 0xFFFFFFFFL)
+  }
+
+  test("writeZOrdered: each file covers a rectangle — both columns prune") {
+    val li = graft.Tables(spark, "/root/testdata/sf0.001", "lineitem")
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("l_quantity"))
+    def spans(path: String): (Seq[Long], Seq[Long]) = {
+      val perFile = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg((max("l_partkey") - min("l_partkey")).as("pa"),
+          (max("l_quantity") - min("l_quantity")).as("qa"))
+        .collect()
+      (perFile.map(_.getLong(1)).toSeq.sorted, perFile.map(_.getLong(2)).toSeq.sorted)
+    }
+    def median(xs: Seq[Long]): Long = xs(xs.size / 2)
+
+    // baseline: 16 files sorted by partkey alone — quantity unsorted,
+    // every file spans ~the whole quantity domain
+    val sortedDir = Files.createTempDirectory("graft-zsortA").toString
+    li.repartitionByRange(16, col("l_partkey"))
+      .sortWithinPartitions(col("l_partkey"))
+      .write.mode("overwrite").parquet(sortedDir)
+    val zDir = Files.createTempDirectory("graft-zord").toString
+    CorpusLayout.writeZOrdered(li, zDir, "l_partkey", "l_quantity", 16)
+
+    val (paSorted, qaSorted) = spans(sortedDir)
+    val (paZ, qaZ) = spans(zDir)
+    paSorted.size shouldBe 16
+    paZ.size shouldBe 16
+
+    // the A-sorted layout already prunes A ... and nothing else
+    val qGlobal = li.agg(max("l_quantity") - min("l_quantity"))
+      .collect()(0).getLong(0)
+    median(qaSorted) should be >= (qGlobal * 0.9).toLong
+
+    // z-order: BOTH axes shrink per file — rectangles, not stripes
+    median(qaZ) should be <= (median(qaSorted) * 0.6).toLong
+    val pGlobal = li.agg(max("l_partkey") - min("l_partkey"))
+      .collect()(0).getLong(0)
+    median(paZ) should be <= (pGlobal * 0.6).toLong
+
+    // nothing lost in transit
+    spark.read.parquet(zDir).count() shouldBe li.count()
+  }
+
   test("writePartitioned: partition dirs, file-size cap, in-file sort order") {
     val dir = Files.createTempDirectory("graft-layout").toString
     val docs = (1 to 950).map { i =>
