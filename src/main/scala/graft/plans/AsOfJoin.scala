@@ -11,10 +11,12 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Dist
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types.{LongType, TimestampType}
 
-/** Backward as-of join as a first-class operator: for each left row,
-  * attach the LATEST right row with equal keys and right.time ≤
-  * left.time (or nulls when none) — the canonical event-enrichment
-  * join ("state of X as of this event").
+/** As-of join as a first-class operator. Backward (the default): for
+  * each left row, attach the LATEST right row with equal keys and
+  * right.time ≤ left.time (or nulls when none) — the canonical
+  * event-enrichment join ("state of X as of this event"). Forward:
+  * the EARLIEST right row with right.time ≥ left.time ("next event
+  * at-or-after" — follow-up attribution, next-maintenance lookup).
   *
   * Why a custom operator (SURVEY preference (c)): the composable form
   * — inequality join then max-per-key re-aggregation (EventsQueries
@@ -31,7 +33,8 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression)
+    leftTime: Expression, rightTime: Expression,
+    forward: Boolean = false)
   extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -42,8 +45,8 @@ case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -51,7 +54,8 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression)
+    leftTime: Expression, rightTime: Expression,
+    forward: Boolean = false)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -82,7 +86,38 @@ case class AsOfJoinExec(
       val nullRight = new GenericInternalRow(rOut.size)
       val joined = new JoinedRow()
 
-      new Iterator[InternalRow] {
+      if (forward) new Iterator[InternalRow] {
+        // forward is a pure PEEK merge: with both sides (key, time)
+        // ascending, the answer for each left row is the current
+        // lookahead right row once everything strictly before
+        // (lKey, lT) is skipped — never consumed, so equal/later left
+        // rows can reuse it. No candidate buffering at all.
+        private var rRow: InternalRow = _
+        private var rKey: InternalRow = _
+        private def advanceRight(): Unit =
+          if (rIter.hasNext) { rRow = rIter.next(); rKey = rKeyProj(rRow) }
+          else { rRow = null; rKey = null }
+        advanceRight()
+
+        override def hasNext: Boolean = lIter.hasNext
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lKey = lKeyProj(l)
+          val lT = lTimeBound.eval(l).asInstanceOf[Long]
+          var cont = rRow != null
+          var cmp = 0
+          while (cont) {
+            cmp = keyOrd.compare(rKey, lKey)
+            if (cmp < 0 ||
+              (cmp == 0 && rTimeBound.eval(rRow).asInstanceOf[Long] < lT)) {
+              advanceRight(); cont = rRow != null
+            } else cont = false
+          }
+          val hit = rRow != null && cmp == 0 // exit ⇒ rTime ≥ lT here
+          result(joined(l, if (hit) rRow else nullRight))
+        }
+      }
+      else new Iterator[InternalRow] {
         private var candidate: InternalRow = _          // latest right ≤ lTime
         private var candidateKey: InternalRow = _       // its key (copied)
         private var rRow: InternalRow = _               // lookahead right row
@@ -128,7 +163,19 @@ case class AsOfJoinExec(
 object AsOfJoin {
   def backward(
       left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String): DataFrame =
+    join(left, right, keys, leftTime, rightTime, forward = false)
+
+  /** Earliest right row with equal keys and right.time ≥ left.time
+    * (nulls when none) — "the next event at-or-after". */
+  def forward(
+      left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
+      leftTime: String, rightTime: String): DataFrame =
+    join(left, right, keys, leftTime, rightTime, forward = true)
+
+  private def join(
+      left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
+      leftTime: String, rightTime: String, forward: Boolean): DataFrame = {
     val spark = left.sparkSession
     GraftExtensions.register(spark)
     val lp = org.apache.spark.sql.graft.Bridge.logicalPlan(left)
@@ -146,6 +193,7 @@ object AsOfJoin {
       "as-of time columns must be LongType or TimestampType")
     org.apache.spark.sql.graft.Bridge.ofRows(spark,
       AsOfJoinPlan(lp, rp,
-        keys.map(k => res(lp, k._1)), keys.map(k => res(rp, k._2)), lt, rt))
+        keys.map(k => res(lp, k._1)), keys.map(k => res(rp, k._2)), lt, rt,
+        forward))
   }
 }

@@ -598,7 +598,38 @@ object EventsQueries extends QueryPack {
       |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, tsu, event_id""".stripMargin
 
+  /** e18 — FORWARD as-of through the custom operator: for each
+    * purchase, the user's NEXT click at-or-after it (follow-up
+    * attribution). Same one-merge-pass cost shape as e10; the
+    * forward merge is a pure peek (no candidate buffering — see
+    * [[graft.plans.AsOfJoinExec]]). Oracle is the composable form:
+    * min-aggregate over the future-side inequality join. */
+  private def e18(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).withColumn("tsu", unix_micros(col("ts")))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("tsu"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("tsu").as("c_tsu"))
+    graft.plans.AsOfJoin.forward(purchases, clicks,
+        keys = Seq("user_id" -> "c_user"), leftTime = "tsu", rightTime = "c_tsu")
+      .select(col("event_id"), col("user_id"), col("tsu"),
+        col("c_tsu").as("next_click_tsu"))
+      .orderBy(col("event_id"))
+  }
+
+  private val e18Sql =
+    """SELECT p.event_id, p.user_id, epoch_ns(p.ts)//1000 AS tsu,
+      |  MIN(epoch_ns(c.ts)//1000) AS next_click_tsu
+      |FROM events p
+      |LEFT JOIN events c
+      |  ON c.user_id = p.user_id AND c.event_type = 'click'
+      | AND epoch_ns(c.ts)//1000 >= epoch_ns(p.ts)//1000
+      |WHERE p.event_type = 'purchase'
+      |GROUP BY p.event_id, p.user_id, epoch_ns(p.ts)//1000
+      |ORDER BY p.event_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e18_asof_forward"  -> e18,
     "e1_scoreboard"     -> e1,
     "e2_json_extract"   -> e2,
     "e3_hourly_rollup"  -> e3,
@@ -618,6 +649,7 @@ object EventsQueries extends QueryPack {
     "e17_trailing_window" -> e17)
 
   override def oracle: Map[String, String] = Map(
+    "e18_asof_forward"  -> e18Sql,
     "e1_scoreboard"     -> e1Sql,
     "e2_json_extract"   -> e2Sql,
     "e3_hourly_rollup"  -> e3Sql,

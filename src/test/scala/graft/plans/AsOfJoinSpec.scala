@@ -45,6 +45,41 @@ class AsOfJoinSpec extends SparkSpec {
     a.nonEmpty shouldBe true
   }
 
+  test("forward as-of attaches the earliest right row at or after left time") {
+    val out = AsOfJoin.forward(trades, quotes,
+      keys = Seq("user" -> "q_user"), leftTime = "t", rightTime = "q_t")
+      .select($"trade", $"quote").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    out("t1") shouldBe "q100" // inclusive: q_t == t wins over q150
+    out("t2") shouldBe null   // nothing at or after 200 for user 1
+    out("t3") shouldBe "q151" // earliest ≥ 150
+    out("t4") shouldBe null   // no quotes for user 3
+  }
+
+  test("forward: shared lookahead serves equal-time and repeated left rows") {
+    // two left rows with the SAME (key, time) and one right row after:
+    // the peek merge must serve BOTH (the right row is never consumed)
+    val l = Seq((1L, 100L, "a"), (1L, 100L, "b"), (1L, 120L, "c"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 130L, "next")).toDF("rk", "rt", "v")
+    val out = AsOfJoin.forward(l, r, Seq("k" -> "rk"), "t", "rt")
+      .select($"tag", $"v").collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    out shouldBe Map("a" -> "next", "b" -> "next", "c" -> "next")
+  }
+
+  test("forward matches the composed join+min form on many keys and ties") {
+    val l = (1 to 200).map(i => (i.toLong % 10, i.toLong * 10)).toDF("k", "t")
+    val r = (1 to 500).map(i => (i.toLong % 10, i.toLong * 4 + 1, s"v$i"))
+      .toDF("rk", "rt", "v")
+    val out = AsOfJoin.forward(l, r, Seq("k" -> "rk"), "t", "rt")
+    val expected = l.join(r, $"k" === $"rk" && $"rt" >= $"t", "left")
+      .groupBy($"k", $"t").agg(min($"rt").as("best"))
+    val got = out.select($"k", $"t", $"rt").orderBy("k", "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2))))
+    val want = expected.orderBy("k", "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2))))
+    got.toSeq shouldBe want.toSeq
+  }
+
   test("plans as one merge pass: AsOfJoinExec with exchange+sort per side") {
     val df = AsOfJoin.backward(trades, quotes,
       Seq("user" -> "q_user"), "t", "q_t")
