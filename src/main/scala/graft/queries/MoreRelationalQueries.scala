@@ -433,7 +433,53 @@ object MoreRelationalQueries extends QueryPack {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** q22 — approx-quantile accuracy contract: Spark's
+    * `percentile_approx` (Greenwald-Khanna sketch — THE mergeable
+    * one-pass quantile estimator a 100 TB profile job runs instead of
+    * q12's exact sort-based percentile) audited against its own rank
+    * guarantee: for accuracy parameter `acc`, the returned value's
+    * exact rank must sit within n/acc of p·n. The q15 convention
+    * makes a sketch oracle-gateable: emit exact quantities (count,
+    * exact interpolated percentiles) plus the contract BOOLEANs; the
+    * engine-specific estimate itself is never emitted.
+    *
+    * Scale: sketch pass is one partial+final agg (GK sketches merge);
+    * the rank audit is a second scan with the #groups-row sketch
+    * table broadcast. The audit costs one extra pass — run it on
+    * samples in production, same shape. */
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    val acc = 1000
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_returnflag").as("rf"),
+        col("l_extendedprice").cast("double").as("x"))
+    val sketches = li.groupBy(col("rf"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(x, 0.5D)"), 6).as("exact_p50"),
+        round(expr("percentile(x, 0.9D)"), 6).as("exact_p90"),
+        expr(s"percentile_approx(x, array(0.5D, 0.9D), $acc)").as("ap"))
+      .select(col("rf"), col("n"), col("exact_p50"), col("exact_p90"),
+        col("ap").getItem(0).as("a50"), col("ap").getItem(1).as("a90"))
+    li.join(broadcast(sketches), Seq("rf"))
+      .groupBy(col("rf"), col("n"), col("exact_p50"), col("exact_p90"))
+      .agg(sum(when(col("x") <= col("a50"), 1L).otherwise(0L)).as("r50"),
+        sum(when(col("x") <= col("a90"), 1L).otherwise(0L)).as("r90"))
+      .select(col("rf"), col("n"), col("exact_p50"), col("exact_p90"),
+        (abs(col("r50") - lit(0.5) * col("n")) <= col("n") / acc + 1).as("p50_ok"),
+        (abs(col("r90") - lit(0.9) * col("n")) <= col("n") / acc + 1).as("p90_ok"))
+      .orderBy(col("rf"))
+  }
+
+  private val q22Sql =
+    """SELECT l_returnflag AS rf, COUNT(*) AS n,
+      |  ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 6) AS exact_p50,
+      |  ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9), 6) AS exact_p90,
+      |  TRUE AS p50_ok, TRUE AS p90_ok
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY rf""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_approx_quantile" -> q22,
     "q10_full_outer"   -> q10,
     "q11_cube"         -> q11,
     "q12_stats"        -> q12,
@@ -458,6 +504,7 @@ object MoreRelationalQueries extends QueryPack {
     "q17_multiset_ops" -> q17Sql,
     "q18_cms_heavy_hitters" -> q18Sql,
     "q19_running_window" -> q19Sql,
+    "q22_approx_quantile" -> q22Sql,
     "q20_quantile_contract" -> q20Sql,
     "q21_bloom_prefilter" -> q21Sql)
 }
