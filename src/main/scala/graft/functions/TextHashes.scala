@@ -224,3 +224,53 @@ object MinHashSig {
     new GenericArrayData(mins)
   }
 }
+
+/** `graft_winnow(hs, w)` — winnowing fingerprint selection (MOSS,
+  * Schleimer et al. SIGMOD'03): the DISTINCT minima of every sliding
+  * window of width `w` over an int64 hash sequence, in
+  * first-occurrence order — semantics-identical to
+  * `array_distinct(transform(sequence(0, size(hs)-w), i ->
+  * array_min(slice(hs, i+1, w))))`, which evaluates interpreted per
+  * element and re-slices per window (O(m·w) allocations). One tight
+  * generated-code loop instead; the t5 hot path. */
+case class WinnowMin(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  override protected def nullSafeEval(xs: Any, w: Any): Any =
+    WinnowMin.winnow(xs.asInstanceOf[ArrayData], w.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, w) => s"graft.functions.WinnowMin.winnow($x, $w)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WinnowMin =
+    copy(left = newLeft, right = newRight)
+}
+
+object WinnowMin {
+  def winnow(xs: ArrayData, w: Int): ArrayData = {
+    val m = xs.numElements()
+    if (w <= 0 || m < w) return new GenericArrayData(Array.empty[Long])
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i + w <= m) {
+      var mn = xs.getLong(i)
+      var j = 1
+      while (j < w) {
+        val v = xs.getLong(i + j)
+        if (v < mn) mn = v
+        j += 1
+      }
+      seen.add(mn)
+      i += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AHash, BloomMightContain, DotProduct, MinHashSig, SafeDateKey, ShingleHash, ShingleSeq, SigMatches}
+import graft.functions.{AHash, BloomMightContain, DotProduct, MinHashSig, SafeDateKey, ShingleHash, ShingleSeq, SigMatches, WinnowMin}
 
 /** Session extension wiring for graft's native expressions. Use via
   * `.withExtensions(new GraftExtensions)` or
@@ -47,7 +47,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => SigMatches(args(0), args(1))),
     (new FunctionIdentifier("graft_shingle_seq"),
       new ExpressionInfo(classOf[ShingleSeq].getName, "graft_shingle_seq"),
-      (args: Seq[Expression]) => ShingleSeq(args(0), args(1))))
+      (args: Seq[Expression]) => ShingleSeq(args(0), args(1))),
+    (new FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowMin].getName, "graft_winnow"),
+      (args: Seq[Expression]) => WinnowMin(args(0), args(1))))
 
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit = {

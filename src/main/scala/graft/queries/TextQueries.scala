@@ -167,17 +167,21 @@ object TextQueries extends QueryPack {
     * fingerprinting): ordered word-3-gram hashes, sliding windows of
     * 4, keep each window's minimum → the document's fingerprint set.
     * Guarantees any shared run of ≥6 words yields a shared
-    * fingerprint, with ~1/4 the storage of full shingling. */
+    * fingerprint, with ~1/4 the storage of full shingling.
+    *
+    * Both per-doc passes run on native kernels — `graft_shingle_seq`
+    * (positional gram hashes, formula-identical to the former
+    * md5/conv lambda) and `graft_winnow` (distinct window minima in
+    * first-occurrence order; equivalence vs the
+    * `array_distinct(transform(...array_min(slice(...))))` lambda is
+    * pinned in TextHashesSpec) — the interpreted-HOF pitfall that
+    * bit m3 and d3 before. */
   private def t5(s: SparkSession, dir: String): DataFrame = {
     docs(s, dir)
       .withColumn("w", words)
       .filter(size(col("w")) >= 6)
-      .withColumn("hs", expr(
-        """transform(sequence(0, size(w)-3),
-          |  i -> cast(conv(substring(md5(concat(w[i], ' ', w[i+1], ' ', w[i+2])), 1, 15), 16, 10) as bigint)
-          |       % 2147483647L)""".stripMargin))
-      .withColumn("fps", expr(
-        "array_distinct(transform(sequence(0, size(hs)-4), i -> array_min(slice(hs, i+1, 4))))"))
+      .withColumn("hs", call_function("graft_shingle_seq", col("w"), lit(3)))
+      .withColumn("fps", call_function("graft_winnow", col("hs"), lit(4)))
       .select(col("doc_id"),
         size(col("hs")).cast("long").as("n_grams"),
         size(col("fps")).cast("long").as("n_fingerprints"),

@@ -67,6 +67,31 @@ class TextHashesSpec extends SparkSpec {
     rep(0) shouldBe rep(3) // "a b c" at positions 0 and 3
   }
 
+  test("graft_winnow equals the array_distinct(transform(array_min(slice))) lambda") {
+    // random-ish hash arrays incl. duplicates and short arrays
+    val rows = Seq(
+      (1L to 20L).map(i => (i * 2654435761L) % 97),        // collisions mod 97
+      Seq(5L, 4L, 3L, 2L, 1L),                             // strictly decreasing
+      Seq(7L, 7L, 7L, 7L),                                 // constant, one window min
+      Seq(1L, 2L, 3L),                                     // shorter than window
+      Seq.empty[Long])
+      .toDF("hs")
+    val kernel = rows.select(call_function("graft_winnow", $"hs", lit(4)).as("f"))
+      .as[Seq[Long]].collect()
+    // the lambda THROWS on short arrays (slice over sequence(0,
+    // negative)) — t5's size filter used to protect it; compare on
+    // the well-defined rows, pin the kernel's short-array contract
+    // separately (empty, not an error — strictly more robust)
+    val lambda = rows.filter(expr("size(hs) >= 4")).select(expr(
+      "array_distinct(transform(sequence(0, size(hs)-4), i -> array_min(slice(hs, i+1, 4))))")
+      .as("f")).as[Seq[Long]].collect()
+    kernel(0) shouldBe lambda(0)
+    kernel(1) shouldBe lambda(1)
+    kernel(2) shouldBe lambda(2)
+    kernel(3) shouldBe Seq.empty // m < w → no windows
+    kernel(4) shouldBe Seq.empty
+  }
+
   test("kernels survive codegen over many rows") {
     val n = spark.range(2000)
       .select(split(concat_ws(" ", lit("a"), $"id", lit("b"), $"id" + 1, lit("c")), " ").as("w"))
