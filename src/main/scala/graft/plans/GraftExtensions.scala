@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AHash, BloomMightContain, DotProduct, MinHashSig, SafeDateKey, ShingleHash, ShingleSeq, SigMatches, WinnowMin}
+import graft.functions.{AHash, BloomMightContain, DotProduct, MinHashSig, PairMerge, SafeDateKey, ShingleHash, ShingleSeq, SigMatches, WinnowMin}
 
 /** Session extension wiring for graft's native expressions. Use via
   * `.withExtensions(new GraftExtensions)` or
@@ -50,7 +50,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => ShingleSeq(args(0), args(1))),
     (new FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[WinnowMin].getName, "graft_winnow"),
-      (args: Seq[Expression]) => WinnowMin(args(0), args(1))))
+      (args: Seq[Expression]) => WinnowMin(args(0), args(1))),
+    (new FunctionIdentifier("graft_pair_merge"),
+      new ExpressionInfo(classOf[PairMerge].getName, "graft_pair_merge"),
+      (args: Seq[Expression]) => PairMerge(args(0), args(1), args(2))))
 
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit = {
