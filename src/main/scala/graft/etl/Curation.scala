@@ -28,13 +28,16 @@ object Curation {
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
 
-  private val stopListPred = Seq("the", "a", "of", "and", "to", "in", "is", "it")
-    .map(w => s"x = '$w'").mkString(" OR ")
+  private val stopList = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
   /** Language gate (t1 heuristic) over a `w` array<string> column:
-    * English function-word density ≥ `minStopRatio`. */
+    * English function-word density ≥ `minStopRatio`. Counting runs
+    * through the native `graft_count_in` kernel (the lambda form
+    * `size(filter(w, x -> x='the' OR ...))` evaluates interpreted
+    * per element — the m3/d3/t5 pitfall). */
   def langGateOk(minStopRatio: Double): org.apache.spark.sql.Column =
-    expr(s"size(filter(w, x -> $stopListPred))").cast("double") /
+    call_function("graft_count_in", col("w"),
+      array(stopList.map(lit): _*)).cast("double") /
       size(col("w")) >= minStopRatio
 
   final case class StageCount(stage: String, docs: Long)

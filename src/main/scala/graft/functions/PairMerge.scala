@@ -57,3 +57,49 @@ object PairMerge {
     new GenericArrayData(arr)
   }
 }
+
+/** `graft_count_in(arr, probes)` — how many elements of `arr` occur
+  * in the (small, typically literal) `probes` array: the
+  * stopword-density primitive behind the t1/t2 quality features and
+  * the curation language gate. `size(filter(arr, x -> x = 'the' OR
+  * ...))` evaluates the lambda interpreted per element; this is one
+  * generated-code call with a tight two-level scan (probe sets are
+  * a handful of function words — linear beats hashing; swap in a set
+  * if a probe list ever grows past ~100). */
+case class CountIn(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_count_in"
+
+  override protected def nullSafeEval(arr: Any, probes: Any): Any =
+    CountIn.countIn(arr.asInstanceOf[ArrayData], probes.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, p) => s"graft.functions.CountIn.countIn($a, $p)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CountIn =
+    copy(left = newLeft, right = newRight)
+}
+
+object CountIn {
+  def countIn(arr: ArrayData, probes: ArrayData): Long = {
+    val n = arr.numElements()
+    val k = probes.numElements()
+    var count = 0L
+    var i = 0
+    while (i < n) {
+      val x = arr.getUTF8String(i)
+      var j = 0
+      var hit = false
+      while (j < k && !hit) {
+        if (x != null && x.equals(probes.getUTF8String(j))) hit = true
+        j += 1
+      }
+      if (hit) count += 1
+      i += 1
+    }
+    count
+  }
+}

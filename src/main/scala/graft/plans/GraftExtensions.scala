@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AHash, BloomMightContain, DotProduct, MinHashSig, PairMerge, SafeDateKey, ShingleHash, ShingleSeq, SigMatches, WinnowMin}
+import graft.functions.{AHash, BloomMightContain, CountIn, DotProduct, MinHashSig, PairMerge, SafeDateKey, ShingleHash, ShingleSeq, SigMatches, WinnowMin}
 
 /** Session extension wiring for graft's native expressions. Use via
   * `.withExtensions(new GraftExtensions)` or
@@ -53,7 +53,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => WinnowMin(args(0), args(1))),
     (new FunctionIdentifier("graft_pair_merge"),
       new ExpressionInfo(classOf[PairMerge].getName, "graft_pair_merge"),
-      (args: Seq[Expression]) => PairMerge(args(0), args(1), args(2))))
+      (args: Seq[Expression]) => PairMerge(args(0), args(1), args(2))),
+    (new FunctionIdentifier("graft_count_in"),
+      new ExpressionInfo(classOf[CountIn].getName, "graft_count_in"),
+      (args: Seq[Expression]) => CountIn(args(0), args(1))))
 
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit = {

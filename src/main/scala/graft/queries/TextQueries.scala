@@ -20,6 +20,12 @@ object TextQueries extends QueryPack {
     * (the classic stopword-density signal). */
   private val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
+  /** Stopword count over a `w` array column via the native
+    * `graft_count_in` kernel (count semantics ≡ the oracle's
+    * `len(list_filter(...))`; the lambda form interprets per element). */
+  private val stopCount: Column =
+    call_function("graft_count_in", col("w"), array(enStop.map(lit): _*))
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
@@ -29,11 +35,9 @@ object TextQueries extends QueryPack {
     * per document, thresholded; confusion counts against the labeled
     * `lang` column. */
   private def t1(s: SparkSession, dir: String): DataFrame = {
-    val stopList = enStop.map(w => s"x = '$w'").mkString(" OR ")
     docs(s, dir)
       .withColumn("w", words)
-      .withColumn("stop_ratio",
-        expr(s"size(filter(w, x -> $stopList))").cast("double") / size(col("w")))
+      .withColumn("stop_ratio", stopCount.cast("double") / size(col("w")))
       .withColumn("predicted_en", col("stop_ratio") >= 0.05)
       .groupBy(col("lang"), col("predicted_en"))
       .agg(count(lit(1)).as("n_docs"),
@@ -60,7 +64,6 @@ object TextQueries extends QueryPack {
     * operator shape (per-doc featurize → bucket → rollup) is what a
     * pretraining filter runs. */
   private def t2(s: SparkSession, dir: String): DataFrame = {
-    val stopList = enStop.map(w => s"x = '$w'").mkString(" OR ")
     val featurized = docs(s, dir)
       .withColumn("w", words)
       .withColumn("n_words", size(col("w")).cast("long"))
@@ -68,8 +71,7 @@ object TextQueries extends QueryPack {
         size(array_distinct(col("w"))).cast("double") / col("n_words"))
       .withColumn("mean_wlen",
         (col("n_chars") - (col("n_words") - 1)).cast("double") / col("n_words"))
-      .withColumn("stop_ratio",
-        expr(s"size(filter(w, x -> $stopList))").cast("double") / col("n_words"))
+      .withColumn("stop_ratio", stopCount.cast("double") / col("n_words"))
       .withColumn("score", round(
         least(col("n_words").cast("double") / 100, lit(1.0)) * 0.4 +
           col("ttr") * 0.3 + least(col("mean_wlen") / 5, lit(1.0)) * 0.2 +

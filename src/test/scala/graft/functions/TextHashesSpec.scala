@@ -92,6 +92,23 @@ class TextHashesSpec extends SparkSpec {
     kernel(4) shouldBe Seq.empty
   }
 
+  test("graft_count_in equals size(filter(...)) on the stopword predicate") {
+    val stop = Seq("the", "a", "of")
+    val pred = stop.map(w => s"x = '$w'").mkString(" OR ")
+    val rows = Seq(
+      "the cat of the house a", // duplicates counted per occurrence
+      "no function words here",
+      "the the the",
+      "").toDF("text").withColumn("w", split($"text", " "))
+    val kernel = rows.select(call_function("graft_count_in", $"w",
+      array(stop.map(lit): _*)).as("c")).as[Long].collect()
+    val lambda = rows.select(expr(s"size(filter(w, x -> $pred))")
+      .cast("long").as("c")).as[Long].collect()
+    kernel.toSeq shouldBe lambda.toSeq
+    kernel(0) shouldBe 4L
+    kernel(2) shouldBe 3L
+  }
+
   test("kernels survive codegen over many rows") {
     val n = spark.range(2000)
       .select(split(concat_ws(" ", lit("a"), $"id", lit("b"), $"id" + 1, lit("c")), " ").as("w"))
