@@ -242,7 +242,7 @@ object DedupQueries extends QueryPack {
     * SimilarityQueries.s2. */
   private def d5(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
-      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("v", col("embedding").cast("array<double>"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
       .select(col("vec_id"), col("v"), col("norm"))
     // Non-equi pair join = nested-loop with one side broadcast. The

@@ -23,7 +23,7 @@ object SimilarityQueries extends QueryPack {
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
-      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("v", col("embedding").cast("array<double>"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
 
   /** s1 — brute-force top-k cosine: queries are vec_id < 10, k = 5
@@ -291,7 +291,7 @@ object SimilarityQueries extends QueryPack {
   /** Embedding view for the k-means pair: v (double), vv = ‖v‖². */
   private def evec(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
-      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("v", col("embedding").cast("array<double>"))
       .withColumn("vv", dot(col("v"), col("v")))
       .select(col("vec_id"), col("v"), col("vv"))
 
