@@ -125,4 +125,53 @@ object GraftProperties extends Properties("graft") {
         .dateKey(micros, UTF8String.fromString(z)).toString
       k.matches("\\d{4}-\\d{2}-\\d{2}")
     }
+
+  private val hashes = Gen.listOf(Gen.chooseNum(0L, 1000L)).map(_.toArray)
+
+  property("winnow: fingerprints ⊆ input, include the global min, distinct") =
+    forAll(hashes) { hs =>
+      val w = 4
+      val out = graft.functions.WinnowMin
+        .winnow(new GenericArrayData(hs), w).toLongArray
+      val inSet = hs.toSet
+      out.forall(inSet.contains) &&
+        out.distinct.length == out.length &&
+        (hs.length < w || out.contains(hs.min)) && // the global min always wins a window
+        out.length <= math.max(0, hs.length - w + 1)
+    }
+
+  property("winnow of a sorted-ascending array is exactly the prefix heads") =
+    forAll(hashes.map(_.distinct.sorted)) { hs =>
+      val w = 4
+      val out = graft.functions.WinnowMin
+        .winnow(new GenericArrayData(hs), w).toLongArray
+      // ascending ⇒ window i's min is hs(i): fingerprints = first m-w+1 values
+      hs.length < w || out.toSeq == hs.take(hs.length - w + 1).toSeq
+    }
+
+  property("pairMerge preserves the character stream and never grows") =
+    forAll(words, word, word) { (ws, a, b) =>
+      val out = graft.functions.PairMerge.merge(arr(ws),
+        UTF8String.fromString(a), UTF8String.fromString(b))
+      val outStrs = (0 until out.numElements()).map(out.getUTF8String(_).toString)
+      outStrs.mkString == ws.mkString && outStrs.length <= ws.length
+    }
+
+  property("pairMerge is identity when the pair never occurs adjacently") =
+    forAll(words) { ws =>
+      val out = graft.functions.PairMerge.merge(arr(ws),
+        UTF8String.fromString("nope"), UTF8String.fromString("never"))
+      (0 until out.numElements()).map(out.getUTF8String(_).toString) == ws.toSeq
+    }
+
+  property("countIn: bounded, probe-order-invariant, sums over disjoint probes") =
+    forAll(words, Gen.listOfN(3, word)) { (ws, probes) =>
+      val p = probes.distinct
+      def c(ps: Seq[String]) = graft.functions.CountIn.countIn(
+        arr(ws), arr(ps.toArray))
+      val full = c(p)
+      full >= 0 && full <= ws.length &&
+        c(p.reverse) == full &&
+        p.map(x => c(Seq(x))).sum == full // distinct probes partition the hits
+    }
 }
