@@ -144,6 +144,13 @@ class PlanAuditSpec extends SparkSpec {
     p should include("InMemoryTableScan")
   }
 
+  test("t1/t5: the text hot paths run on native kernels, not HOF lambdas") {
+    plan("t1_lang_id") should include("graft_count_in")
+    val t5 = plan("t5_winnowing")
+    t5 should include("graft_shingle_seq")
+    t5 should include("graft_winnow")
+  }
+
   test("t10: the stopword-skew salt reaches both model-join keys") {
     val p = plan("t10_bigram_lm")
     val joinLines = p.linesIterator.filter(l =>
