@@ -684,7 +684,70 @@ object DedupQueries extends QueryPack {
       |FROM p WHERE 1.0 - CAST(lev AS DOUBLE) / ml >= 0.8
       |ORDER BY d1, d2""".stripMargin
 
+  /** d15 — CONTAINMENT dedup (asymmetric): |A∩B| / |A| ≥ 0.9 flags
+    * document A as (near-)contained in B — the quote/excerpt/subset
+    * case symmetric Jaccard structurally misses (a 50-gram doc inside
+    * a 500-gram doc has jaccard ≤ 0.1 but containment 1.0; the LSH
+    * Ensemble / MMDS containment-search problem). Both directions are
+    * emitted per candidate pair; mutually-contained pairs (exact
+    * near-dups) appear twice, which is the honest report — the
+    * DELETION decision differs by direction (drop the contained doc,
+    * keep the container).
+    *
+    * Scale: same df-capped inverted-index candidate generation as d2
+    * (Σ min(df, cap)² bound, shuffle_hash pinned); the verify step is
+    * two keyed joins + per-pair set math. Containment of a SMALL doc
+    * is immune to the d2 length-bias, which is exactly why this
+    * operator exists. */
+  private def d15(s: SparkSession, dir: String): DataFrame = {
+    val ws = withShingles(s, dir).select(col("doc_id"), col("xs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ws.count() // eager: 4 consumers (hot, both join sides, verify)
+    val sh = ws.select(col("doc_id"), explode(col("xs")).as("sh"))
+    val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > d2MaxDf).select("sh")
+    val capped = sh.join(broadcast(hot), Seq("sh"), "left_anti")
+    val cands = capped.as("a").hint("shuffle_hash")
+      .join(capped.as("b").hint("shuffle_hash"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val v = cands
+      .join(ws.select(col("doc_id").as("d1"), col("xs").as("xs1")), "d1")
+      .join(ws.select(col("doc_id").as("d2"), col("xs").as("xs2")), "d2")
+      .withColumn("common", size(array_intersect(col("xs1"), col("xs2"))))
+    val dir1 = v.select(col("d1").as("contained"), col("d2").as("container"),
+      round(col("common").cast("double") / size(col("xs1")), 6).as("containment"))
+    val dir2 = v.select(col("d2").as("contained"), col("d1").as("container"),
+      round(col("common").cast("double") / size(col("xs2")), 6).as("containment"))
+    dir1.unionAll(dir2)
+      .filter(col("containment") >= 0.9)
+      .orderBy(col("contained"), col("container"))
+  }
+
+  private val d15Sql =
+    s"""WITH ws AS ($withShinglesSql),
+      |sh AS (SELECT doc_id, unnest(xs) AS sh FROM ws),
+      |hot AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) > $d2MaxDf),
+      |capped AS (SELECT * FROM sh WHERE sh NOT IN (SELECT sh FROM hot)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+      |v AS (
+      |  SELECT d1, d2, len(list_intersect(x.xs, y.xs)) AS common,
+      |    len(x.xs) AS n1, len(y.xs) AS n2
+      |  FROM cand JOIN ws x ON d1 = x.doc_id JOIN ws y ON d2 = y.doc_id),
+      |dirs AS (
+      |  SELECT d1 AS contained, d2 AS container,
+      |    ROUND(CAST(common AS DOUBLE) / n1, 6) AS containment FROM v
+      |  UNION ALL
+      |  SELECT d2, d1, ROUND(CAST(common AS DOUBLE) / n2, 6) FROM v)
+      |SELECT contained, container, containment
+      |FROM dirs WHERE containment >= 0.9
+      |ORDER BY contained, container""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d15_containment"   -> d15,
     "d14_edit_dedup"    -> d14,
     "d10_incremental_lsh" -> d10,
     "d11_span_scrub"    -> d11,
@@ -700,6 +763,7 @@ object DedupQueries extends QueryPack {
     "c1_curation_report" -> c1)
 
   override def oracle: Map[String, String] = Map(
+    "d15_containment"   -> d15Sql,
     "d14_edit_dedup"    -> d14Sql,
     "d10_incremental_lsh" -> d10Sql,
     "d11_span_scrub"    -> d11Sql,

@@ -621,7 +621,39 @@ object SimilarityQueries extends QueryPack {
       |WHERE rk <= 5
       |ORDER BY cluster, rk""".stripMargin
 
+  /** s9 — ANN recall audit: s4's LSH path scored against s1's exact
+    * top-3 ground truth, per query (recall@3) — the d13 philosophy
+    * applied to similarity search: before a 100 TB pipeline trusts
+    * the bucketed path, PROVE on a slice how much recall the 2^8
+    * candidate shrink costs, and keep the audit running as the
+    * corpus drifts. Cost = the two audited pipelines + an
+    * output-sized join. */
+  private def s9(s: SparkSession, dir: String): DataFrame = {
+    val exact = s1(s, dir).filter(col("rk") <= 3).select(col("qid"), col("nid"))
+    val ann = s4(s, dir).select(col("qid").as("a_qid"), col("nid").as("a_nid"))
+    exact.join(ann,
+        col("qid") === col("a_qid") && col("nid") === col("a_nid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"), count(col("a_nid")).as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("n_exact"), 6))
+      .orderBy(col("qid"))
+  }
+
+  private def s9Sql =
+    s"""WITH ex AS (SELECT qid, nid FROM ($s1Sql) t WHERE rk <= 3),
+      |ann AS (SELECT qid, nid FROM ($s4Sql) t)
+      |SELECT ex.qid, COUNT(*) AS n_exact,
+      |  CAST(SUM(CASE WHEN ann.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_hit,
+      |  ROUND(CAST(SUM(CASE WHEN ann.nid IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / COUNT(*), 6) AS recall
+      |FROM ex LEFT JOIN ann ON ex.qid = ann.qid AND ex.nid = ann.nid
+      |GROUP BY ex.qid
+      |ORDER BY ex.qid""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s9_ann_recall" -> s9,
     "s8_balanced_sample" -> s8,
     "s7_quant_audit" -> s7,
     "d12_incr_semdedup" -> d12,
@@ -634,6 +666,7 @@ object SimilarityQueries extends QueryPack {
     "d8_semdedup"  -> d8)
 
   override def oracle: Map[String, String] = Map(
+    "s9_ann_recall" -> s9Sql,
     "s8_balanced_sample" -> s8Sql,
     "s7_quant_audit" -> s7Sql,
     "d12_incr_semdedup" -> d12Sql,
