@@ -144,6 +144,17 @@ class PlanAuditSpec extends SparkSpec {
     p should include("InMemoryTableScan")
   }
 
+  test("d15: the containment index self-join never broadcasts") {
+    val p = plan("d15_containment")
+    p should include("ShuffledHashJoin")
+    // inner joins keyed on the shingle column are the index self-join;
+    // the df-cap LeftAnti against the tiny hot list may broadcast
+    val idxJoins = p.linesIterator.filter(l =>
+      l.contains("Join [sh#") && l.contains("Inner")).toList
+    idxJoins should not be empty
+    idxJoins.filter(_.contains("BroadcastHashJoin")) shouldBe empty
+  }
+
   test("t1/t5: the text hot paths run on native kernels, not HOF lambdas") {
     plan("t1_lang_id") should include("graft_count_in")
     val t5 = plan("t5_winnowing")
