@@ -350,19 +350,22 @@ object DedupQueries extends QueryPack {
     * Highly repetitive docs (templated/looping text) are the classic
     * pretraining poison this flags.
     *
-    * Scale: a single scan; every measure is per-row array math
-    * (split → 3-gram transform → distinct), no joins, no shuffles
-    * except the final order — the cheapest filter in the curation
-    * arsenal, which is why pipelines run it first. String 3-grams
-    * (not hashes) so the distinct count is exact in both engines. */
+    * Scale: a single scan; every measure is per-row array math, no
+    * joins, no shuffles except the final order — the cheapest filter
+    * in the curation arsenal, which is why pipelines run it first.
+    * Gram identity is the one-pass `graft_shingle_seq` kernel (the
+    * former gram-string `transform` + per-gram concat evaluated
+    * interpreted per element — the m3/d3/t5 pitfall); the oracle
+    * hashes with the identical md5 formula, so a collision (if one
+    * ever occurred) would fold the SAME two grams on both engines. */
   private def d7(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 3)
       .withColumn("n_grams", (size(col("w")) - 2).cast("long"))
-      .withColumn("n_distinct", size(array_distinct(expr(
-        "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
-        .cast("long"))
+      .withColumn("n_distinct",
+        size(array_distinct(call_function("graft_shingle_seq", col("w"), lit(3))))
+          .cast("long"))
       .withColumn("dup_ratio", round(
         lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 6))
       .select(col("doc_id"), size(col("w")).cast("long").as("n_words"),
@@ -374,8 +377,11 @@ object DedupQueries extends QueryPack {
     """WITH g AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |t AS (
       |  SELECT doc_id, len(w) AS n_words, len(w) - 2 AS n_grams,
-      |    len(list_distinct(list_transform(range(1, len(w) - 1),
-      |      i -> w[i]||' '||w[i+1]||' '||w[i+2]))) AS n_distinct
+      |    len(list_distinct(list_transform(
+      |      list_transform(range(1, len(w) - 1),
+      |        i -> w[i]||' '||w[i+1]||' '||w[i+2]),
+      |      s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % 2147483647)))
+      |      AS n_distinct
       |  FROM g WHERE len(w) >= 3)
       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
       |  CAST(n_grams AS BIGINT) AS n_grams,

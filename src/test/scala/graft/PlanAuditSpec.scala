@@ -155,11 +155,12 @@ class PlanAuditSpec extends SparkSpec {
     idxJoins.filter(_.contains("BroadcastHashJoin")) shouldBe empty
   }
 
-  test("t1/t5: the text hot paths run on native kernels, not HOF lambdas") {
+  test("t1/t5/d7: the text hot paths run on native kernels, not HOF lambdas") {
     plan("t1_lang_id") should include("graft_count_in")
     val t5 = plan("t5_winnowing")
     t5 should include("graft_shingle_seq")
     t5 should include("graft_winnow")
+    plan("d7_intradoc_repeat") should include("graft_shingle_seq")
   }
 
   test("t10: the stopword-skew salt reaches both model-join keys") {
