@@ -21,7 +21,11 @@ import org.apache.spark.unsafe.types.UTF8String
 case class PairMerge(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // null elements pass through unmerged, so containsNull follows the input
+  override def dataType: DataType = first.dataType match {
+    case ArrayType(_, n) => ArrayType(StringType, containsNull = n)
+    case _ => ArrayType(StringType, containsNull = true)
+  }
   override def prettyName: String = "graft_pair_merge"
 
   override protected def nullSafeEval(toks: Any, a: Any, b: Any): Any =
@@ -42,12 +46,13 @@ object PairMerge {
     val out = new java.util.ArrayList[UTF8String](m)
     var i = 0
     while (i < m) {
-      if (i + 1 < m && toks.getUTF8String(i).equals(a) &&
-          toks.getUTF8String(i + 1).equals(b)) {
+      val cur = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+      if (cur != null && i + 1 < m && !toks.isNullAt(i + 1) &&
+          cur.equals(a) && toks.getUTF8String(i + 1).equals(b)) {
         out.add(UTF8String.concat(a, b))
         i += 2
       } else {
-        out.add(toks.getUTF8String(i))
+        out.add(cur) // null elements are non-matching and pass through
         i += 1
       }
     }

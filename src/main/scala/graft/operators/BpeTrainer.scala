@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Distributed byte-pair-encoding tokenizer training — the vocabulary
@@ -69,8 +69,7 @@ object BpeTrainer {
     * inference-side tokenization under a frozen vocabulary, e.g.
     * today's crawl under yesterday's tokenizer. Merges apply in rank
     * order, exactly as during training. */
-  def applyMerges(df: DataFrame, tokensCol: String, merges: Seq[Merge],
-      session: SparkSession = null): DataFrame =
+  def applyMerges(df: DataFrame, tokensCol: String, merges: Seq[Merge]): DataFrame =
     merges.sortBy(_.rank).foldLeft(df) { (d, m) =>
       d.withColumn(tokensCol,
         call_function("graft_pair_merge", col(tokensCol), lit(m.a), lit(m.b)))

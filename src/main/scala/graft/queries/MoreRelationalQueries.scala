@@ -437,11 +437,17 @@ object MoreRelationalQueries extends QueryPack {
     * `percentile_approx` (Greenwald-Khanna sketch — THE mergeable
     * one-pass quantile estimator a 100 TB profile job runs instead of
     * q12's exact sort-based percentile) audited against its own rank
-    * guarantee: for accuracy parameter `acc`, the returned value's
-    * exact rank must sit within n/acc of p·n. The q15 convention
-    * makes a sketch oracle-gateable: emit exact quantities (count,
-    * exact interpolated percentiles) plus the contract BOOLEANs; the
-    * engine-specific estimate itself is never emitted.
+    * guarantee: for accuracy parameter `acc`, SOME rank of the
+    * returned value must sit within n/acc of p·n. A value occupies
+    * the whole rank interval [count(x < a)+1, count(x <= a)] (ties
+    * widen it), so the audit passes iff that interval INTERSECTS
+    * [p·n − n/acc, p·n + n/acc] — checking only count(x <= a), the
+    * interval's maximum, would flag a legitimate sketch answer as
+    * broken whenever the returned value's duplicate group is wider
+    * than the tolerance (price-grid columns at larger SFs). The q15
+    * convention makes a sketch oracle-gateable: emit exact quantities
+    * (count, exact interpolated percentiles) plus the contract
+    * BOOLEANs; the engine-specific estimate itself is never emitted.
     *
     * Scale: sketch pass is one partial+final agg (GK sketches merge);
     * the rank audit is a second scan with the #groups-row sketch
@@ -459,13 +465,20 @@ object MoreRelationalQueries extends QueryPack {
         expr(s"percentile_approx(x, array(0.5D, 0.9D), $acc)").as("ap"))
       .select(col("rf"), col("n"), col("exact_p50"), col("exact_p90"),
         col("ap").getItem(0).as("a50"), col("ap").getItem(1).as("a90"))
+    def rankOk(lt: Column, le: Column, p: Double): Column = {
+      val target = lit(p) * col("n")
+      val tol = col("n") / acc + 1
+      (lt + 1 <= target + tol) && (le >= target - tol)
+    }
     li.join(broadcast(sketches), Seq("rf"))
       .groupBy(col("rf"), col("n"), col("exact_p50"), col("exact_p90"))
-      .agg(sum(when(col("x") <= col("a50"), 1L).otherwise(0L)).as("r50"),
-        sum(when(col("x") <= col("a90"), 1L).otherwise(0L)).as("r90"))
+      .agg(sum(when(col("x") < col("a50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("x") <= col("a50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("x") < col("a90"), 1L).otherwise(0L)).as("lt90"),
+        sum(when(col("x") <= col("a90"), 1L).otherwise(0L)).as("le90"))
       .select(col("rf"), col("n"), col("exact_p50"), col("exact_p90"),
-        (abs(col("r50") - lit(0.5) * col("n")) <= col("n") / acc + 1).as("p50_ok"),
-        (abs(col("r90") - lit(0.9) * col("n")) <= col("n") / acc + 1).as("p90_ok"))
+        rankOk(col("lt50"), col("le50"), 0.5).as("p50_ok"),
+        rankOk(col("lt90"), col("le90"), 0.9).as("p90_ok"))
       .orderBy(col("rf"))
   }
 

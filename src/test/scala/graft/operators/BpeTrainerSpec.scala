@@ -40,6 +40,16 @@ class BpeTrainerSpec extends SparkSpec {
     merged(1) shouldBe Seq("aa", "a")  // trailing singleton survives
   }
 
+  test("graft_pair_merge: null token elements are non-matching and pass through") {
+    // the kernel is a registered SQL function — callers beyond
+    // BpeTrainer can hand it arrays with null elements
+    val df = Seq(Tuple1(Seq("a", null, "a", "a"))).toDF("toks")
+    val merged = df.select(
+      call_function("graft_pair_merge", $"toks", lit("a"), lit("a")).as("t"))
+      .as[Seq[String]].collect()
+    merged(0) shouldBe Seq("a", null, "aa")
+  }
+
   test("applyMerges on the raw corpus reproduces the trained corpus") {
     val r = BpeTrainer.train(classic, "toks", 4)
     val applied = BpeTrainer.applyMerges(classic, "toks", r.merges)

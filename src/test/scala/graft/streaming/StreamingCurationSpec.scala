@@ -180,6 +180,40 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingest with eventTimeCol: the full pipeline starts and curates " +
+      "(watermark ledger chained with both stateful stages)") {
+    // the headline option must survive Spark's unsupported-operation /
+    // global-watermark checks on a REAL query: withWatermark +
+    // dropDuplicatesWithinWatermark feeding two flatMapGroupsWithState
+    // stages in one append-mode query
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = StreamingCuration.ingest(
+      input.toDF().toDF("doc_id", "text", "ts"),
+      eventTimeCol = Some("ts"))
+    val q = out.writeStream.format("memory").queryName("curation_wm_e2e")
+      .outputMode("append").start()
+    try {
+      // batch 1: the batch-parity fixture — only `good` survives
+      input.addData((1L, good, at(0)), (2L, goodDup, at(1)),
+        (3L, goodNear, at(2)), (4L, nonEnglish, at(3)), (5L, tooShort, at(4)))
+      q.processAllAvailable()
+      spark.table("curation_wm_e2e").select("id")
+        .as[Long].collect().toSet shouldBe Set(1L)
+      // batch 2: an in-window exact redelivery is swallowed by the
+      // watermarked ledger; fresh content is admitted
+      val fresh = "a completely different story about the sea and the " +
+        "ships that sail far away to the north in winter when it is cold"
+      input.addData((7L, good, at(5)), (8L, fresh, at(6)))
+      q.processAllAvailable()
+      spark.table("curation_wm_e2e").select("id")
+        .as[Long].collect().toSet shouldBe Set(1L, 8L)
+    } finally q.stop()
+  }
+
   test("redelivered and cross-batch near-dup content stays rejected") {
     val in = tmp("graft-cur-in2")
     val stream = spark.readStream
