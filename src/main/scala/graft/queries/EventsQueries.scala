@@ -628,7 +628,94 @@ object EventsQueries extends QueryPack {
       |GROUP BY p.event_id, p.user_id, epoch_ns(p.ts)//1000
       |ORDER BY p.event_id""".stripMargin
 
+  /** e19 — time-series resample + gap-fill: each user's event stream
+    * is regularized onto a daily grid spanning their first..last
+    * active day, missing days are marked and the day total is
+    * forward-filled from the last observed day (`last(_, ignoreNulls)`
+    * running window — the LOCF imputation a feature-engineering
+    * pipeline runs before a model sees the series).
+    *
+    * Scale: the observed frame is one partial+final agg; the spine is
+    * generated per user from a 2-column (min, max) agg — `sequence` +
+    * explode, no driver-side date loop and no global calendar join;
+    * the fill window partitions by user (millions of independent
+    * partitions, no q20-style funnel). Leading gaps (before a user's
+    * first observation) stay NULL by design. */
+  private def e19(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir, "events")
+      .groupBy(col("user_id"),
+        date_trunc("DAY", col("ts")).cast("date").as("day"))
+      .agg(money(sum(dec(col("value")))).as("observed"))
+    val spine = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(col("user_id"),
+        explode(sequence(col("mn"), col("mx"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        col("observed").isNull.as("is_gap"),
+        last(col("observed"), ignoreNulls = true).over(w).as("filled"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  private val e19Sql =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS observed
+      |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+      |spine AS (
+      |  SELECT user_id, CAST(UNNEST(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM (SELECT user_id, MIN(day) AS mn, MAX(day) AS mx FROM daily GROUP BY user_id))
+      |SELECT s.user_id, s.day, d.observed IS NULL AS is_gap,
+      |  LAST_VALUE(d.observed IGNORE NULLS) OVER (
+      |    PARTITION BY s.user_id ORDER BY s.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      |FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+      |ORDER BY s.user_id, s.day""".stripMargin
+
+  /** e20 — next-event transition matrix (first-order Markov model of
+    * user behavior): per user, events order by time and each
+    * consecutive (state → next) pair increments a transition count;
+    * probabilities normalize per source state. The sequence-modeling
+    * prior a product-analytics stack derives before anything fancier.
+    *
+    * Scale: the lead() window partitions by user (no funnel); the
+    * count is a 25-cell hash agg; the normalizer is a windowed sum
+    * over the tiny transition frame itself. Tie-break within a user's
+    * identical timestamps is event_id — deterministic cross-engine. */
+  private def e20(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    val steps = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+    val counts = steps.groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+    val tot = Window.partitionBy(col("src"))
+    counts
+      .select(col("src"), col("dst"), col("n"),
+        round(col("n").cast("double") / sum(col("n")).over(tot), 6).as("p"))
+      .orderBy(col("src"), col("dst"))
+  }
+
+  private val e20Sql =
+    """WITH steps AS (
+      |  SELECT user_id, event_type AS src,
+      |    LEAD(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ns(ts), event_id) AS dst
+      |  FROM events),
+      |counts AS (
+      |  SELECT src, dst, COUNT(*) AS n FROM steps
+      |  WHERE dst IS NOT NULL GROUP BY src, dst)
+      |SELECT src, dst, n,
+      |  ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY src), 6) AS p
+      |FROM counts ORDER BY src, dst""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e19_gapfill"       -> e19,
+    "e20_transitions"   -> e20,
     "e18_asof_forward"  -> e18,
     "e1_scoreboard"     -> e1,
     "e2_json_extract"   -> e2,
@@ -649,6 +736,8 @@ object EventsQueries extends QueryPack {
     "e17_trailing_window" -> e17)
 
   override def oracle: Map[String, String] = Map(
+    "e19_gapfill"       -> e19Sql,
+    "e20_transitions"   -> e20Sql,
     "e18_asof_forward"  -> e18Sql,
     "e1_scoreboard"     -> e1Sql,
     "e2_json_extract"   -> e2Sql,

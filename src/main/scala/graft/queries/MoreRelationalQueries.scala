@@ -491,8 +491,69 @@ object MoreRelationalQueries extends QueryPack {
       |GROUP BY l_returnflag
       |ORDER BY rf""".stripMargin
 
+  /** q23 — KMV (k-minimum-values / bottom-k) distinct-count sketch,
+    * built from first principles and audited against the exact count.
+    * Unlike q15's HLL (whose register layout is engine-specific, so
+    * only a contract boolean crosses engines), KMV is REPLAYABLE
+    * cross-engine: both sides hash values with md5, keep the k
+    * smallest 52-bit hash prefixes, and estimate
+    * n ≈ (k−1) / u_k with u_k the kth minimum scaled to (0,1) — the
+    * same IEEE ops on the same integers, so the ESTIMATE ITSELF is
+    * hash-gated, not just a tolerance flag. 13 hex chars = 52 bits
+    * keeps every hash exactly representable in a double (the TopKAgg
+    * score), sidestepping 60-bit precision loss.
+    *
+    * Scale: the distinct projection is one partial+final hash agg;
+    * the bottom-k runs in [[graft.functions.TopKAgg]] (O(k) buffer,
+    * map-side partials — only k rows per group cross the shuffle),
+    * NOT a rank window, which would sort every group member on 3
+    * reducers. The exact count rides the same distinct frame — it is
+    * the audit's inherent second cost, exactly q22's convention. */
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.udaf
+    val k = 256
+    val bottomk = udaf(new graft.functions.TopKAgg(k))
+    val d = Tables(s, dir, "lineitem")
+      .select(col("l_returnflag").as("rf"),
+        conv(substring(md5(col("l_partkey").cast("string")), 1, 13), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+    val agg = d.groupBy(col("rf"))
+      .agg(count(lit(1)).as("exact_distinct"),
+        // top-k of −h = bottom-k of h; scores are exact (52-bit) doubles
+        bottomk((-col("h")).cast("double"), col("h")).as("mins"))
+    val hk = (-get(col("mins"), lit(k - 1)).getField("score")).as("hk")
+    agg.select(col("rf"), col("exact_distinct"), hk)
+      .withColumn("est",
+        when(col("hk").isNull, col("exact_distinct").cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            (col("hk") / lit(4503599627370496.0)))) // 2^52
+      .select(col("rf"), col("exact_distinct"),
+        round(col("est"), 4).as("kmv_est"),
+        (abs(col("est") - col("exact_distinct")) <=
+          lit(0.2) * col("exact_distinct")).as("within_tol"))
+      .orderBy(col("rf"))
+  }
+
+  private val q23Sql =
+    """WITH d AS (SELECT DISTINCT l_returnflag AS rf,
+      |    CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+      |  FROM lineitem),
+      |r AS (SELECT rf, h, ROW_NUMBER() OVER (PARTITION BY rf ORDER BY h) AS rn FROM d),
+      |kth AS (SELECT rf, MAX(h) AS hk, COUNT(*) AS kk FROM r WHERE rn <= 256 GROUP BY rf),
+      |n AS (SELECT rf, COUNT(*) AS nd FROM d GROUP BY rf),
+      |est AS (SELECT n.rf, n.nd,
+      |  CASE WHEN kth.kk < 256 THEN CAST(kth.kk AS DOUBLE)
+      |       ELSE CAST(255 AS DOUBLE) /
+      |            (CAST(kth.hk AS DOUBLE) / CAST(4503599627370496 AS DOUBLE)) END AS e
+      |  FROM n JOIN kth ON n.rf = kth.rf)
+      |SELECT rf, nd AS exact_distinct, ROUND(e, 4) AS kmv_est,
+      |  ABS(e - nd) <= CAST(0.2 AS DOUBLE) * nd AS within_tol
+      |FROM est ORDER BY rf""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_approx_quantile" -> q22,
+    "q23_kmv_distinct"    -> q23,
     "q10_full_outer"   -> q10,
     "q11_cube"         -> q11,
     "q12_stats"        -> q12,
@@ -518,6 +579,7 @@ object MoreRelationalQueries extends QueryPack {
     "q18_cms_heavy_hitters" -> q18Sql,
     "q19_running_window" -> q19Sql,
     "q22_approx_quantile" -> q22Sql,
+    "q23_kmv_distinct"    -> q23Sql,
     "q20_quantile_contract" -> q20Sql,
     "q21_bloom_prefilter" -> q21Sql)
 }

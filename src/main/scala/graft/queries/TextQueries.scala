@@ -820,7 +820,65 @@ object TextQueries extends QueryPack {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** t17 — cross-source n-gram overlap matrix: pairwise Jaccard
+    * between each source's distinct 3-gram-shingle set — the corpus
+    * forensics view that surfaces near-mirror sources, shared
+    * boilerplate pools, and cross-source contamination BEFORE mixture
+    * weights (t12) treat the sources as independent.
+    *
+    * Scale: the per-source gram sets collapse document volume to one
+    * row per (source, gram) — df in the self-join is bounded by the
+    * NUMBER OF SOURCES (hundreds), not documents, so the gram-keyed
+    * join is Σ df² with df ≤ |sources|: no d2-style frequency cap
+    * needed. Set sizes broadcast (one row per source). */
+  /** DuckDB mirror of `graft_shingle_hash(w, 3)` (same md5 formula
+    * as DedupQueries' pipeline). */
+  private val shingleGramSql =
+    """list_transform(
+      |  list_distinct(list_transform(range(1, len(w)-1),
+      |    i -> w[i]||' '||w[i+1]||' '||w[i+2])),
+      |  s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % 2147483647)""".stripMargin
+
+  private def t17(s: SparkSession, dir: String): DataFrame = {
+    val grams = docs(s, dir)
+      .withColumn("w", split(col("text"), " "))
+      .filter(expr("size(w) >= 3"))
+      .select(col("source"),
+        explode(graft.operators.TextDedup.shingleHashes("w", 3)).as("g"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    grams.count() // eager: sizes + both self-join sides read it
+    val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+    val inter = grams.as("a").hint("shuffle_hash")
+      .join(grams.as("b").hint("shuffle_hash"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(count(lit(1)).as("common"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("s1"), col("sz").as("sz1"))), "s1")
+      .join(broadcast(sizes.select(col("source").as("s2"), col("sz").as("sz2"))), "s2")
+      .select(col("s1"), col("s2"), col("common"),
+        round(col("common").cast("double") /
+          (col("sz1") + col("sz2") - col("common")), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("s1"), col("s2"))
+  }
+
+  private val t17Sql =
+    s"""WITH g AS (
+      |  SELECT DISTINCT source, UNNEST($shingleGramSql) AS g
+      |  FROM (SELECT source, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 3),
+      |sz AS (SELECT source, COUNT(*) AS sz FROM g GROUP BY source),
+      |i AS (SELECT a.source AS s1, b.source AS s2, COUNT(*) AS common
+      |      FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+      |      GROUP BY a.source, b.source)
+      |SELECT i.s1, i.s2, i.common,
+      |  ROUND(CAST(i.common AS DOUBLE) / (x.sz + y.sz - i.common), 6) AS jaccard
+      |FROM i JOIN sz x ON i.s1 = x.source JOIN sz y ON i.s2 = y.source
+      |ORDER BY jaccard DESC, s1, s2""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t17_source_overlap" -> t17,
     "t16_vocab_coverage" -> t16,
     "t15_tfidf"          -> t15,
     "t14_seq_pack"       -> t14,
@@ -839,6 +897,7 @@ object TextQueries extends QueryPack {
     "t12_mix_weights" -> t12)
 
   override def oracle: Map[String, String] = Map(
+    "t17_source_overlap" -> t17Sql,
     "t16_vocab_coverage" -> t16Sql,
     "t15_tfidf"          -> t15Sql,
     "t14_seq_pack"       -> t14Sql,
