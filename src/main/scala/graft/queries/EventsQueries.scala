@@ -713,7 +713,72 @@ object EventsQueries extends QueryPack {
       |  ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY src), 6) AS p
       |FROM counts ORDER BY src, dst""".stripMargin
 
+  /** e21 — trailing-window z-score anomaly detection: each user's
+    * daily spend is scored against the mean/stddev of their OWN
+    * trailing 7 fully-observed days (the current day excluded), and
+    * days beyond |z| > 2 are flagged — the classic per-entity
+    * data-quality / fraud sweep.
+    *
+    * Float determinism: windowed double sums are NOT cross-engine
+    * stable (DuckDB aggregates window frames via segment trees —
+    * different summation order). So the day totals become exact
+    * integer CENTS (decimal → ×100 → long), the window keeps exact
+    * integer Σx and Σx², and mean/var/z are derived from those two
+    * integers with the same IEEE ops on both engines. z is
+    * scale-invariant, so cents-space z ≡ dollars-space z.
+    *
+    * Scale: one partial+final daily agg, then per-user windows —
+    * millions of independent partitions, no funnel. */
+  private def e21(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir, "events")
+      .groupBy(col("user_id"),
+        date_trunc("DAY", col("ts")).cast("date").as("day"))
+      .agg((round(sum(dec(col("value"))), 2) * 100).cast("long").as("c"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    val scored = daily.select(col("user_id"), col("day"), col("c"),
+      count(col("c")).over(w).as("n7"),
+      sum(col("c")).over(w).as("s7"),
+      sum(col("c") * col("c")).over(w).as("q7"))
+    scored.filter(col("n7") === 7)
+      .withColumn("mean", col("s7").cast("double") / 7)
+      .withColumn("vr",
+        col("q7").cast("double") / 7 - col("mean") * col("mean"))
+      .filter(col("vr") > 0)
+      .withColumn("z", (col("c") - col("mean")) / sqrt(col("vr")))
+      .filter(abs(col("z")) > 2)
+      .select(col("user_id"), col("day"),
+        (col("c").cast("double") / 100).as("observed"),
+        round(col("mean") / 100, 4).as("mean7"),
+        round(col("z"), 4).as("z"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  private val e21Sql =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) * 100 AS BIGINT) AS c
+      |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+      |win AS (
+      |  SELECT user_id, day, c,
+      |    COUNT(c) OVER w AS n7, SUM(c) OVER w AS s7, SUM(c * c) OVER w AS q7
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY day
+      |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      |scored AS (
+      |  SELECT user_id, day, c,
+      |    CAST(s7 AS DOUBLE) / 7 AS mean,
+      |    CAST(q7 AS DOUBLE) / 7 - (CAST(s7 AS DOUBLE) / 7) * (CAST(s7 AS DOUBLE) / 7) AS vr
+      |  FROM win WHERE n7 = 7)
+      |SELECT user_id, day, CAST(c AS DOUBLE) / 100 AS observed,
+      |  ROUND(mean / 100, 4) AS mean7,
+      |  ROUND((c - mean) / SQRT(vr), 4) AS z
+      |FROM scored
+      |WHERE vr > 0 AND ABS((c - mean) / SQRT(vr)) > 2
+      |ORDER BY user_id, day""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e21_zscore_anomaly" -> e21,
     "e19_gapfill"       -> e19,
     "e20_transitions"   -> e20,
     "e18_asof_forward"  -> e18,
@@ -736,6 +801,7 @@ object EventsQueries extends QueryPack {
     "e17_trailing_window" -> e17)
 
   override def oracle: Map[String, String] = Map(
+    "e21_zscore_anomaly" -> e21Sql,
     "e19_gapfill"       -> e19Sql,
     "e20_transitions"   -> e20Sql,
     "e18_asof_forward"  -> e18Sql,

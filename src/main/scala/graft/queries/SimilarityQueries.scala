@@ -652,7 +652,180 @@ object SimilarityQueries extends QueryPack {
       |GROUP BY ex.qid
       |ORDER BY ex.qid""".stripMargin
 
+  /** s10 — product quantization (PQ) codebook training + encoding:
+    * the embedding space splits into m=4 contiguous 16-dim subspaces,
+    * each subspace trains its own k=8 codebook with the s6 Lloyd
+    * recipe (2 rounds, seeds = vectors 0..7), and every vector is
+    * encoded as 4 centroid ids plus its total squared reconstruction
+    * error. PQ is how a 100 TB vector corpus actually serves ANN —
+    * 64 floats (256 B) compress to 4 code bytes (~64×), and IVF-PQ
+    * scans distance tables instead of raw vectors.
+    *
+    * Scale: each subspace round is the s6 shape (broadcast k-row
+    * codebook, k dots per row map-side, partial+final centroid mean);
+    * the 4 per-subspace code frames re-join on vec_id — co-partitioned
+    * keyed joins, nothing corpus-sized broadcasts. Reconstruction
+    * error folds the 4 subspace d2 values left-to-right — the same
+    * IEEE order as the oracle's parenthesized sum. */
+  private def s10(s: SparkSession, dir: String): DataFrame = {
+    val base = evec(s, dir)
+    val parts = (0 until 4).map { j =>
+      val e = base
+        .select(col("vec_id"), slice(col("v"), j * 16 + 1, 16).as("v"))
+        .withColumn("vv", dot(col("v"), col("v")))
+      val c0 = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("vv").as("cc"))
+      val a2 = assign(e, centroidUpdate(assign(e, c0)))
+      a2.select(col("vec_id"), col("cluster").cast("long").as(s"c$j"),
+        col("d2").as(s"d$j"))
+    }
+    parts.reduce(_.join(_, "vec_id"))
+      .select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+        round(col("d0") + col("d1") + col("d2") + col("d3"), 6).as("recon_err"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** One subspace's unrolled Lloyd chain (DuckDB mirror of the
+    * [[s10]] per-subspace pipeline over `eall`). */
+  private def pqSubSql(j: Int): String = {
+    val lo = j * 16 + 1
+    val hi = j * 16 + 16
+    def d2(ev: String, c: String) =
+      s"$ev.vv - 2*list_sum(list_transform(list_zip($ev.v, $c.cv), x -> x[1]*x[2])) + $c.cc"
+    s"""ev$j AS (SELECT vec_id, v[$lo:$hi] AS v,
+      |  list_sum(list_transform(v[$lo:$hi], x -> x*x)) AS vv FROM eall),
+      |c0$j AS (SELECT vec_id AS cid, v AS cv, vv AS cc FROM ev$j WHERE vec_id < 8),
+      |a1$j AS (
+      |  SELECT vec_id, v, vv, cid AS cluster FROM (
+      |    SELECT ev$j.vec_id, ev$j.v, ev$j.vv, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY ev$j.vec_id ORDER BY
+      |        ${d2(s"ev$j", "c")} ASC, c.cid) AS rn
+      |    FROM ev$j CROSS JOIN c0$j c) t WHERE rn = 1),
+      |m1$j AS (
+      |  SELECT cluster AS cid, pos, AVG(x) AS m
+      |  FROM (SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+      |        FROM a1$j) u
+      |  GROUP BY cid, pos),
+      |c1$j AS (
+      |  SELECT cid, list(m ORDER BY pos) AS cv,
+      |    list_sum(list_transform(list(m ORDER BY pos), x -> x*x)) AS cc
+      |  FROM m1$j GROUP BY cid),
+      |a2$j AS (
+      |  SELECT vec_id, cluster, d2 FROM (
+      |    SELECT ev$j.vec_id, c.cid AS cluster, ${d2(s"ev$j", "c")} AS d2,
+      |      ROW_NUMBER() OVER (PARTITION BY ev$j.vec_id ORDER BY
+      |        ${d2(s"ev$j", "c")} ASC, c.cid) AS rn
+      |    FROM ev$j CROSS JOIN c1$j c) t WHERE rn = 1)""".stripMargin
+  }
+
+  private val s10Sql =
+    s"""WITH eall AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |${(0 until 4).map(pqSubSql).mkString(",\n")}
+      |SELECT a20.vec_id,
+      |  CAST(a20.cluster AS BIGINT) AS c0, CAST(a21.cluster AS BIGINT) AS c1,
+      |  CAST(a22.cluster AS BIGINT) AS c2, CAST(a23.cluster AS BIGINT) AS c3,
+      |  ROUND(a20.d2 + a21.d2 + a22.d2 + a23.d2, 6) AS recon_err
+      |FROM a20
+      |JOIN a21 ON a20.vec_id = a21.vec_id
+      |JOIN a22 ON a20.vec_id = a22.vec_id
+      |JOIN a23 ON a20.vec_id = a23.vec_id
+      |ORDER BY a20.vec_id""".stripMargin
+
+  /** s11 — IVF-PQ ANN (the production serving shape for web-scale
+    * vector search, composing s2's coarse quantizer with s10's PQ
+    * codebooks): queries search only their own IVF cell, and
+    * candidate distances are computed against each candidate's PQ
+    * RECONSTRUCTION (asymmetric distance computation — the query
+    * stays exact, the corpus is ~64× compressed). Because the 4
+    * subspaces partition the 64 dims, Σ_j ‖q_j − c_{code_j}‖² equals
+    * the full L2 against the concatenated reconstruction, so the
+    * distance is one `graft_dot` against the decoded vector.
+    *
+    * Scale: the corpus never materializes per-query — candidates are
+    * cell-restricted (s2's Σ cell²/k bound); reconstructions are
+    * built once per corpus vector by joining its 4 code ids against
+    * the broadcast 8-row-per-subspace codebooks; top-3 per query via
+    * TopKAgg (k rows per group cross the shuffle). */
+  private def s11(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.udaf
+    val topk = udaf(new graft.functions.TopKAgg(3))
+    val base = evec(s, dir)
+    val cells = kmeansAssign(s, dir).select(col("vec_id"), col("cluster").as("cell"))
+    // per-subspace codebooks + codes (the s10 pipeline, kept as frames)
+    val subs = (0 until 4).map { j =>
+      val e = base
+        .select(col("vec_id"), slice(col("v"), j * 16 + 1, 16).as("v"))
+        .withColumn("vv", dot(col("v"), col("v")))
+      val c0 = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("vv").as("cc"))
+      val cb = centroidUpdate(assign(e, c0))
+      val codes = assign(e, cb)
+        .select(col("vec_id"), col("cluster").as(s"cl$j"))
+      (codes, cb.select(col("cid").as(s"cl$j"), col("cv").as(s"cv$j")))
+    }
+    val codes = subs.map(_._1).reduce(_.join(_, "vec_id"))
+    val recon = subs.map(_._2)
+      .zipWithIndex.foldLeft(codes) { case (acc, (cb, j)) =>
+        acc.join(broadcast(cb), s"cl$j")
+      }
+      .select(col("vec_id"),
+        concat(col("cv0"), col("cv1"), col("cv2"), col("cv3")).as("r"))
+      .withColumn("rr", dot(col("r"), col("r")))
+    val cands = recon.join(cells, "vec_id")
+      .select(col("vec_id").as("cid_"), col("cell"), col("r"), col("rr"))
+    val qs = base.filter(col("vec_id") < 10).join(cells, "vec_id")
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("vv").as("qq"), col("cell"))
+    qs.join(cands, "cell").filter(col("qid") =!= col("cid_"))
+      .withColumn("dist",
+        col("qq") - lit(2.0) * dot(col("qv"), col("r")) + col("rr"))
+      .groupBy(col("qid"))
+      .agg(topk(-col("dist"), col("cid_")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "sc")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rk"),
+        col("sc.id").as("cand_id"), round(-col("sc.score"), 6).as("adc_dist"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  private val s11Sql = kmeansSql + ",\n" +
+    "eall AS (SELECT vec_id, v FROM e),\n" +
+    (0 until 4).map(pqSubSql).mkString(",\n") + s""",
+      |codes AS (
+      |  SELECT a20.vec_id, a20.cluster AS cl0, a21.cluster AS cl1,
+      |         a22.cluster AS cl2, a23.cluster AS cl3
+      |  FROM a20 JOIN a21 ON a20.vec_id = a21.vec_id
+      |           JOIN a22 ON a20.vec_id = a22.vec_id
+      |           JOIN a23 ON a20.vec_id = a23.vec_id),
+      |recon AS (
+      |  SELECT codes.vec_id, cb0.cv || cb1.cv || cb2.cv || cb3.cv AS r
+      |  FROM codes JOIN c10 cb0 ON codes.cl0 = cb0.cid
+      |             JOIN c11 cb1 ON codes.cl1 = cb1.cid
+      |             JOIN c12 cb2 ON codes.cl2 = cb2.cid
+      |             JOIN c13 cb3 ON codes.cl3 = cb3.cid),
+      |cands AS (
+      |  SELECT recon.vec_id AS cid_, a2.cluster AS cell, recon.r,
+      |    list_sum(list_transform(recon.r, x -> x*x)) AS rr
+      |  FROM recon JOIN a2 ON recon.vec_id = a2.vec_id),
+      |qs AS (
+      |  SELECT ev.vec_id AS qid, ev.v AS qv, ev.vv AS qq, a2.cluster AS cell
+      |  FROM ev JOIN a2 ON ev.vec_id = a2.vec_id WHERE ev.vec_id < 10),
+      |scored AS (
+      |  SELECT qs.qid, cands.cid_,
+      |    qs.qq - 2*list_sum(list_transform(list_zip(qs.qv, cands.r), x -> x[1]*x[2])) + cands.rr AS dist
+      |  FROM qs JOIN cands ON qs.cell = cands.cell AND qs.qid <> cands.cid_)
+      |SELECT qid, CAST(rn AS BIGINT) AS rk, cid_ AS cand_id,
+      |  ROUND(dist, 6) AS adc_dist
+      |FROM (SELECT qid, cid_, dist,
+      |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist ASC, cid_) AS rn
+      |      FROM scored) t
+      |WHERE rn <= 3
+      |ORDER BY qid, rk""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s11_ivfpq_ann" -> s11,
+    "s10_pq_codes" -> s10,
     "s9_ann_recall" -> s9,
     "s8_balanced_sample" -> s8,
     "s7_quant_audit" -> s7,
@@ -666,6 +839,8 @@ object SimilarityQueries extends QueryPack {
     "d8_semdedup"  -> d8)
 
   override def oracle: Map[String, String] = Map(
+    "s11_ivfpq_ann" -> s11Sql,
+    "s10_pq_codes" -> s10Sql,
     "s9_ann_recall" -> s9Sql,
     "s8_balanced_sample" -> s8Sql,
     "s7_quant_audit" -> s7Sql,
