@@ -142,7 +142,8 @@ object GraphQueries extends QueryPack {
     val li = Tables(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
-    val edges = li.as("a").join(li.as("b"),
+    val edges = li.as("a").hint("shuffle_hash")
+      .join(li.as("b").hint("shuffle_hash"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("u"), col("b.pk").as("v"))
       .distinct()
@@ -163,8 +164,10 @@ object GraphQueries extends QueryPack {
         when(col("uk") < col("vk"), col("v")).otherwise(col("u")).as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     oriented.count()
+    // adjacency is node-sized WITH O(sqrt m) arrays — never broadcast
     val adj = oriented.groupBy(col("src"))
       .agg(collect_list(col("dst")).as("nbrs"))
+      .hint("shuffle_hash")
     // per-edge closure: triangle (u, v, w) for every w in N+(u)∩N+(v)
     val tris = oriented
       .join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))

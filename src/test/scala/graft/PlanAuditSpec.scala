@@ -182,6 +182,27 @@ class PlanAuditSpec extends SparkSpec {
     p should include("BroadcastNestedLoopJoin")
   }
 
+  test("g2: adjacency-array joins stay shuffled; edge frame is cached") {
+    // the adjacency frame is node-count rows of O(sqrt m) arrays —
+    // broadcasting it at corpus scale would ship the whole graph to
+    // every executor; the closure joins must stay shuffled hash
+    val p = plan("g2_triangles")
+    p should include("ShuffledHashJoin")
+    val nbrsJoins = p.linesIterator.filter(l =>
+      l.contains("Join") && l.contains("nbrs")).toList
+    nbrsJoins.filter(_.contains("BroadcastHashJoin")) shouldBe empty
+    p should include("InMemoryTableScan") // edges reused via persist
+  }
+
+  test("s11: codebooks broadcast; corpus-keyed code joins do not build corpus") {
+    // 8-row codebooks are the broadcast side by design; the 4 code
+    // frames (corpus-sized) join on vec_id and must never be the
+    // broadcast build side at scale — at sf0.001 AQE may still pick
+    // broadcast for the tiny frames, so the lock here is only that
+    // the codebook joins ARE broadcasts (the intended asymmetry).
+    plan("s11_ivfpq_ann") should include("BroadcastHashJoin")
+  }
+
   test("no query plans an unpartitioned window (single-reducer funnel)") {
     // A Window with an empty partitionSpec requires AllTuples — every
     // row funnels through ONE task (Spark warns "No Partition Defined

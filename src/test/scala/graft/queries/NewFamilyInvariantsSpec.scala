@@ -90,4 +90,129 @@ class NewFamilyInvariantsSpec extends SparkSpec {
       }
     }
   }
+
+  test("g2: intersection-form triangle counts match a driver brute force") {
+    // independent re-count: build the co-occurrence graph in driver
+    // memory (spec-only collect; sf0.001) and count each emitted
+    // node's triangles by direct neighbor-pair adjacency probing
+    val li = Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = li.as("a")
+      .join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (u, v) => adj(u) += v; adj(v) += u }
+    def brute(n: Long): Long = {
+      val ns = adj(n).toSeq.sorted
+      (for {
+        i <- ns.indices.iterator; j <- (i + 1 until ns.length).iterator
+        if adj(ns(i)).contains(ns(j))
+      } yield 1L).sum
+    }
+    val rows = SparkEntry.queries("g2_triangles")(spark, sfDir).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      withClue(s"part ${r.getLong(0)}") {
+        r.getLong(1) shouldBe adj(r.getLong(0)).size.toLong // deg
+        r.getLong(2) shouldBe brute(r.getLong(0))           // triangles
+        r.getDouble(3) shouldBe
+          (2.0 * r.getLong(2) / (r.getLong(1).toDouble * (r.getLong(1) - 1))) +- 1e-6
+      }
+    }
+  }
+
+  test("q23: the KMV estimate honors its tolerance contract on every group") {
+    val rows = SparkEntry.queries("q23_kmv_distinct")(spark, sfDir).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      withClue(r.getString(0)) {
+        r.getDouble(2) should be > 0.0
+        r.getBoolean(3) shouldBe true
+      }
+    }
+  }
+
+  test("e19: the spine is gap-free per user and fills carry forward") {
+    val rows = SparkEntry.queries("e19_gapfill")(spark, sfDir).collect()
+    rows should not be empty
+    rows.groupBy(_.getLong(0)).foreach { case (user, rs) =>
+      withClue(s"user $user") {
+        val days = rs.map(_.getDate(1).toLocalDate)
+        // contiguous daily spine: span == row count
+        val span = java.time.temporal.ChronoUnit.DAYS.between(
+          days.min(Ordering.by((_: java.time.LocalDate).toEpochDay)),
+          days.max(Ordering.by((_: java.time.LocalDate).toEpochDay))) + 1
+        span shouldBe rs.length.toLong
+        // first and last day of a span are observations by construction
+        val byDay = rs.sortBy(_.getDate(1).toLocalDate.toEpochDay)
+        byDay.head.getBoolean(2) shouldBe false
+        byDay.last.getBoolean(2) shouldBe false
+        // a gap day repeats the most recent observed value
+        var lastObs = Double.NaN
+        byDay.foreach { r =>
+          if (!r.getBoolean(2)) lastObs = r.getDouble(3)
+          else r.getDouble(3) shouldBe lastObs
+        }
+      }
+    }
+  }
+
+  test("e20: transition probabilities normalize per source state") {
+    val rows = SparkEntry.queries("e20_transitions")(spark, sfDir).collect()
+    rows should not be empty
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      withClue(src)(rs.map(_.getDouble(3)).sum shouldBe 1.0 +- 1e-4)
+    }
+  }
+
+  test("e21: every flagged day really is a >2-sigma outlier vs its window") {
+    val rows = SparkEntry.queries("e21_zscore_anomaly")(spark, sfDir).collect()
+    // flags exist at this SF and all satisfy the definition
+    rows should not be empty
+    rows.foreach { r =>
+      math.abs(r.getDouble(4)) should be > 2.0
+      r.getDouble(3) should be >= 0.0 // trailing mean of nonneg spends
+    }
+  }
+
+  test("s10: PQ codes address the 8-entry codebooks; errors nonnegative") {
+    val rows = SparkEntry.queries("s10_pq_codes")(spark, sfDir).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      (1 to 4).foreach(i => r.getLong(i) should (be >= 0L and be <= 7L))
+      r.getDouble(5) should be >= 0.0
+    }
+  }
+
+  test("s11: per-query ranks are dense and ADC distances ascend") {
+    val rows = SparkEntry.queries("s11_ivfpq_ann")(spark, sfDir).collect()
+    rows should not be empty
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      withClue(s"query $qid") {
+        val sorted = rs.sortBy(_.getLong(1))
+        sorted.map(_.getLong(1)) shouldBe (1L to rs.length).toArray
+        val ds = sorted.map(_.getDouble(3))
+        ds.zip(ds.tail).foreach { case (a, b) => a should be <= b }
+        rs.foreach(_.getLong(2) should not be qid) // self excluded
+      }
+    }
+  }
+
+  test("t17: overlap scores are valid Jaccards over ordered source pairs") {
+    val rows = SparkEntry.queries("t17_source_overlap")(spark, sfDir).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      withClue(s"${r.getString(0)}-${r.getString(1)}") {
+        r.getString(0) should be < r.getString(1)
+        r.getLong(2) should be > 0L
+        r.getDouble(3) should (be > 0.0 and be <= 1.0)
+      }
+    }
+    // each unordered pair appears at most once
+    val pairs = rows.map(r => (r.getString(0), r.getString(1)))
+    pairs.distinct.length shouldBe pairs.length
+  }
 }
