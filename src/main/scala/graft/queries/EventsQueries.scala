@@ -777,7 +777,53 @@ object EventsQueries extends QueryPack {
       |WHERE vr > 0 AND ABS((c - mean) / SQRT(vr)) > 2
       |ORDER BY user_id, day""".stripMargin
 
+  /** e22 — exponential smoothing (EMA, α = 1/2) of each user's daily
+    * spend: s₁ = x₁, sₜ = ½xₜ + ½sₜ₋₁ — the streaming-free forecast
+    * baseline a metrics stack keeps next to the raw series. α = ½ is
+    * chosen deliberately: halving a double is EXACT (exponent
+    * decrement), so the only rounding in the whole recurrence is one
+    * addition per step — and with both engines folding the same cents
+    * integers in the same day order (Spark `aggregate` over a sorted
+    * collect_list ≡ DuckDB `list_reduce` over `list(... ORDER BY
+    * day)`, both left folds seeded by the first element), the result
+    * is bit-identical, not merely close.
+    *
+    * Scale: one partial+final daily agg, then a per-user fold over
+    * that user's own days (array of ~tens of elements) — grouped,
+    * bounded, no window funnel. */
+  private def e22(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir, "events")
+      .groupBy(col("user_id"),
+        date_trunc("DAY", col("ts")).cast("date").as("day"))
+      .agg((round(sum(dec(col("value"))), 2) * 100).cast("long").as("c"))
+    daily.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_days"), max(col("day")).as("last_day"),
+        expr("transform(array_sort(collect_list(struct(day, c))), " +
+          "s -> cast(s.c as double))").as("cs"))
+      .select(col("user_id"), col("n_days"), col("last_day"),
+        (element_at(col("cs"), -1) / 100).as("last_amt"),
+        round(expr(
+          "aggregate(slice(cs, 2, size(cs) - 1), cs[0], " +
+            "(acc, x) -> 0.5D * acc + 0.5D * x)") / 100, 4).as("ema"))
+      .orderBy(col("user_id"))
+  }
+
+  private val e22Sql =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) * 100 AS BIGINT) AS c
+      |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+      |folded AS (
+      |  SELECT user_id, COUNT(*) AS n_days, MAX(day) AS last_day,
+      |    list_transform(list(c ORDER BY day), x -> CAST(x AS DOUBLE)) AS cs
+      |  FROM daily GROUP BY user_id)
+      |SELECT user_id, n_days, last_day,
+      |  cs[-1] / 100 AS last_amt,
+      |  ROUND(list_reduce(cs, (acc, x) -> 0.5 * acc + 0.5 * x) / 100, 4) AS ema
+      |FROM folded ORDER BY user_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e22_ema_smooth"     -> e22,
     "e21_zscore_anomaly" -> e21,
     "e19_gapfill"       -> e19,
     "e20_transitions"   -> e20,
@@ -801,6 +847,7 @@ object EventsQueries extends QueryPack {
     "e17_trailing_window" -> e17)
 
   override def oracle: Map[String, String] = Map(
+    "e22_ema_smooth"     -> e22Sql,
     "e21_zscore_anomaly" -> e21Sql,
     "e19_gapfill"       -> e19Sql,
     "e20_transitions"   -> e20Sql,

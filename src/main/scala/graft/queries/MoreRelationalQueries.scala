@@ -551,9 +551,73 @@ object MoreRelationalQueries extends QueryPack {
       |  ABS(e - nd) <= CAST(0.2 AS DOUBLE) * nd AS within_tol
       |FROM est ORDER BY rf""".stripMargin
 
+  /** q24 — ranking-window breadth: ntile quartiles, percent_rank and
+    * cume_dist per supplier price list (q7 covers rank/dense_rank;
+    * q19/e17 cover running/sliding aggregates — this closes the
+    * ranking-function family).
+    *
+    * Scale: partitions by supplier — fact-cardinality partition count
+    * (never the 3-value returnflag funnel q20 replaced); the order
+    * key ends with the unique (orderkey, linenumber) pair so every
+    * rank function is total-order deterministic cross-engine. */
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    Tables(s, dir, "lineitem")
+      .filter(col("l_suppkey") < 20)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").as("price"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy(col("l_suppkey"), col("price"), col("l_orderkey"),
+        col("l_linenumber"))
+  }
+
+  private val q24Sql =
+    """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice AS price,
+      |  NTILE(4) OVER w AS quartile,
+      |  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+      |  ROUND(CUME_DIST() OVER w, 6) AS cume
+      |FROM lineitem
+      |WHERE l_suppkey < 20
+      |WINDOW w AS (PARTITION BY l_suppkey
+      |             ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+      |ORDER BY l_suppkey, price, l_orderkey, l_linenumber""".stripMargin
+
+  /** q25 — explicit GROUPING SETS (q9's rollup and q11's cube are the
+    * closed forms; this is the general one — two single-column
+    * slices plus the pair, with the grouping bitmask distinguishing
+    * aggregation levels). One pass, Spark expands sets via Expand —
+    * still partial+final aggregation, no extra scans. */
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")),
+          Seq(col("l_returnflag"), col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg((grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        money(sum(dec(col("l_quantity")))).as("sum_qty"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+  }
+
+  private val q25Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+      |  COUNT(*) AS n,
+      |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+      |                        (l_returnflag, l_linestatus))
+      |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_approx_quantile" -> q22,
     "q23_kmv_distinct"    -> q23,
+    "q24_rank_functions"  -> q24,
+    "q25_grouping_sets"   -> q25,
     "q10_full_outer"   -> q10,
     "q11_cube"         -> q11,
     "q12_stats"        -> q12,
@@ -580,6 +644,8 @@ object MoreRelationalQueries extends QueryPack {
     "q19_running_window" -> q19Sql,
     "q22_approx_quantile" -> q22Sql,
     "q23_kmv_distinct"    -> q23Sql,
+    "q24_rank_functions"  -> q24Sql,
+    "q25_grouping_sets"   -> q25Sql,
     "q20_quantile_contract" -> q20Sql,
     "q21_bloom_prefilter" -> q21Sql)
 }
