@@ -4,7 +4,7 @@ import graft.{QueryPack, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.etl.Scd2
+import graft.etl.{CdcApply, Scd2}
 
 /** Dimension-lifecycle queries: the sync/history workflows the
   * reference runs against its dim tables (SURVEY §2.8 K4/K8),
@@ -84,9 +84,53 @@ object LifecycleQueries extends QueryPack {
       |    AND (ok IS NULL OR o_name <> i_name OR o_seg <> i_seg))
       |ORDER BY c_custkey, valid_from""".stripMargin
 
+  /** k2 — CDC apply ([[graft.etl.CdcApply]], the live-table MERGE
+    * beside k1's history-keeping SCD2): the events stream becomes a
+    * change log over per-user profiles — every event upserts the
+    * user's latest (amount, day), `error` events are tombstones —
+    * applied in two batches (bootstrap-from-empty, then week 2+).
+    * Last-writer-wins composes across batches, so the oracle is one
+    * window over the whole log: the final state depends only on each
+    * key's LAST change, which is exactly what makes CDC apply safe to
+    * run incrementally at any cadence.
+    *
+    * Scale: see CdcApply — per-batch partial+final max-struct agg +
+    * one keyed full-outer join; no windows, no broadcast. */
+  private def k2(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events")
+      .filter(col("ts_ns") < Tables.nanos("2024-02-01"))
+      .select(col("user_id"), col("ts_ns"), col("event_id"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"),
+        col("value").as("amt"),
+        date_trunc("DAY", col("ts")).cast("date").as("day"))
+    val cut = Tables.nanos("2024-01-15")
+    val empty = e.select(col("user_id"), col("amt"), col("day")).limit(0)
+    val snap1 = CdcApply(empty, e.filter(col("ts_ns") < cut),
+      "user_id", Seq("ts_ns", "event_id"), "op", Seq("amt", "day"))
+    CdcApply(snap1, e.filter(col("ts_ns") >= cut),
+      "user_id", Seq("ts_ns", "event_id"), "op", Seq("amt", "day"))
+      .orderBy(col("user_id"))
+  }
+
+  private val k2Sql =
+    """WITH ch AS (
+      |  SELECT user_id, epoch_ns(ts) AS v, event_id,
+      |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+      |    value AS amt, CAST(ts AS DATE) AS day
+      |  FROM events WHERE ts < TIMESTAMP '2024-02-01'),
+      |last AS (
+      |  SELECT user_id, op, amt, day FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY v DESC, event_id DESC) AS rn FROM ch) t
+      |  WHERE rn = 1)
+      |SELECT user_id, amt, day FROM last WHERE op <> 'D'
+      |ORDER BY user_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "k1_scd2_merge" -> k1)
+    "k1_scd2_merge" -> k1,
+    "k2_cdc_apply"  -> k2)
 
   override def oracle: Map[String, String] = Map(
-    "k1_scd2_merge" -> k1Sql)
+    "k1_scd2_merge" -> k1Sql,
+    "k2_cdc_apply"  -> k2Sql)
 }

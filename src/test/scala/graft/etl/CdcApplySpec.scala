@@ -1,0 +1,49 @@
+package graft.etl
+
+import graft.SparkSpec
+
+/** The full insert / overwrite / delete / passthrough / absent-
+  * tombstone matrix for [[CdcApply]], plus last-writer-wins within a
+  * key and the batch-composition law the k2 oracle relies on. */
+class CdcApplySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def snap(rows: (Long, String)*) =
+    rows.toDF("k", "payload")
+
+  private def log(rows: (Long, Long, String, String)*) =
+    rows.toDF("k", "v", "op", "payload")
+
+  private def applied(s: org.apache.spark.sql.DataFrame,
+      c: org.apache.spark.sql.DataFrame) =
+    CdcApply(s, c, "k", Seq("v"), "op", Seq("payload"))
+      .as[(Long, String)].collect().toSet
+
+  test("insert, overwrite, delete, passthrough, and no-op tombstone") {
+    val s = snap((1L, "old1"), (2L, "old2"), (3L, "old3"))
+    val c = log(
+      (2L, 10L, "U", "new2"),  // overwrite
+      (3L, 10L, "D", "x"),     // delete
+      (4L, 10L, "U", "new4"),  // insert
+      (5L, 10L, "D", "x"))     // tombstone for absent key: no-op
+    applied(s, c) shouldBe Set((1L, "old1"), (2L, "new2"), (4L, "new4"))
+  }
+
+  test("last writer wins within a key, by version") {
+    val c = log((1L, 1L, "U", "a"), (1L, 3L, "U", "c"), (1L, 2L, "D", "x"))
+    applied(snap(), c) shouldBe Set((1L, "c"))
+    // highest version is the delete: key ends absent
+    val c2 = log((1L, 1L, "U", "a"), (1L, 5L, "D", "x"), (1L, 2L, "U", "b"))
+    applied(snap(), c2) shouldBe Set.empty
+  }
+
+  test("batch composition: apply(apply(s, c1), c2) == apply(s, c1 ++ c2)") {
+    val s = snap((1L, "old1"), (2L, "old2"))
+    val c1 = log((1L, 1L, "D", "x"), (3L, 1L, "U", "a3"))
+    val c2 = log((1L, 2L, "U", "back1"), (2L, 2L, "D", "x"))
+    val stepwise = applied(CdcApply(s, c1, "k", Seq("v"), "op", Seq("payload")), c2)
+    val once = applied(s, c1.unionByName(c2))
+    stepwise shouldBe once
+    stepwise shouldBe Set((1L, "back1"), (3L, "a3"))
+  }
+}
