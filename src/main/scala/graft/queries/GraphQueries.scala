@@ -209,11 +209,108 @@ object GraphQueries extends QueryPack {
       |FROM tri JOIN keyed ON tri.node = keyed.node
       |ORDER BY tri.triangles DESC, part LIMIT 20""".stripMargin
 
+  /** g3 — personalized PageRank (random walk with restart): g1's
+    * recipe, but ALL teleport mass returns to a seed set (customers
+    * 1-10) instead of spreading uniformly — the ranks become
+    * relevance TO THE SEEDS, the engine behind "suppliers similar to
+    * this customer's" recommendations and seed-expansion labeling.
+    * Emits the top-50 non-seed nodes by seeded rank.
+    *
+    * Same determinism contract and per-round shape as g1 (keyed
+    * join + source-ordered fold + lineage cut); the only new frame is
+    * the 10-row seed table, a broadcast. Nodes unreachable in 3 rounds
+    * simply keep rank 0 via the left join against the full node set. */
+  private def g3(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+      .distinct()
+    val edges = pairs
+      .select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+      .unionAll(pairs.select((col("sk") * 2 + 1).as("src"), (col("ck") * 2).as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    deg.count()
+    val edgesDeg = edges.join(deg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edgesDeg.count()
+
+    val sortedFold = expr(
+      "aggregate(transform(array_sort(collect_list(struct(src, c))), " +
+        "x -> x.c), cast(0.0 AS double), (acc, x) -> acc + x)")
+    // seed distribution: uniform over customer nodes 2..20 (even)
+    val isSeed = col("node") % 2 === 0 && col("node") <= 20
+    val nodes = deg.select(col("src").as("node"))
+    var ranks = nodes.select(col("node"),
+      when(isSeed, lit(0.1).cast("double")).otherwise(lit(0.0).cast("double"))
+        .as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = edgesDeg
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .filter(col("r") > 0) // walk frontier only
+        .select(col("dst"), col("src"), (col("r") / col("deg")).as("c"))
+      val spread = contrib.groupBy(col("dst"))
+        .agg(sortedFold.as("sm"))
+        .select(col("dst").as("node"), (lit(0.85).cast("double") * col("sm")).as("d"))
+      ranks = nodes
+        .join(spread, Seq("node"), "left")
+        .select(col("node"),
+          (when(isSeed, lit(0.15).cast("double") * lit(0.1).cast("double"))
+            .otherwise(lit(0.0).cast("double")) +
+            coalesce(col("d"), lit(0.0).cast("double"))).as("r"))
+        .localCheckpoint(true)
+    }
+    ranks.filter(!isSeed && col("r") > 0)
+      .select(col("node"), (col("node") % 2).as("is_supplier"),
+        round(col("r"), 8).as("ppr"))
+      .orderBy(col("r").desc, col("node")).limit(50)
+      .select(col("node"), col("is_supplier"), col("ppr"))
+  }
+
+  private val g3Sql = {
+    def round(k: Int) =
+      s"""r$k AS (
+        |  SELECT n.node,
+        |    CASE WHEN n.node % 2 = 0 AND n.node <= 20
+        |         THEN CAST(0.15 AS DOUBLE) * CAST(0.1 AS DOUBLE)
+        |         ELSE CAST(0.0 AS DOUBLE) END +
+        |    COALESCE(sp.d, CAST(0.0 AS DOUBLE)) AS r
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |      CAST(0.85 AS DOUBLE) *
+        |        list_sum(list(p.r / deg.deg ORDER BY e.src)) AS d
+        |    FROM e JOIN r${k - 1} p ON e.src = p.node AND p.r > 0
+        |           JOIN deg ON e.src = deg.src
+        |    GROUP BY e.dst) sp ON n.node = sp.node)""".stripMargin
+    s"""WITH pe AS (
+      |  SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      |e AS (
+      |  SELECT ck * 2 AS src, sk * 2 + 1 AS dst FROM pe
+      |  UNION ALL
+      |  SELECT sk * 2 + 1 AS src, ck * 2 AS dst FROM pe),
+      |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+      |nodes AS (SELECT src AS node FROM deg),
+      |r0 AS (SELECT node,
+      |  CASE WHEN node % 2 = 0 AND node <= 20 THEN CAST(0.1 AS DOUBLE)
+      |       ELSE CAST(0.0 AS DOUBLE) END AS r FROM nodes),
+      |${round(1)},
+      |${round(2)},
+      |${round(3)}
+      |SELECT node, node % 2 AS is_supplier, ROUND(r, 8) AS ppr
+      |FROM r3
+      |WHERE NOT (node % 2 = 0 AND node <= 20) AND r > 0
+      |ORDER BY r DESC, node LIMIT 50""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_pagerank" -> g1,
-    "g2_triangles" -> g2)
+    "g2_triangles" -> g2,
+    "g3_seeded_ppr" -> g3)
 
   override def oracle: Map[String, String] = Map(
     "g1_pagerank" -> g1Sql,
-    "g2_triangles" -> g2Sql)
+    "g2_triangles" -> g2Sql,
+    "g3_seeded_ppr" -> g3Sql)
 }

@@ -877,7 +877,70 @@ object TextQueries extends QueryPack {
       |FROM i JOIN sz x ON i.s1 = x.source JOIN sz y ON i.s2 = y.source
       |ORDER BY jaccard DESC, s1, s2""".stripMargin
 
+  /** t18 — corpus novelty / crawl-saturation curve: for each document
+    * (in doc-id ingest order), the fraction of its distinct 3-gram
+    * shingles never seen in ANY earlier document. Falling novelty is
+    * the classic stop signal for a crawl ("we're re-reading the
+    * web"); the per-source rollup shows which sources still add new
+    * material. The sequential-looking definition has a fully parallel
+    * form: a gram is novel exactly in the doc holding its MINIMUM
+    * doc_id — one agg + one join back, no ordered scan.
+    *
+    * Scale: gram → min(doc_id) is partial+final (min combines
+    * map-side); the join back is keyed on the gram; the rollup
+    * buckets docs by id decile so the curve is fixed-width output at
+    * any corpus size. */
+  private def t18(s: SparkSession, dir: String): DataFrame = {
+    val grams = docs(s, dir)
+      .withColumn("w", split(col("text"), " "))
+      .filter(expr("size(w) >= 3"))
+      .select(col("doc_id"), col("source"),
+        explode(graft.operators.TextDedup.shingleHashes("w", 3)).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    grams.count() // eager: first-seen agg + probe side share it
+    val firstSeen = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = grams
+      .join(firstSeen.hint("shuffle_hash"), "g")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    // decile buckets over ingest order: a fixed-width novelty curve
+    val n = docs(s, dir).agg(max(col("doc_id")).as("mx"))
+    perDoc.crossJoin(broadcast(n))
+      .withColumn("decile", least(floor(col("doc_id") * 10 / (col("mx") + 1)), lit(9L)))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_grams")).as("grams"),
+        sum(col("n_novel")).as("novel"),
+        round(sum(col("n_novel")).cast("double") / sum(col("n_grams")), 6)
+          .as("novelty"))
+      .orderBy(col("decile"))
+  }
+
+  private val t18Sql =
+    s"""WITH g AS (
+      |  SELECT doc_id, source, UNNEST($shingleGramSql) AS g
+      |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 3),
+      |fs AS (SELECT g, MIN(doc_id) AS first_doc FROM g GROUP BY g),
+      |pd AS (
+      |  SELECT g.doc_id, g.source, COUNT(*) AS n_grams,
+      |    SUM(CASE WHEN fs.first_doc = g.doc_id THEN 1 ELSE 0 END) AS n_novel
+      |  FROM g JOIN fs ON g.g = fs.g
+      |  GROUP BY g.doc_id, g.source),
+      |mx AS (SELECT MAX(doc_id) AS mx FROM documents)
+      |SELECT CAST(LEAST(FLOOR(pd.doc_id * 10 / (mx.mx + 1)), 9) AS BIGINT) AS decile,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(pd.n_grams) AS BIGINT) AS grams,
+      |  CAST(SUM(pd.n_novel) AS BIGINT) AS novel,
+      |  ROUND(CAST(SUM(pd.n_novel) AS DOUBLE) / SUM(pd.n_grams), 6) AS novelty
+      |FROM pd CROSS JOIN mx
+      |GROUP BY decile
+      |ORDER BY decile""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t18_novelty"        -> t18,
     "t17_source_overlap" -> t17,
     "t16_vocab_coverage" -> t16,
     "t15_tfidf"          -> t15,
@@ -897,6 +960,7 @@ object TextQueries extends QueryPack {
     "t12_mix_weights" -> t12)
 
   override def oracle: Map[String, String] = Map(
+    "t18_novelty"        -> t18Sql,
     "t17_source_overlap" -> t17Sql,
     "t16_vocab_coverage" -> t16Sql,
     "t15_tfidf"          -> t15Sql,

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming form of [[graft.etl.CdcApply]]: a change log streams in
+  * and the operator maintains each key's LIVE row, emitting one
+  * update per accepted change — the incremental materialized-view
+  * maintenance a serving table runs, where batch CdcApply is the
+  * backfill. Same last-writer-wins contract: a change is accepted
+  * only if its version is strictly newer than the key's current
+  * state, so redeliveries and out-of-order stale versions are
+  * swallowed (at-least-once upstream safe) — parity with the batch
+  * operator over the same log is pinned in StreamingCdcSpec.
+  *
+  * Output contract: `Update(key, version, live, payload)` — `live =
+  * false` marks a tombstone transition; a downstream sink applies
+  * updates per key in version order (or just last-wins, which is the
+  * same thing).
+  *
+  * State: one (version, live, payload) triple per key — the
+  * streaming state IS the live table; `stateTtlMs > 0` arms the
+  * usual processing-time TTL for keys gone quiet (after expiry the
+  * next change, whatever its version, re-seeds the row — document
+  * retention accordingly).
+  */
+object StreamingCdc {
+
+  final case class Change(key: Long, version: Long, op: String, payload: String)
+  final case class Update(key: Long, version: Long, live: Boolean, payload: String)
+
+  def upserts(changes: Dataset[Change], stateTtlMs: Long = 0): Dataset[Update] = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    val timeout = if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    changes.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), timeout)(advance(stateTtlMs))
+  }
+
+  /** The per-key transition — surfaced for TestGroupState specs. */
+  private[streaming] def advance(stateTtlMs: Long = 0)(
+      key: Long, batch: Iterator[Change],
+      state: GroupState[(Long, Boolean, String)]): Iterator[Update] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    var cur = state.getOption
+    val out = Seq.newBuilder[Update]
+    batch.toSeq.sortBy(_.version).foreach { c =>
+      if (cur.forall(_._1 < c.version)) {
+        val live = c.op != "D"
+        cur = Some((c.version, live, c.payload))
+        out += Update(key, c.version, live, c.payload)
+      } // stale or duplicate version: swallowed
+    }
+    cur.foreach(state.update)
+    if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+    out.result().iterator
+  }
+}

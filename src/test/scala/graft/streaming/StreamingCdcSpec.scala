@@ -1,0 +1,100 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import graft.etl.CdcApply
+import org.apache.spark.sql.functions._
+
+/** StreamingCdc must materialize the same live table batch CdcApply
+  * produces from the same change log, change by change. */
+class StreamingCdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** The k2 change log (events as per-user profile changes), with the
+    * payload flattened to one string so batch and stream compare. */
+  private def changeLog = Tables(spark, sfDir, "events")
+    .select(col("user_id").as("key"),
+      col("ts_ns").as("version"), col("event_id"),
+      when(col("event_type") === "error", "D").otherwise("U").as("op"),
+      concat_ws("|", col("value").cast("string"),
+        date_trunc("DAY", col("ts")).cast("date").cast("string")).as("payload"))
+
+  test("batch parity: applied stream updates equal CdcApply's live table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // ts_ns ties within a user are possible; derive a unique dense
+    // version from the (ts_ns, event_id) total order, shared by both
+    // the batch and the streaming side
+    val changes = changeLog
+      .as[(Long, Long, Long, String, String)].collect()
+      .sortBy(r => (r._2, r._3))
+      .zipWithIndex
+      .map { case ((k, _, _, op, p), i) => StreamingCdc.Change(k, i.toLong, op, p) }
+      .toSeq
+    val log = changes.toDF()
+    val input = MemoryStream[StreamingCdc.Change]
+    val q = StreamingCdc.upserts(input.toDS())
+      .writeStream.format("memory").queryName("cdc_stream")
+      .outputMode("append").start()
+    try {
+      val cut = changes(changes.length / 2).version
+      input.addData(changes.filter(_.version <= cut))
+      q.processAllAvailable()
+      input.addData(changes.filter(_.version > cut))
+      // redeliver the first half out of order: all stale, all swallowed
+      input.addData(changes.filter(_.version <= cut))
+      q.processAllAvailable()
+
+      val streamedLive = spark.table("cdc_stream")
+        .as[StreamingCdc.Update].collect()
+        .groupBy(_.key).map { case (k, us) => (k, us.maxBy(_.version)) }
+        .collect { case (k, u) if u.live => (k, u.payload) }
+        .toSet
+
+      val empty = log.select(col("key"), col("payload")).limit(0)
+      val batchLive = CdcApply(empty, log, "key", Seq("version"), "op",
+        Seq("payload"))
+        .as[(Long, String)].collect().toSet
+      batchLive should not be empty
+      streamedLive shouldBe batchLive
+    } finally q.stop()
+  }
+
+  test("stale and duplicate versions are swallowed; fresh ones emit") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    val st = TestGroupState.create[(Long, Boolean, String)](
+      Optional.of((10L, true, "v10")), GroupStateTimeout.NoTimeout, 0L,
+      Optional.empty[Long], hasTimedOut = false)
+    val out = StreamingCdc.advance()(1L, Iterator(
+      StreamingCdc.Change(1L, 10L, "U", "dup"),   // duplicate version
+      StreamingCdc.Change(1L, 9L, "U", "stale"),  // stale version
+      StreamingCdc.Change(1L, 11L, "D", "x"),     // tombstone advances
+      StreamingCdc.Change(1L, 12L, "U", "v12")),  // resurrection
+      st).toSeq
+    out.map(u => (u.version, u.live, u.payload)) shouldBe
+      Seq((11L, false, "x"), (12L, true, "v12"))
+    st.get shouldBe ((12L, true, "v12"))
+  }
+
+  test("TTL: timeout drops the row; the next change re-seeds it") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    val gone = TestGroupState.create[(Long, Boolean, String)](
+      Optional.of((10L, true, "v10")), GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long], hasTimedOut = true)
+    StreamingCdc.advance(5000)(1L, Iterator.empty, gone).toSeq shouldBe empty
+    gone.isRemoved shouldBe true
+
+    val fresh = TestGroupState.create[(Long, Boolean, String)](
+      Optional.empty[(Long, Boolean, String)],
+      GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long], hasTimedOut = false)
+    // even an OLDER version re-seeds after expiry (documented contract)
+    val out = StreamingCdc.advance(5000)(1L,
+      Iterator(StreamingCdc.Change(1L, 3L, "U", "re")), fresh).toSeq
+    out.map(_.payload) shouldBe Seq("re")
+    fresh.getTimeoutTimestampMs.get() shouldBe 6000L
+  }
+}
