@@ -236,6 +236,59 @@ object DedupQueries extends QueryPack {
       |FROM reach GROUP BY id
       |ORDER BY doc_id""".stripMargin
 
+  /** d17 — keep-BEST dedup: d6 picks each near-dup cluster's minimum
+    * id (arrival order); real curation keeps the highest-QUALITY
+    * member instead — the same clusters, but the keeper is the argmax
+    * of t2's quality score (ties to the smaller id). Emits one row
+    * per multi-member cluster with its keeper and score spread.
+    *
+    * Scale: clusters come from the shared pointer-jumping CC; the
+    * argmax is a partial+final `max(struct(score, -id))` aggregation
+    * (no per-cluster sort window); scores join in keyed on doc_id. */
+  private def d17(s: SparkSession, dir: String): DataFrame = {
+    val edges = d3(s, dir).select(col("d1"), col("d2"))
+    val clusters = graft.operators.ConnectedComponents
+      .run(edges, "d1", "d2", docs(s, dir), "doc_id")
+      .select(col("id").as("doc_id"), col("cluster"))
+    val m = clusters.join(TextQueries.docScores(s, dir), "doc_id")
+    m.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("score"), (-col("doc_id")).as("nid"))).as("best"),
+        min(col("score")).as("worst"))
+      .filter(col("n_members") > 1)
+      .select(col("cluster"), (-col("best.nid")).as("keeper"),
+        col("n_members"), col("best.score").as("best_score"),
+        round(col("best.score") - col("worst"), 6).as("spread"))
+      .orderBy(col("cluster"))
+  }
+
+  private val d17Sql =
+    s"""WITH RECURSIVE pairs AS (SELECT d1, d2 FROM ($d3Sql)),
+      |sym AS (SELECT d1 AS s, d2 AS t FROM pairs
+      |        UNION ALL SELECT d2, d1 FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT reach.id, sym.t FROM reach JOIN sym ON reach.r = sym.s),
+      |clusters AS (SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id),
+      |scored AS (${TextQueries.docScoresSql}),
+      |m AS (SELECT c.cluster, s.doc_id, s.score
+      |      FROM clusters c JOIN scored s ON c.doc_id = s.doc_id),
+      |agg AS (
+      |  SELECT cluster, COUNT(*) AS n_members,
+      |    MAX(score) AS best_score, MIN(score) AS worst
+      |  FROM m GROUP BY cluster HAVING COUNT(*) > 1),
+      |k AS (
+      |  SELECT cluster, doc_id AS keeper FROM (
+      |    SELECT cluster, doc_id,
+      |      ROW_NUMBER() OVER (PARTITION BY cluster
+      |        ORDER BY score DESC, doc_id) AS rn FROM m) t
+      |  WHERE rn = 1)
+      |SELECT agg.cluster, k.keeper, agg.n_members, agg.best_score,
+      |  ROUND(agg.best_score - agg.worst, 6) AS spread
+      |FROM agg JOIN k ON agg.cluster = k.cluster
+      |ORDER BY agg.cluster""".stripMargin
+
   /** d5 — embedding-cosine near-dup: all pairs with cosine ≥ 0.45
     * over `embeddings` (float[64] → double before any arithmetic).
     * The exact-baseline pair join; the blocked/ANN path is
@@ -765,6 +818,7 @@ object DedupQueries extends QueryPack {
     "d4_simhash"        -> d4,
     "d5_embedding_dup"  -> d5,
     "d6_dup_clusters"   -> d6,
+    "d17_keep_best"     -> d17,
     "d7_intradoc_repeat" -> d7,
     "c1_curation_report" -> c1)
 
@@ -781,6 +835,7 @@ object DedupQueries extends QueryPack {
     "d4_simhash"        -> d4Sql,
     "d5_embedding_dup"  -> d5Sql,
     "d6_dup_clusters"   -> d6Sql,
+    "d17_keep_best"     -> d17Sql,
     "d7_intradoc_repeat" -> d7Sql,
     "c1_curation_report" -> c1Sql)
 }

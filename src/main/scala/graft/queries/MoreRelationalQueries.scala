@@ -613,11 +613,50 @@ object MoreRelationalQueries extends QueryPack {
       |                        (l_returnflag, l_linestatus))
       |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
 
+  /** q26 — unpivot/melt (e7's pivot inverse, the remaining reshape
+    * op): lineitem's four measure columns stack into (measure, value)
+    * rows, then roll up per (returnflag, measure). Spark's native
+    * `unpivot` plans an Expand — one pass, partial+final agg, column
+    * pruning still reaches the scan (only the 5 needed columns read). */
+  private def q26(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "measure", "x")
+      .groupBy(col("l_returnflag"), col("measure"))
+      .agg(count(lit(1)).as("n"),
+        money(sum(dec(col("x")))).as("total"),
+        money(min(dec(col("x")))).as("mn"),
+        money(max(dec(col("x")))).as("mx"))
+      .orderBy(col("l_returnflag"), col("measure"))
+  }
+
+  private val q26Sql =
+    """SELECT l_returnflag, measure, COUNT(*) AS n,
+      |  CAST(ROUND(SUM(CAST(x AS DECIMAL(18,2))), 2) AS DOUBLE) AS total,
+      |  CAST(ROUND(MIN(CAST(x AS DECIMAL(18,2))), 2) AS DOUBLE) AS mn,
+      |  CAST(ROUND(MAX(CAST(x AS DECIMAL(18,2))), 2) AS DOUBLE) AS mx
+      |FROM (
+      |  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS x FROM lineitem
+      |  UNION ALL
+      |  SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL
+      |  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+      |  UNION ALL
+      |  SELECT l_returnflag, 'l_tax', l_tax FROM lineitem) u
+      |GROUP BY l_returnflag, measure
+      |ORDER BY l_returnflag, measure""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_approx_quantile" -> q22,
     "q23_kmv_distinct"    -> q23,
     "q24_rank_functions"  -> q24,
     "q25_grouping_sets"   -> q25,
+    "q26_unpivot"         -> q26,
     "q10_full_outer"   -> q10,
     "q11_cube"         -> q11,
     "q12_stats"        -> q12,
@@ -646,6 +685,7 @@ object MoreRelationalQueries extends QueryPack {
     "q23_kmv_distinct"    -> q23Sql,
     "q24_rank_functions"  -> q24Sql,
     "q25_grouping_sets"   -> q25Sql,
+    "q26_unpivot"         -> q26Sql,
     "q20_quantile_contract" -> q20Sql,
     "q21_bloom_prefilter" -> q21Sql)
 }

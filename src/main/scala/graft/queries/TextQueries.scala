@@ -31,6 +31,33 @@ object TextQueries extends QueryPack {
 
   private val words: Column = split(col("text"), " ")
 
+  /** (doc_id, score) under t2's quality formula — shared with d17's
+    * keep-best dedup so "quality" means ONE thing across the library. */
+  private[queries] def docScores(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("w", words)
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("ttr",
+        size(array_distinct(col("w"))).cast("double") / col("n_words"))
+      .withColumn("mean_wlen",
+        (col("n_chars") - (col("n_words") - 1)).cast("double") / col("n_words"))
+      .withColumn("stop_ratio", stopCount.cast("double") / col("n_words"))
+      .select(col("doc_id"), round(
+        least(col("n_words").cast("double") / 100, lit(1.0)) * 0.4 +
+          col("ttr") * 0.3 + least(col("mean_wlen") / 5, lit(1.0)) * 0.2 +
+          col("stop_ratio") * 0.1, 6).as("score"))
+
+  /** DuckDB mirror of [[docScores]] (t2's formula keyed by doc_id). */
+  private[queries] def docScoresSql: String = {
+    val stopList = enStop.map(w => s"x = '$w'").mkString(" OR ")
+    s"""SELECT doc_id,
+      |  ROUND(LEAST(CAST(len(w) AS DOUBLE)/100, 1.0)*0.4 +
+      |        (CAST(len(list_distinct(w)) AS DOUBLE) / len(w))*0.3 +
+      |        LEAST((CAST(n_chars - (len(w) - 1) AS DOUBLE) / len(w))/5, 1.0)*0.2 +
+      |        (CAST(len(list_filter(w, x -> $stopList)) AS DOUBLE) / len(w))*0.1, 6) AS score
+      |FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents) f""".stripMargin
+  }
+
   /** t1 — language-ID heuristic: density of English function words
     * per document, thresholded; confusion counts against the labeled
     * `lang` column. */
