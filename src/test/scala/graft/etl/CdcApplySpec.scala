@@ -37,6 +37,35 @@ class CdcApplySpec extends SparkSpec {
     applied(snap(), c2) shouldBe Set.empty
   }
 
+  test("randomized LWW law: CdcApply equals a per-key last-writer fold") {
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { round =>
+      val snapRows = (1L to 8L).filter(_ => rnd.nextBoolean()).map(k => (k, s"s$k"))
+      val changes = (1 to 40).map { v =>
+        (1L + rnd.nextInt(10), v.toLong,
+          if (rnd.nextInt(4) == 0) "D" else "U", s"p$v")
+      }
+      // reference model: per key, the highest-version change decides
+      val expected = changes.groupBy(_._1)
+        .foldLeft(snapRows.toMap) { case (m, (k, cs)) =>
+          val last = cs.maxBy(_._2)
+          if (last._3 == "D") m - k else m + (k -> last._4)
+        }
+      withClue(s"round $round") {
+        applied(snapRows.toDF("k", "payload"),
+          changes.toDF("k", "v", "op", "payload")) shouldBe
+          expected.toSet.map((kv: (Long, String)) => kv)
+      }
+    }
+  }
+
+  test("degenerate inputs: empty log is identity; empty snapshot is build") {
+    val s = snap((1L, "a"), (2L, "b"))
+    applied(s, log()) shouldBe Set((1L, "a"), (2L, "b"))
+    applied(snap(), log((3L, 1L, "U", "c"))) shouldBe Set((3L, "c"))
+    applied(snap(), log()) shouldBe Set.empty
+  }
+
   test("batch composition: apply(apply(s, c1), c2) == apply(s, c1 ++ c2)") {
     val s = snap((1L, "old1"), (2L, "old2"))
     val c1 = log((1L, 1L, "D", "x"), (3L, 1L, "U", "a3"))
