@@ -236,6 +236,13 @@ object DedupQueries extends QueryPack {
       |FROM reach GROUP BY id
       |ORDER BY doc_id""".stripMargin
 
+  /** The d3 candidate-pair frame / oracle, shared with t19's
+    * effective-token rollup (one definition of "near-dup" across
+    * the library). */
+  private[queries] def d3Pairs(s: SparkSession, dir: String): DataFrame =
+    d3(s, dir).select(col("d1"), col("d2"))
+  private[queries] def d3OracleSql: String = d3Sql
+
   /** d17 — keep-BEST dedup: d6 picks each near-dup cluster's minimum
     * id (arrival order); real curation keeps the highest-QUALITY
     * member instead — the same clusters, but the keeper is the argmax

@@ -823,7 +823,110 @@ object SimilarityQueries extends QueryPack {
       |WHERE rn <= 3
       |ORDER BY qid, rk""".stripMargin
 
+  /** s12 — ADC distortion audit (the q22/s9 accuracy-contract pattern
+    * applied to s11's compressed search): per query, does the PQ
+    * asymmetric distance pick the same top-1 as the EXACT distance
+    * over the same cell-restricted candidates, and how large is the
+    * mean absolute distance error? This is the audit that decides a
+    * PQ deployment (code size vs recall trade) — run on a query
+    * sample at production scale, same plan.
+    *
+    * Determinism: the mean error folds per-candidate errors in
+    * candidate-id order (the t10/g1 sorted-fold convention) — a plain
+    * avg() would sum doubles in partition order and drift between
+    * engines. Top-1s are min(struct(dist, id)) — partial+final, no
+    * window. */
+  private def s12(s: SparkSession, dir: String): DataFrame = {
+    val base = evec(s, dir)
+    val cells = kmeansAssign(s, dir).select(col("vec_id"), col("cluster").as("cell"))
+    val subs = (0 until 4).map { j =>
+      val e = base
+        .select(col("vec_id"), slice(col("v"), j * 16 + 1, 16).as("v"))
+        .withColumn("vv", dot(col("v"), col("v")))
+      val c0 = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("vv").as("cc"))
+      val cb = centroidUpdate(assign(e, c0))
+      val codes = assign(e, cb)
+        .select(col("vec_id"), col("cluster").as(s"cl$j"))
+      (codes, cb.select(col("cid").as(s"cl$j"), col("cv").as(s"cv$j")))
+    }
+    val codes = subs.map(_._1).reduce(_.join(_, "vec_id"))
+    val recon = subs.map(_._2)
+      .zipWithIndex.foldLeft(codes) { case (acc, (cb, j)) =>
+        acc.join(broadcast(cb), s"cl$j")
+      }
+      .select(col("vec_id"),
+        concat(col("cv0"), col("cv1"), col("cv2"), col("cv3")).as("r"))
+      .withColumn("rr", dot(col("r"), col("r")))
+    val cands = recon.join(cells, "vec_id").join(base, "vec_id")
+      .select(col("vec_id").as("cid_"), col("cell"), col("r"), col("rr"),
+        col("v").as("xv"), col("vv").as("xx"))
+    val qs = base.filter(col("vec_id") < 10).join(cells, "vec_id")
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("vv").as("qq"), col("cell"))
+    val scored = qs.join(cands, "cell").filter(col("qid") =!= col("cid_"))
+      .select(col("qid"), col("cid_"),
+        (col("qq") - lit(2.0) * dot(col("qv"), col("r")) + col("rr")).as("adc"),
+        (col("qq") - lit(2.0) * dot(col("qv"), col("xv")) + col("xx")).as("exact"))
+    val sortedErrFold = expr(
+      "aggregate(transform(array_sort(collect_list(struct(cid_, e))), " +
+        "x -> x.e), cast(0.0 AS double), (acc, x) -> acc + x)")
+    scored
+      .withColumn("e", abs(col("adc") - col("exact")))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_cands"),
+        min(struct(col("exact"), col("cid_"))).as("te"),
+        min(struct(col("adc"), col("cid_"))).as("ta"),
+        sortedErrFold.as("errsum"))
+      .select(col("qid"), col("n_cands"),
+        col("te.cid_").as("top1_exact"), col("ta.cid_").as("top1_adc"),
+        (col("te.cid_") === col("ta.cid_")).as("agree"),
+        round(col("errsum") / col("n_cands"), 6).as("mean_abs_err"))
+      .orderBy(col("qid"))
+  }
+
+  private val s12Sql = kmeansSql + ",\n" +
+    "eall AS (SELECT vec_id, v FROM e),\n" +
+    (0 until 4).map(pqSubSql).mkString(",\n") + s""",
+      |codes AS (
+      |  SELECT a20.vec_id, a20.cluster AS cl0, a21.cluster AS cl1,
+      |         a22.cluster AS cl2, a23.cluster AS cl3
+      |  FROM a20 JOIN a21 ON a20.vec_id = a21.vec_id
+      |           JOIN a22 ON a20.vec_id = a22.vec_id
+      |           JOIN a23 ON a20.vec_id = a23.vec_id),
+      |recon AS (
+      |  SELECT codes.vec_id, cb0.cv || cb1.cv || cb2.cv || cb3.cv AS r
+      |  FROM codes JOIN c10 cb0 ON codes.cl0 = cb0.cid
+      |             JOIN c11 cb1 ON codes.cl1 = cb1.cid
+      |             JOIN c12 cb2 ON codes.cl2 = cb2.cid
+      |             JOIN c13 cb3 ON codes.cl3 = cb3.cid),
+      |cands AS (
+      |  SELECT recon.vec_id AS cid_, a2.cluster AS cell, recon.r,
+      |    list_sum(list_transform(recon.r, x -> x*x)) AS rr,
+      |    ev.v AS xv, ev.vv AS xx
+      |  FROM recon JOIN a2 ON recon.vec_id = a2.vec_id
+      |             JOIN ev ON recon.vec_id = ev.vec_id),
+      |qs AS (
+      |  SELECT ev.vec_id AS qid, ev.v AS qv, ev.vv AS qq, a2.cluster AS cell
+      |  FROM ev JOIN a2 ON ev.vec_id = a2.vec_id WHERE ev.vec_id < 10),
+      |scored AS (
+      |  SELECT qs.qid, cands.cid_,
+      |    qs.qq - 2*list_sum(list_transform(list_zip(qs.qv, cands.r), x -> x[1]*x[2])) + cands.rr AS adc,
+      |    qs.qq - 2*list_sum(list_transform(list_zip(qs.qv, cands.xv), x -> x[1]*x[2])) + cands.xx AS exact
+      |  FROM qs JOIN cands ON qs.cell = cands.cell AND qs.qid <> cands.cid_),
+      |agg AS (
+      |  SELECT qid, COUNT(*) AS n_cands,
+      |    MIN(struct_pack(d := exact, i := cid_)) AS te,
+      |    MIN(struct_pack(d := adc, i := cid_)) AS ta,
+      |    list_sum(list(ABS(adc - exact) ORDER BY cid_)) AS errsum
+      |  FROM scored GROUP BY qid)
+      |SELECT qid, n_cands, te.i AS top1_exact, ta.i AS top1_adc,
+      |  te.i = ta.i AS agree,
+      |  ROUND(errsum / n_cands, 6) AS mean_abs_err
+      |FROM agg ORDER BY qid""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s12_adc_audit" -> s12,
     "s11_ivfpq_ann" -> s11,
     "s10_pq_codes" -> s10,
     "s9_ann_recall" -> s9,
@@ -839,6 +942,7 @@ object SimilarityQueries extends QueryPack {
     "d8_semdedup"  -> d8)
 
   override def oracle: Map[String, String] = Map(
+    "s12_adc_audit" -> s12Sql,
     "s11_ivfpq_ann" -> s11Sql,
     "s10_pq_codes" -> s10Sql,
     "s9_ann_recall" -> s9Sql,

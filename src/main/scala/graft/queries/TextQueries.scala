@@ -966,7 +966,53 @@ object TextQueries extends QueryPack {
       |GROUP BY decile
       |ORDER BY decile""".stripMargin
 
+  /** t19 — dedup-effective token budget: raw whitespace-token mass
+    * per source vs the mass surviving near-dup cluster dedup (d6's
+    * min-id keepers) — the number that actually matters when sizing
+    * a training run, since duplicated tokens add compute but not
+    * information. Composes the shared CC clusters with t3's counting;
+    * one keyed join + one rollup on top of the d6 machinery.
+    */
+  private def t19(s: SparkSession, dir: String): DataFrame = {
+    val edges = DedupQueries.d3Pairs(s, dir)
+    val keep = graft.operators.ConnectedComponents
+      .run(edges, "d1", "d2", docs(s, dir), "doc_id")
+      .select(col("id").as("doc_id"), (col("cluster") === col("id")).as("keep"))
+    docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        expr("size(split(text, ' '))").cast("long").as("toks"))
+      .join(keep, "doc_id")
+      .groupBy(col("source"))
+      .agg(sum(col("toks")).as("raw_tokens"),
+        sum(when(col("keep"), col("toks")).otherwise(0L)).as("effective_tokens"))
+      .withColumn("dup_ratio",
+        round(lit(1.0) - col("effective_tokens").cast("double") / col("raw_tokens"), 6))
+      .orderBy(col("source"))
+  }
+
+  private val t19Sql =
+    s"""WITH RECURSIVE pairs AS (SELECT d1, d2 FROM (${DedupQueries.d3OracleSql})),
+      |sym AS (SELECT d1 AS s, d2 AS t FROM pairs
+      |        UNION ALL SELECT d2, d1 FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT reach.id, sym.t FROM reach JOIN sym ON reach.r = sym.s),
+      |keep AS (SELECT id AS doc_id, MIN(r) = id AS keep FROM reach GROUP BY id),
+      |toks AS (SELECT doc_id, source,
+      |           CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+      |         FROM documents)
+      |SELECT t.source,
+      |  CAST(SUM(t.toks) AS BIGINT) AS raw_tokens,
+      |  CAST(SUM(CASE WHEN k.keep THEN t.toks ELSE 0 END) AS BIGINT) AS effective_tokens,
+      |  ROUND(1.0 - CAST(SUM(CASE WHEN k.keep THEN t.toks ELSE 0 END) AS DOUBLE)
+      |        / SUM(t.toks), 6) AS dup_ratio
+      |FROM toks t JOIN keep k ON t.doc_id = k.doc_id
+      |GROUP BY t.source
+      |ORDER BY t.source""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t19_effective_tokens" -> t19,
     "t18_novelty"        -> t18,
     "t17_source_overlap" -> t17,
     "t16_vocab_coverage" -> t16,
@@ -987,6 +1033,7 @@ object TextQueries extends QueryPack {
     "t12_mix_weights" -> t12)
 
   override def oracle: Map[String, String] = Map(
+    "t19_effective_tokens" -> t19Sql,
     "t18_novelty"        -> t18Sql,
     "t17_source_overlap" -> t17Sql,
     "t16_vocab_coverage" -> t16Sql,
