@@ -29,9 +29,16 @@ class PlanAuditSpec extends SparkSpec {
     // tiny per-doc set tables at this SF). The lock is that the
     // index-sized candidate self-joins — keyed on __sh (d2), band
     // (d3), or the refined key2 (d4) — stay shuffled hash joins.
+    // d3's gated query reads the DocArtifacts cache, so its candidate
+    // join is audited on the fresh pipeline the registry build runs.
+    def planOf(q: String): String =
+      if (q == "d3_minhash_lsh")
+        graft.queries.DedupQueries.d3FreshPlan(spark, dir)
+          .queryExecution.executedPlan.toString
+      else plan(q)
     Seq("d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash").foreach { q =>
       withClue(q) {
-        val p = plan(q)
+        val p = planOf(q)
         val indexJoins = p.linesIterator.filter(l =>
           l.contains("Join") && !l.contains("LeftAnti") &&
             (l.contains("__sh") || l.contains("band") ||
