@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryPack, Tables}
 import graft.QueryPack.{dec, money}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -822,7 +822,38 @@ object EventsQueries extends QueryPack {
       |  ROUND(list_reduce(cs, (acc, x) -> 0.5 * acc + 0.5 * x) / 100, 4) AS ema
       |FROM folded ORDER BY user_id""".stripMargin
 
+  /** e23 — incremental aggregate maintenance: the daily rollup is
+    * maintained as MERGEABLE partial states — history (days before a
+    * cutoff) and the delta slice aggregate independently, then their
+    * partials merge — and the merged result is hash-identical to a
+    * full recompute (the oracle). count and DECIMAL-exact sum are the
+    * mergeable pair (exact at any merge order); avg/ratios derive
+    * after the final merge. This is the nightly-refresh pattern: at
+    * 100 TB only the delta partition is scanned, closed days ride as
+    * stored partials.  */
+  private def e23(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events")
+    def partials(cond: Column) = e.filter(cond)
+      .groupBy(col("user_id"),
+        date_trunc("DAY", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("amt"))
+    val cut = Tables.nanos("2024-01-20")
+    partials(col("ts_ns") < cut)
+      .unionByName(partials(col("ts_ns") >= cut))
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(col("n")).as("n_events"), money(sum(col("amt"))).as("total"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  private val e23Sql =
+    """SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+      |FROM events
+      |GROUP BY user_id, CAST(ts AS DATE)
+      |ORDER BY user_id, day""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e23_incr_rollup"    -> e23,
     "e22_ema_smooth"     -> e22,
     "e21_zscore_anomaly" -> e21,
     "e19_gapfill"       -> e19,
@@ -847,6 +878,7 @@ object EventsQueries extends QueryPack {
     "e17_trailing_window" -> e17)
 
   override def oracle: Map[String, String] = Map(
+    "e23_incr_rollup"    -> e23Sql,
     "e22_ema_smooth"     -> e22Sql,
     "e21_zscore_anomaly" -> e21Sql,
     "e19_gapfill"       -> e19Sql,

@@ -651,12 +651,55 @@ object MoreRelationalQueries extends QueryPack {
       |GROUP BY l_returnflag, measure
       |ORDER BY l_returnflag, measure""".stripMargin
 
+  /** q27 — MERGEABLE distinct sketches (the incremental form of
+    * q15): one HLL sketch per (segment, order-month) partition, then
+    * `hll_union_agg` folds the partition sketches into the segment
+    * estimate — the pattern a 100 TB nightly pipeline runs (sketch
+    * the new partition, merge with history; never re-scan closed
+    * months). HLL registers are max-merged, so the merged estimate is
+    * set-deterministic (order/partitioning independent) and the q15
+    * audit convention applies: exact count + a contract boolean the
+    * oracle asserts as TRUE. */
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"),
+        date_trunc("MONTH", col("o_orderdate")).cast("date").as("month"))
+      .agg(expr("hll_sketch_agg(o_custkey)").as("sk"),
+        count(lit(1)).as("n_orders"))
+    val merged = monthly.groupBy(col("c_mktsegment"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"),
+        sum(col("n_orders")).as("n_orders"),
+        count(lit(1)).as("n_partitions"))
+    val exact = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("o_custkey")).as("exact_custs"))
+    merged.join(exact, "c_mktsegment")
+      .select(col("c_mktsegment"), col("n_partitions"), col("n_orders"),
+        col("exact_custs"),
+        (abs(col("est") - col("exact_custs")) <=
+          lit(0.05) * col("exact_custs")).as("est_ok"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val q27Sql =
+    """SELECT c_mktsegment,
+      |  COUNT(DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE)) AS n_partitions,
+      |  COUNT(*) AS n_orders,
+      |  COUNT(DISTINCT o_custkey) AS exact_custs,
+      |  TRUE AS est_ok
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_approx_quantile" -> q22,
     "q23_kmv_distinct"    -> q23,
     "q24_rank_functions"  -> q24,
     "q25_grouping_sets"   -> q25,
     "q26_unpivot"         -> q26,
+    "q27_hll_merge"       -> q27,
     "q10_full_outer"   -> q10,
     "q11_cube"         -> q11,
     "q12_stats"        -> q12,
@@ -686,6 +729,7 @@ object MoreRelationalQueries extends QueryPack {
     "q24_rank_functions"  -> q24Sql,
     "q25_grouping_sets"   -> q25Sql,
     "q26_unpivot"         -> q26Sql,
+    "q27_hll_merge"       -> q27Sql,
     "q20_quantile_contract" -> q20Sql,
     "q21_bloom_prefilter" -> q21Sql)
 }
