@@ -201,6 +201,39 @@ class NewFamilyInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("e23: the partial-state merge is cut-invariant") {
+    // the incremental-maintenance law: WHERE the history/delta cut
+    // falls must not change the merged rollup (count and exact
+    // decimal sums merge associatively). The gated query uses one
+    // cut; here a different cut reproduces it row for row.
+    import graft.QueryPack.{dec, money}
+    val e = Tables(spark, sfDir, "events")
+    def partials(cond: org.apache.spark.sql.Column) = e.filter(cond)
+      .groupBy(col("user_id"),
+        date_trunc("DAY", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("amt"))
+    val otherCut = Tables.nanos("2024-01-05")
+    val merged = partials(col("ts_ns") < otherCut)
+      .unionByName(partials(col("ts_ns") >= otherCut))
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(col("n")).as("n_events"), money(sum(col("amt"))).as("total"))
+    val reference = SparkEntry.queries("e23_incr_rollup")(spark, sfDir)
+    reference.count() should be > 0L
+    merged.except(reference).count() shouldBe 0L
+    reference.except(merged).count() shouldBe 0L
+  }
+
+  test("q27: every segment's merged-sketch estimate meets the 5% contract") {
+    val rows = SparkEntry.queries("q27_hll_merge")(spark, sfDir).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      withClue(r.getString(0)) {
+        r.getBoolean(4) shouldBe true
+        r.getLong(1) should be >= 1L // at least one monthly partition
+      }
+    }
+  }
+
   test("t17: overlap scores are valid Jaccards over ordered source pairs") {
     val rows = SparkEntry.queries("t17_source_overlap")(spark, sfDir).collect()
     rows should not be empty
