@@ -59,7 +59,8 @@ object DedupQueries extends QueryPack {
     * persisted + eagerly materialized (the jaccardPairsLeased
     * convention — parallel stages must not race the cache fill). */
   private object DocArtifacts {
-    final case class Arts(shingles: DataFrame, sigs: DataFrame, pairs3: DataFrame)
+    final case class Arts(shingles: DataFrame, sigs: DataFrame,
+        pairs3: DataFrame, pairs2: DataFrame)
     private val reg =
       scala.collection.mutable.Map.empty[(SparkSession, String), Arts]
 
@@ -83,7 +84,10 @@ object DedupQueries extends QueryPack {
           call_function("graft_sig_matches", col("sig1"), col("sig2")))
         .filter(col("sig_matches") >= 12)
         .select(col("d1"), col("d2"), col("sig_matches")))
-      Arts(shingles, sigs, pairs3)
+      val pairs2 = persistEager(graft.operators.TextDedup
+        .jaccardPairs(shingles, "doc_id", "xs",
+          threshold = 0.8, maxDf = d2MaxDf))
+      Arts(shingles, sigs, pairs3, pairs2)
     }
   }
 
@@ -126,10 +130,14 @@ object DedupQueries extends QueryPack {
     * exact full-set Jaccard ≥ 0.8 confirms (clean separation: planted
     * pairs sit at ~0.98, background at ≤0.07 at sf0.01). */
   private def d2(s: SparkSession, dir: String): DataFrame =
+    DocArtifacts(s, dir).pairs2.orderBy(col("d1"), col("d2"))
+
+  /** d2's candidate pipeline built FRESH (bypassing the registry) —
+    * for the plan audit, like [[d3FreshPlan]]. */
+  private[graft] def d2FreshPlan(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextDedup
-      .jaccardPairs(withShingles(s, dir), "doc_id", "xs",
+      .jaccardPairs(withShinglesRaw(s, dir), "doc_id", "xs",
         threshold = 0.8, maxDf = d2MaxDf)
-      .orderBy(col("d1"), col("d2"))
 
   private val d2Sql =
     s"""WITH ws AS ($withShinglesSql),
@@ -540,9 +548,7 @@ object DedupQueries extends QueryPack {
     * (output-sized) and one global count row. */
   private def d13(s: SparkSession, dir: String): DataFrame = {
     val arts = DocArtifacts(s, dir)
-    val exact = graft.operators.TextDedup
-      .jaccardPairs(arts.shingles, "doc_id", "xs", threshold = 0.8, maxDf = d2MaxDf)
-      .select(col("d1"), col("d2"), lit(1).as("e"))
+    val exact = arts.pairs2.select(col("d1"), col("d2"), lit(1).as("e"))
     val lsh = arts.pairs3
       .select(col("d1"), col("d2"), lit(1).as("l"))
     exact.join(lsh, Seq("d1", "d2"), "full_outer")

@@ -31,11 +31,15 @@ class PlanAuditSpec extends SparkSpec {
     // (d3), or the refined key2 (d4) — stay shuffled hash joins.
     // d3's gated query reads the DocArtifacts cache, so its candidate
     // join is audited on the fresh pipeline the registry build runs.
-    def planOf(q: String): String =
-      if (q == "d3_minhash_lsh")
+    def planOf(q: String): String = q match {
+      case "d3_minhash_lsh" =>
         graft.queries.DedupQueries.d3FreshPlan(spark, dir)
           .queryExecution.executedPlan.toString
-      else plan(q)
+      case "d2_ngram_jaccard" =>
+        graft.queries.DedupQueries.d2FreshPlan(spark, dir)
+          .queryExecution.executedPlan.toString
+      case _ => plan(q)
+    }
     Seq("d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash").foreach { q =>
       withClue(q) {
         val p = planOf(q)
