@@ -170,13 +170,46 @@ object MediaQueries extends QueryPack {
       |FROM reach GROUP BY id
       |ORDER BY media_id""".stripMargin
 
+  /** m5 — storage planning profile: per-kind payload-size quantiles
+    * plus the projected bytes-per-million-items figure a capacity
+    * plan reads off (p50·10⁶, mean·10⁶). Exact percentiles on
+    * integer byte lengths (the q12 convention) — at 100 TB swap in
+    * percentile_approx with a q22-style rank audit, same shape
+    * (one partial+final agg per kind; nothing but the rollup
+    * shuffles). */
+  private def m5(s: SparkSession, dir: String): DataFrame = {
+    media(s, dir)
+      .groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        round(expr("percentile(meta.n_bytes, 0.5)"), 6).as("p50_bytes"),
+        round(expr("percentile(meta.n_bytes, 0.95)"), 6).as("p95_bytes"),
+        sum(col("meta.n_bytes")).as("total_bytes"))
+      .withColumn("mb_per_million",
+        round(col("total_bytes").cast("double") / col("n_media") * 1000000 / 1048576, 4))
+      .orderBy(col("kind"))
+  }
+
+  private val m5Sql =
+    """SELECT 'img/' || source AS kind, COUNT(*) AS n_media,
+      |  ROUND(quantile_cont(octet_length(encode(text)), 0.5), 6) AS p50_bytes,
+      |  ROUND(quantile_cont(octet_length(encode(text)), 0.95), 6) AS p95_bytes,
+      |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+      |  ROUND(CAST(SUM(octet_length(encode(text))) AS DOUBLE) / COUNT(*)
+      |        * 1000000 / 1048576, 4) AS mb_per_million
+      |FROM documents
+      |GROUP BY 'img/' || source
+      |ORDER BY kind""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m5_storage_profile" -> m5,
     "m1_media_profile" -> m1,
     "m2_frame_sample"  -> m2,
     "m3_frame_neardup" -> m3,
     "m4_media_clusters" -> m4)
 
   override def oracle: Map[String, String] = Map(
+    "m5_storage_profile" -> m5Sql,
     "m1_media_profile" -> m1Sql,
     "m2_frame_sample"  -> m2Sql,
     "m3_frame_neardup" -> m3Sql,
