@@ -152,16 +152,17 @@ object GraphQueries extends QueryPack {
     val deg = edges.select(col("u").as("node"))
       .unionAll(edges.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    // total order for the orientation: key = deg·10^8 + id (ids are
-    // well under 10^8; ties in degree break by id)
-    val key = (col("deg") * lit(100000000L) + col("node")).as("k")
-    val keyed = deg.select(col("node"), col("deg"), key)
+    // total order for the orientation: lexicographic (deg, id) — an
+    // explicit comparison, never a packed scalar key (deg·C + id
+    // breaks silently once ids reach C at larger corpora)
     val withU = edges
-      .join(keyed.select(col("node").as("u"), col("k").as("uk")), "u")
-      .join(keyed.select(col("node").as("v"), col("k").as("vk")), "v")
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
     val oriented = withU.select(
-        when(col("uk") < col("vk"), col("u")).otherwise(col("v")).as("src"),
-        when(col("uk") < col("vk"), col("v")).otherwise(col("u")).as("dst"))
+        when(uFirst, col("u")).otherwise(col("v")).as("src"),
+        when(uFirst, col("v")).otherwise(col("u")).as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     oriented.count()
     // adjacency is node-sized WITH O(sqrt m) arrays — never broadcast
@@ -176,7 +177,7 @@ object GraphQueries extends QueryPack {
         explode(array_intersect(col("nu"), col("nv"))).as("w"))
       .select(explode(array(col("src"), col("dst"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
-    val out = tris.join(keyed.select(col("node"), col("deg")), "node")
+    val out = tris.join(deg, "node")
       .select(col("node").as("part"), col("deg"), col("triangles"),
         round((col("triangles") * 2).cast("double") /
           (col("deg").cast("double") * (col("deg") - 1)), 6).as("clustering"))
@@ -191,22 +192,23 @@ object GraphQueries extends QueryPack {
       |deg AS (SELECT node, COUNT(*) AS deg FROM
       |          (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
       |        GROUP BY node),
-      |keyed AS (SELECT node, deg, deg * 100000000 + node AS k FROM deg),
-      |o AS (SELECT CASE WHEN ku.k < kv.k THEN e.u ELSE e.v END AS src,
-      |             CASE WHEN ku.k < kv.k THEN e.v ELSE e.u END AS dst,
-      |             GREATEST(ku.k, kv.k) AS dk
-      |      FROM e JOIN keyed ku ON e.u = ku.node
-      |             JOIN keyed kv ON e.v = kv.node),
-      |w AS (SELECT w1.src AS s, w1.dst AS a, w2.dst AS b
-      |      FROM o w1 JOIN o w2 ON w1.src = w2.src AND w1.dk < w2.dk),
+      |o AS (SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+      |                  THEN e.u ELSE e.v END AS src,
+      |             CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+      |                  THEN e.v ELSE e.u END AS dst
+      |      FROM e JOIN deg du ON e.u = du.node
+      |             JOIN deg dv ON e.v = dv.node),
+      |adj AS (SELECT src, list(dst) AS nbrs FROM o GROUP BY src),
       |tri AS (SELECT node, COUNT(*) AS triangles FROM (
-      |          SELECT UNNEST([w.s, w.a, w.b]) AS node
-      |          FROM w JOIN o ON w.a = o.src AND w.b = o.dst)
+      |          SELECT UNNEST([o.src, o.dst, w.w]) AS node FROM o
+      |          JOIN adj au ON o.src = au.src
+      |          JOIN adj av ON o.dst = av.src
+      |          CROSS JOIN UNNEST(list_intersect(au.nbrs, av.nbrs)) AS w(w))
       |        GROUP BY node)
-      |SELECT tri.node AS part, keyed.deg, tri.triangles,
+      |SELECT tri.node AS part, deg.deg, tri.triangles,
       |  ROUND(CAST(tri.triangles * 2 AS DOUBLE) /
-      |        (CAST(keyed.deg AS DOUBLE) * (keyed.deg - 1)), 6) AS clustering
-      |FROM tri JOIN keyed ON tri.node = keyed.node
+      |        (CAST(deg.deg AS DOUBLE) * (deg.deg - 1)), 6) AS clustering
+      |FROM tri JOIN deg ON tri.node = deg.node
       |ORDER BY tri.triangles DESC, part LIMIT 20""".stripMargin
 
   /** g3 — personalized PageRank (random walk with restart): g1's
