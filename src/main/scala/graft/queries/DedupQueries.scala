@@ -346,6 +346,36 @@ object DedupQueries extends QueryPack {
       |FROM agg JOIN k ON agg.cluster = k.cluster
       |ORDER BY agg.cluster""".stripMargin
 
+  /** d18 — LSH operating-point sweep: pair volume at every signature-
+    * agreement threshold 12..16 (est. Jaccard t/16) in one pass over
+    * the shared pair artifact — the tuning table an operator reads
+    * before picking d3's confirmation bar (tighter = fewer pairs to
+    * verify downstream, lower recall). Costs one 5-row broadcast join
+    * over the per-threshold histogram; the pair set itself is the
+    * cached DocArtifacts frame. */
+  private def d18(s: SparkSession, dir: String): DataFrame = {
+    val byMatches = DocArtifacts(s, dir).pairs3
+      .groupBy(col("sig_matches")).agg(count(lit(1)).as("n"))
+    s.range(12, 17).select(col("id").as("t"))
+      .join(broadcast(byMatches), col("sig_matches") >= col("t"))
+      .groupBy(col("t"))
+      .agg(sum(col("n")).as("n_pairs"))
+      .select(col("t").as("min_matches"),
+        round(col("t").cast("double") / 16, 4).as("est_jaccard"),
+        col("n_pairs"))
+      .orderBy(col("min_matches"))
+  }
+
+  private val d18Sql =
+    s"""WITH p AS (SELECT sig_matches FROM ($d3Sql)),
+      |r AS (SELECT UNNEST(generate_series(12, 16)) AS t)
+      |SELECT r.t AS min_matches,
+      |  ROUND(CAST(r.t AS DOUBLE) / 16, 4) AS est_jaccard,
+      |  COUNT(*) AS n_pairs
+      |FROM r JOIN p ON p.sig_matches >= r.t
+      |GROUP BY r.t
+      |ORDER BY min_matches""".stripMargin
+
   /** d5 — embedding-cosine near-dup: all pairs with cosine ≥ 0.45
     * over `embeddings` (float[64] → double before any arithmetic).
     * The exact-baseline pair join; the blocked/ANN path is
@@ -867,6 +897,7 @@ object DedupQueries extends QueryPack {
     "d5_embedding_dup"  -> d5,
     "d6_dup_clusters"   -> d6,
     "d17_keep_best"     -> d17,
+    "d18_lsh_sweep"     -> d18,
     "d7_intradoc_repeat" -> d7,
     "c1_curation_report" -> c1)
 
@@ -884,6 +915,7 @@ object DedupQueries extends QueryPack {
     "d5_embedding_dup"  -> d5Sql,
     "d6_dup_clusters"   -> d6Sql,
     "d17_keep_best"     -> d17Sql,
+    "d18_lsh_sweep"     -> d18Sql,
     "d7_intradoc_repeat" -> d7Sql,
     "c1_curation_report" -> c1Sql)
 }

@@ -852,7 +852,60 @@ object EventsQueries extends QueryPack {
       |GROUP BY user_id, CAST(ts AS DATE)
       |ORDER BY user_id, day""".stripMargin
 
+  /** e24 — last-touch revenue attribution: every purchase credits the
+    * user's most recent preceding touch (click/view/signup) if it
+    * fell within a 24 h lookback, else lands in the `unattributed`
+    * bucket — the marketing-analytics op behind every channel-ROI
+    * dashboard, driven through the custom [[graft.plans.AsOfJoin]]
+    * operator (one merge pass; e9's expand-reaggregate is the
+    * composed fallback).
+    *
+    * Determinism: touches collapse to one row per (user, instant)
+    * first (ties take the lexicographically-last type), so the as-of
+    * pick is unique even where raw timestamps collide. */
+  private def e24(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).withColumn("tsu", unix_micros(col("ts")))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("tsu"), col("value"))
+    val touches = e
+      .filter(col("event_type").isin("click", "view", "signup"))
+      .groupBy(col("user_id").as("t_user"), col("tsu").as("t_tsu"))
+      .agg(max(col("event_type")).as("touch"))
+    graft.plans.AsOfJoin.backward(purchases, touches,
+        keys = Seq("user_id" -> "t_user"), leftTime = "tsu", rightTime = "t_tsu")
+      .select(col("value"),
+        when(col("t_tsu").isNotNull &&
+            col("tsu") - col("t_tsu") <= 24L * 3600 * 1000000,
+          col("touch")).otherwise("unattributed").as("touch"))
+      .groupBy(col("touch"))
+      .agg(count(lit(1)).as("n_purchases"),
+        money(sum(dec(col("value")))).as("revenue"))
+      .orderBy(col("touch"))
+  }
+
+  private val e24Sql =
+    """WITH p AS (
+      |  SELECT event_id, user_id, epoch_ns(ts)//1000 AS tsu, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |t AS (
+      |  SELECT user_id, epoch_ns(ts)//1000 AS tsu, MAX(event_type) AS touch
+      |  FROM events WHERE event_type IN ('click', 'view', 'signup')
+      |  GROUP BY user_id, epoch_ns(ts)//1000),
+      |j AS (
+      |  SELECT p.event_id, p.value, t.touch, t.tsu AS t_tsu, p.tsu,
+      |    ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY t.tsu DESC) AS rn
+      |  FROM p LEFT JOIN t ON t.user_id = p.user_id AND t.tsu <= p.tsu)
+      |SELECT CASE WHEN t_tsu IS NOT NULL AND tsu - t_tsu <= 86400000000
+      |            THEN touch ELSE 'unattributed' END AS touch,
+      |  COUNT(*) AS n_purchases,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+      |FROM j WHERE rn = 1
+      |GROUP BY CASE WHEN t_tsu IS NOT NULL AND tsu - t_tsu <= 86400000000
+      |              THEN touch ELSE 'unattributed' END
+      |ORDER BY touch""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e24_attribution"    -> e24,
     "e23_incr_rollup"    -> e23,
     "e22_ema_smooth"     -> e22,
     "e21_zscore_anomaly" -> e21,
@@ -878,6 +931,7 @@ object EventsQueries extends QueryPack {
     "e17_trailing_window" -> e17)
 
   override def oracle: Map[String, String] = Map(
+    "e24_attribution"    -> e24Sql,
     "e23_incr_rollup"    -> e23Sql,
     "e22_ema_smooth"     -> e22Sql,
     "e21_zscore_anomaly" -> e21Sql,
