@@ -1011,7 +1011,67 @@ object TextQueries extends QueryPack {
       |GROUP BY t.source
       |ORDER BY t.source""".stripMargin
 
+  /** t20 — decontamination APPLY (t11's report turned into the
+    * training-set edit): training docs whose benchmark-8-gram overlap
+    * reaches 5% are dropped, and the per-source survivor ledger
+    * (docs dropped, token mass kept) is what actually feeds the t12
+    * mixture step. Same broadcast-benchmark probe as t11 — the gram
+    * index never shuffles; the drop set joins back doc-keyed. */
+  private def t20(s: SparkSession, dir: String): DataFrame = {
+    val grams = docs(s, dir)
+      .withColumn("w", words)
+      .filter(expr("size(w) >= 8"))
+      .select(col("doc_id"), col("source"), col("w"))
+      .withColumn("xs", graft.operators.TextDedup.shingleHashes("w", 8))
+    val bench = grams.filter(col("doc_id") % 10 === 7)
+      .select(explode(col("xs")).as("gram")).distinct()
+    val train = grams.filter(col("doc_id") % 10 =!= 7)
+    val dropped = train
+      .select(col("doc_id"), expr("size(xs)").cast("long").as("n_grams"),
+        explode(col("xs")).as("gram"))
+      .join(broadcast(bench), Seq("gram"))
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(countDistinct(col("gram")).as("nc"))
+      .filter(col("nc").cast("double") / col("n_grams") >= 0.05)
+      .select(col("doc_id"), lit(true).as("bad"))
+    train
+      .select(col("doc_id"), col("source"), expr("size(w)").cast("long").as("toks"))
+      .join(dropped, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_train_docs"),
+        sum(when(col("bad"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("bad").isNull, col("toks")).otherwise(0L))
+          .as("surviving_tokens"))
+      .orderBy(col("source"))
+  }
+
+  private val t20Sql =
+    """WITH g AS (
+      |  SELECT doc_id, source, len(w) AS toks,
+      |    list_distinct(list_transform(
+      |      list_transform(range(1, len(w)-6), i -> array_to_string(w[i:i+7], ' ')),
+      |      s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % 2147483647)) AS xs
+      |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 8),
+      |bg AS (SELECT DISTINCT unnest(xs) AS gram FROM g WHERE doc_id % 10 = 7),
+      |tg AS (SELECT * FROM g WHERE doc_id % 10 <> 7),
+      |bad AS (
+      |  SELECT t.doc_id FROM (
+      |    SELECT tg.doc_id, len(tg.xs) AS n_grams, unnest(tg.xs) AS gram
+      |    FROM tg) t JOIN bg USING (gram)
+      |  GROUP BY t.doc_id, t.n_grams
+      |  HAVING CAST(COUNT(DISTINCT t.gram) AS DOUBLE) / t.n_grams >= 0.05)
+      |SELECT tg.source, COUNT(*) AS n_train_docs,
+      |  CAST(SUM(CASE WHEN bad.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dropped,
+      |  CAST(SUM(CASE WHEN bad.doc_id IS NULL THEN tg.toks ELSE 0 END) AS BIGINT)
+      |    AS surviving_tokens
+      |FROM tg LEFT JOIN bad ON tg.doc_id = bad.doc_id
+      |GROUP BY tg.source
+      |ORDER BY tg.source""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t20_decontam_apply" -> t20,
     "t19_effective_tokens" -> t19,
     "t18_novelty"        -> t18,
     "t17_source_overlap" -> t17,
@@ -1033,6 +1093,7 @@ object TextQueries extends QueryPack {
     "t12_mix_weights" -> t12)
 
   override def oracle: Map[String, String] = Map(
+    "t20_decontam_apply" -> t20Sql,
     "t19_effective_tokens" -> t19Sql,
     "t18_novelty"        -> t18Sql,
     "t17_source_overlap" -> t17Sql,
