@@ -68,6 +68,16 @@ object DedupQueries extends QueryPack {
       reg.getOrElseUpdate((s, dir), build(s, dir))
     }
 
+    /** Drop one corpus's cached artifacts (the [[graft.Leased]]
+      * lifecycle: one-shot driver runs rely on session teardown; a
+      * long-lived service releases snapshots it rotates past). */
+    def release(s: SparkSession, dir: String): Unit = synchronized {
+      reg.remove((s, dir)).foreach { a =>
+        Seq(a.shingles, a.sigs, a.pairs3, a.pairs2)
+          .foreach(_.unpersist(blocking = false))
+      }
+    }
+
     private def persistEager(df: DataFrame): DataFrame = {
       val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       p.count()
@@ -90,6 +100,12 @@ object DedupQueries extends QueryPack {
       Arts(shingles, sigs, pairs3, pairs2)
     }
   }
+
+  /** Release the shared dedup index artifacts for one corpus dir —
+    * the [[graft.Leased]] lifecycle hook for long-lived services
+    * rotating corpus snapshots; queries lazily rebuild on next use. */
+  def releaseArtifacts(s: SparkSession, dir: String): Unit =
+    DocArtifacts.release(s, dir)
 
   private def withShingles(s: SparkSession, dir: String): DataFrame =
     DocArtifacts(s, dir).shingles

@@ -670,6 +670,15 @@ object SimilarityQueries extends QueryPack {
       reg.getOrElseUpdate((s, dir), build(s, dir))
     }
 
+    /** Drop one corpus's cached artifacts (the [[graft.Leased]]
+      * lifecycle — see DocArtifacts.release). */
+    def release(s: SparkSession, dir: String): Unit = synchronized {
+      reg.remove((s, dir)).foreach { a =>
+        (a.cells +: a.recon +: a.subs.flatMap(t => Seq(t._1, t._2)))
+          .foreach(_.unpersist(blocking = false))
+      }
+    }
+
     private def persistEager(df: DataFrame): DataFrame = {
       val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       p.count()
@@ -704,6 +713,11 @@ object SimilarityQueries extends QueryPack {
       Arts(cells, subs, recon)
     }
   }
+
+  /** Release the shared PQ index artifacts for one corpus dir (see
+    * [[DedupQueries.releaseArtifacts]] — same lifecycle). */
+  def releaseArtifacts(s: SparkSession, dir: String): Unit =
+    PqArtifacts.release(s, dir)
 
   /** s10 — product quantization (PQ) codebook training + encoding:
     * the embedding space splits into m=4 contiguous 16-dim subspaces,

@@ -234,6 +234,19 @@ class NewFamilyInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("artifact registries: release frees the caches and queries rebuild") {
+    // warm both registries, snapshot results
+    val d3Before = SparkEntry.queries("d3_minhash_lsh")(spark, sfDir).collect()
+    val s10Before = SparkEntry.queries("s10_pq_codes")(spark, sfDir).collect()
+    DedupQueries.releaseArtifacts(spark, sfDir)
+    SimilarityQueries.releaseArtifacts(spark, sfDir)
+    // released artifacts rebuild lazily and reproduce the same output
+    SparkEntry.queries("d3_minhash_lsh")(spark, sfDir)
+      .collect() shouldBe d3Before
+    SparkEntry.queries("s10_pq_codes")(spark, sfDir)
+      .collect() shouldBe s10Before
+  }
+
   test("t17: overlap scores are valid Jaccards over ordered source pairs") {
     val rows = SparkEntry.queries("t17_source_overlap")(spark, sfDir).collect()
     rows should not be empty
