@@ -661,7 +661,7 @@ object SimilarityQueries extends QueryPack {
     * dir); frames are persisted + eagerly materialized (the
     * jaccardPairsLeased convention). */
   private object PqArtifacts {
-    final case class Arts(cells: DataFrame,
+    final case class Arts(cells: DataFrame, cents: DataFrame,
         subs: Seq[(DataFrame, DataFrame)], recon: DataFrame)
     private val reg =
       scala.collection.mutable.Map.empty[(SparkSession, String), Arts]
@@ -674,7 +674,8 @@ object SimilarityQueries extends QueryPack {
       * lifecycle — see DocArtifacts.release). */
     def release(s: SparkSession, dir: String): Unit = synchronized {
       reg.remove((s, dir)).foreach { a =>
-        (a.cells +: a.recon +: a.subs.flatMap(t => Seq(t._1, t._2)))
+        (a.cells +: a.cents +: a.recon +:
+            a.subs.flatMap(t => Seq(t._1, t._2)))
           .foreach(_.unpersist(blocking = false))
       }
     }
@@ -687,7 +688,12 @@ object SimilarityQueries extends QueryPack {
 
     private def build(s: SparkSession, dir: String): Arts = {
       val base = evec(s, dir)
-      val cells = persistEager(kmeansAssign(s, dir)
+      // coarse quantizer: centroids AND assignments both persist (the
+      // multi-probe sweep ranks cells by centroid distance per query)
+      val coarse0 = base.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("vv").as("cc"))
+      val cents = persistEager(centroidUpdate(assign(base, coarse0)))
+      val cells = persistEager(assign(base, cents)
         .select(col("vec_id"), col("cluster").as("cell")))
       val subs = (0 until 4).map { j =>
         val e = base
@@ -710,7 +716,7 @@ object SimilarityQueries extends QueryPack {
         .select(col("vec_id"),
           concat(col("cv0"), col("cv1"), col("cv2"), col("cv3")).as("r"))
         .withColumn("rr", dot(col("r"), col("r"))))
-      Arts(cells, subs, recon)
+      Arts(cells, cents, subs, recon)
     }
   }
 
@@ -948,7 +954,101 @@ object SimilarityQueries extends QueryPack {
       |  ROUND(errsum / n_cands, 6) AS mean_abs_err
       |FROM agg ORDER BY qid""".stripMargin
 
+  /** s13 — multi-probe IVF sweep (the recall/cost CURVE behind every
+    * IVF deployment): queries probe their 1, 2, or 4 nearest coarse
+    * cells and the sweep reports recall@3 against the exact top-3
+    * plus the average candidate count per query — the table that
+    * picks production `nprobe`. Single-probe IVF (s2) and the audit
+    * philosophy of s9/s12, generalized to the tuning knob.
+    *
+    * Scale: cell ranking is queries × broadcast k-row centroids; the
+    * exact-distance frame is built once and shared by the truth and
+    * all probe levels (persisted — the diamond-reuse convention);
+    * per-level candidate restriction is a keyed join against the
+    * ranked-cell list. At 100 TB the truth side runs on a query
+    * SAMPLE (an audit, not the serving path), same shape. */
+  private def s13(s: SparkSession, dir: String): DataFrame = {
+    val base = evec(s, dir)
+    val arts = PqArtifacts(s, dir)
+    val qs = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("vv").as("qq"))
+    val wCell = Window.partitionBy(col("qid")).orderBy(col("cd2"), col("cid"))
+    val cellRank = qs.crossJoin(broadcast(arts.cents))
+      .withColumn("cd2",
+        col("qq") - lit(2.0) * dot(col("qv"), col("cv")) + col("cc"))
+      .withColumn("crk", row_number().over(wCell))
+      .select(col("qid"), col("cid"), col("crk"))
+    val corpus = base.join(arts.cells, "vec_id")
+      .select(col("vec_id").as("nid"), col("v").as("nv"),
+        col("vv").as("nn"), col("cell"))
+    val dists = qs.join(corpus, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), col("cell"),
+        (col("qq") - lit(2.0) * dot(col("qv"), col("nv")) + col("nn")).as("d2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    dists.count() // eager: truth + every probe level read it
+    val wT = Window.partitionBy(col("qid")).orderBy(col("d2"), col("nid"))
+    val truth = dists.withColumn("rk", row_number().over(wT))
+      .filter(col("rk") <= 3).select(col("qid"), col("nid"))
+    // the probe levels live IN the plan (no driver-side counting):
+    // each level contributes its (qid, cell) whitelist tagged nprobe
+    val probed = Seq(1, 2, 4).map { np =>
+      cellRank.filter(col("crk") <= np)
+        .select(lit(np).as("nprobe"), col("qid"), col("cid").as("cell"))
+    }.reduce(_ unionByName _)
+    val cand = dists.join(probed, Seq("qid", "cell"))
+    val wF = Window.partitionBy(col("nprobe"), col("qid"))
+      .orderBy(col("d2"), col("nid"))
+    val found = cand.withColumn("rk", row_number().over(wF))
+      .filter(col("rk") <= 3)
+      .select(col("nprobe"), col("qid"), col("nid"))
+    val hits = found.join(truth, Seq("qid", "nid"))
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("h"))
+    val ncs = cand.groupBy(col("nprobe")).agg(count(lit(1)).as("nc"))
+    // 10 fixed queries (vec_id 0..9) → exact denominators
+    ncs.join(hits, Seq("nprobe"), "left")
+      .select(col("nprobe"),
+        round(coalesce(col("h"), lit(0L)).cast("double") / 30, 4).as("recall3"),
+        round(col("nc").cast("double") / 10, 2).as("avg_cands"))
+      .orderBy(col("nprobe"))
+  }
+
+  private val s13Sql = kmeansSql + s""",
+      |qs AS (SELECT vec_id AS qid, v AS qv, vv AS qq FROM ev WHERE vec_id < 10),
+      |cr AS (
+      |  SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+      |    qq - 2*list_sum(list_transform(list_zip(qv, c.cv), x -> x[1]*x[2])) + c.cc,
+      |    c.cid) AS crk
+      |  FROM qs CROSS JOIN c1 c),
+      |dists AS (
+      |  SELECT qs.qid, ev.vec_id AS nid, a2.cluster AS cell,
+      |    qs.qq - 2*list_sum(list_transform(list_zip(qs.qv, ev.v), x -> x[1]*x[2])) + ev.vv AS d2
+      |  FROM qs JOIN ev ON qs.qid <> ev.vec_id
+      |          JOIN a2 ON ev.vec_id = a2.vec_id),
+      |truth AS (
+      |  SELECT qid, nid FROM (
+      |    SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY d2, nid) AS rk FROM dists) t WHERE rk <= 3),
+      |np AS (SELECT UNNEST([1, 2, 4]) AS nprobe),
+      |cand AS (
+      |  SELECT np.nprobe, d.qid, d.nid, d.d2
+      |  FROM np JOIN cr ON cr.crk <= np.nprobe
+      |          JOIN dists d ON d.qid = cr.qid AND d.cell = cr.cid),
+      |found AS (
+      |  SELECT nprobe, qid, nid FROM (
+      |    SELECT nprobe, qid, nid, ROW_NUMBER() OVER (
+      |      PARTITION BY nprobe, qid ORDER BY d2, nid) AS rk
+      |    FROM cand) t WHERE rk <= 3),
+      |hits AS (SELECT nprobe, COUNT(*) AS h
+      |         FROM found JOIN truth USING (qid, nid) GROUP BY nprobe),
+      |ncs AS (SELECT nprobe, COUNT(*) AS nc FROM cand GROUP BY nprobe)
+      |SELECT ncs.nprobe,
+      |  ROUND(CAST(COALESCE(hits.h, 0) AS DOUBLE) / 30, 4) AS recall3,
+      |  ROUND(CAST(ncs.nc AS DOUBLE) / 10, 2) AS avg_cands
+      |FROM ncs LEFT JOIN hits ON ncs.nprobe = hits.nprobe
+      |ORDER BY ncs.nprobe""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s13_nprobe_sweep" -> s13,
     "s12_adc_audit" -> s12,
     "s11_ivfpq_ann" -> s11,
     "s10_pq_codes" -> s10,
@@ -965,6 +1065,7 @@ object SimilarityQueries extends QueryPack {
     "d8_semdedup"  -> d8)
 
   override def oracle: Map[String, String] = Map(
+    "s13_nprobe_sweep" -> s13Sql,
     "s12_adc_audit" -> s12Sql,
     "s11_ivfpq_ann" -> s11Sql,
     "s10_pq_codes" -> s10Sql,
