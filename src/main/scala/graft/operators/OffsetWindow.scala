@@ -71,4 +71,39 @@ object OffsetWindow {
   def globalRank(df: DataFrame, groupCols: Seq[String], bucket: Column,
       order: Seq[Column], out: String): DataFrame =
     prefixSum(df, groupCols, bucket, order, lit(1L), out)
+
+  /** Per-group running MAX of `value` over the rows STRICTLY BEFORE
+    * the current one in (`bucket`, `order`) order — null when the row
+    * has no predecessor. The dominance primitive behind sort-based
+    * skylines (q28): a row beats everything before it iff
+    * `value > out`. Same two-pass shape as [[prefixSum]]: local
+    * EXCLUSIVE prefix max per (group, bucket) — thousands of
+    * independent window partitions — plus a broadcast exclusive max
+    * over the one-row-per-bucket maxima frame. `bucket` must be
+    * monotone non-decreasing in (`order`) per group. */
+  def prefixMaxExcl(df: DataFrame, groupCols: Seq[String], bucket: Column,
+      order: Seq[Column], value: Column, out: String): DataFrame = {
+    val gnames: Seq[String] =
+      if (groupCols.nonEmpty) groupCols else Seq("__g")
+    val t = df.withColumn("__bk", bucket).withColumn("__v", value)
+    val base = if (groupCols.nonEmpty) t else t.withColumn("__g", lit(0))
+    val maxima = base.groupBy((gnames :+ "__bk").map(col): _*)
+      .agg(max(col("__v")).as("__m"))
+    val wOff = Window.partitionBy(gnames.map(col): _*).orderBy(col("__bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = maxima
+      .withColumn("__off", max(col("__m")).over(wOff))
+      .select((gnames :+ "__bk" :+ "__off").map(col): _*)
+    val wLoc = Window.partitionBy((gnames :+ "__bk").map(col): _*)
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("__lm", max(col("__v")).over(wLoc))
+      .join(broadcast(offsets), gnames :+ "__bk")
+      // greatest() skips nulls: null only when BOTH sides are empty,
+      // i.e. the global first row
+      .withColumn(out, greatest(col("__lm"), col("__off")))
+      .drop("__bk", "__lm", "__off", "__v")
+      .drop((if (groupCols.nonEmpty) Nil else Seq("__g")): _*)
+  }
 }

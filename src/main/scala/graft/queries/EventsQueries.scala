@@ -904,7 +904,83 @@ object EventsQueries extends QueryPack {
       |              THEN touch ELSE 'unattributed' END
       |ORDER BY touch""".stripMargin
 
+  /** e25 — Holt linear trend (double exponential smoothing, α = β =
+    * ½) over each user's daily spend: e22's EMA tracks the LEVEL only
+    * and lags any drift; Holt co-estimates a trend term and yields the
+    * one-step forecast `level + trend` — the standard next rung on the
+    * forecasting ladder. α = β = ½ keeps e22's exactness argument:
+    * halving a double is exact, so each step rounds only in its
+    * additions, and both engines fold the same cents in the same day
+    * order (recipe 15: Spark `aggregate(slice(xs,2,…), xs[0], …)` ≡
+    * DuckDB `list_reduce`, both left folds seeded by the first
+    * element) — the (level, trend) pair is bit-identical, not close.
+    * The fold state is a STRUCT: the elements are lifted to
+    * `(l, b, c)` triples so the seed (l₁ = x₁, b₁ = 0) is just the
+    * first element, DuckDB's list_reduce contract.
+    *
+    * Scale: identical to e22 — one partial+final daily agg, then a
+    * per-user fold over that user's own days; grouped, bounded, no
+    * window funnel. */
+  private def e25(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir, "events")
+      .groupBy(col("user_id"),
+        date_trunc("DAY", col("ts")).cast("date").as("day"))
+      .agg((round(sum(dec(col("value"))), 2) * 100).cast("long").as("c"))
+    daily.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_days"), max(col("day")).as("last_day"),
+        expr("transform(array_sort(collect_list(struct(day, c))), " +
+          "s -> named_struct('l', cast(s.c as double), 'b', 0D, " +
+          "'c', cast(s.c as double)))").as("xs"))
+      .withColumn("st", expr(
+        "aggregate(slice(xs, 2, size(xs) - 1), xs[0], (acc, x) -> named_struct(" +
+          "'l', 0.5D * x.c + 0.5D * (acc.l + acc.b), " +
+          "'b', 0.5D * (0.5D * x.c + 0.5D * (acc.l + acc.b) - acc.l) + 0.5D * acc.b, " +
+          "'c', x.c))"))
+      .select(col("user_id"), col("n_days"), col("last_day"),
+        round(col("st.l") / 100, 4).as("level"),
+        round(col("st.b") / 100, 4).as("trend"),
+        round((col("st.l") + col("st.b")) / 100, 4).as("forecast"))
+      .orderBy(col("user_id"))
+  }
+
+  // Oracle note: DuckDB v1.0.0's list_reduce over STRUCT elements is
+  // not a trustworthy left fold (probed: cross-field accumulator
+  // references see inconsistent old/new values depending on field
+  // order and expression shape), so the two-component Holt state is
+  // mirrored with an unambiguous recursive CTE instead — one row per
+  // (user, day-rank) step, identical IEEE expression per step.
+  private val e25Sql =
+    """WITH RECURSIVE daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) * 100 AS BIGINT) AS c
+      |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+      |ranked AS (
+      |  SELECT user_id, c,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS i,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n
+      |  FROM daily),
+      |st(user_id, i, n, l, b) AS (
+      |  SELECT user_id, i, n, CAST(c AS DOUBLE), CAST(0 AS DOUBLE)
+      |  FROM ranked WHERE i = 1
+      |  UNION ALL
+      |  SELECT r.user_id, r.i, r.n,
+      |    0.5 * CAST(r.c AS DOUBLE) + 0.5 * (st.l + st.b),
+      |    0.5 * (0.5 * CAST(r.c AS DOUBLE) + 0.5 * (st.l + st.b) - st.l)
+      |      + 0.5 * st.b
+      |  FROM st JOIN ranked r ON r.user_id = st.user_id AND r.i = st.i + 1),
+      |fin AS (SELECT user_id, l, b FROM st WHERE i = n),
+      |agg AS (
+      |  SELECT user_id, COUNT(*) AS n_days, MAX(day) AS last_day
+      |  FROM daily GROUP BY user_id)
+      |SELECT a.user_id, a.n_days, a.last_day,
+      |  ROUND(f.l / 100, 4) AS level,
+      |  ROUND(f.b / 100, 4) AS trend,
+      |  ROUND((f.l + f.b) / 100, 4) AS forecast
+      |FROM agg a JOIN fin f ON a.user_id = f.user_id
+      |ORDER BY a.user_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e25_holt_trend"     -> e25,
     "e24_attribution"    -> e24,
     "e23_incr_rollup"    -> e23,
     "e22_ema_smooth"     -> e22,
@@ -931,6 +1007,7 @@ object EventsQueries extends QueryPack {
     "e17_trailing_window" -> e17)
 
   override def oracle: Map[String, String] = Map(
+    "e25_holt_trend"     -> e25Sql,
     "e24_attribution"    -> e24Sql,
     "e23_incr_rollup"    -> e23Sql,
     "e22_ema_smooth"     -> e22Sql,

@@ -693,7 +693,61 @@ object MoreRelationalQueries extends QueryPack {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** q28 — 2-D skyline (Pareto frontier): the parts no other part
+    * beats on BOTH "cheapest observed sale" (min unit-price cents,
+    * lower better) and "demand" (total quantity sold, higher better)
+    * — the multi-objective shortlist query (best-value surface) that
+    * a dominance filter answers where top-k by one score can't.
+    * Dominance is strict-in-one: equal (price, qty) pairs co-exist on
+    * the frontier.
+    *
+    * Scale: the classic sort-based 2-D skyline keeps a row iff its
+    * qty strictly beats the running max over all rows before it in
+    * (price asc, qty desc) order — but a single ordered scan is a
+    * one-reducer funnel. This plan distributes it via
+    * [[graft.operators.OffsetWindow.prefixMaxExcl]]: price-range
+    * buckets give per-bucket local windows plus a broadcast
+    * one-row-per-bucket offset frame (two fully parallel passes, the
+    * q20/t14 shape). Identical (price, qty) pairs collapse first so
+    * the exclusive prefix max can't drop a tied twin, and survivors
+    * re-expand through a broadcast semi-join — frontier output is
+    * tiny by construction. Both metrics are exact integers (decimal
+    * sums, cents), so dominance never compares floats. */
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables(s, dir, "lineitem")
+      .groupBy(col("l_partkey").as("part"))
+      .agg(sum(dec(col("l_quantity"))).cast("long").as("qty"),
+        min(dec(col("l_extendedprice")) * 100).cast("long").as("price_cents"))
+    val pairs = parts.groupBy(col("price_cents"), col("qty"))
+      .agg(count(lit(1)).as("n"))
+    val sky = graft.operators.OffsetWindow
+      .prefixMaxExcl(pairs, Nil,
+        bucket = expr("price_cents div 100000"),
+        order = Seq(col("price_cents"), col("qty").desc),
+        value = col("qty"), out = "pm")
+      .filter(col("pm").isNull || col("qty") > col("pm"))
+      .select(col("price_cents"), col("qty"))
+    parts.join(broadcast(sky), Seq("price_cents", "qty"))
+      .select(col("part"), col("price_cents"), col("qty"))
+      .orderBy(col("price_cents"), col("qty"), col("part"))
+  }
+
+  private val q28Sql =
+    """WITH p AS (
+      |  SELECT l_partkey AS part,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS qty,
+      |    CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+      |      AS price_cents
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT part, price_cents, qty FROM p a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM p b
+      |  WHERE b.price_cents <= a.price_cents AND b.qty >= a.qty
+      |    AND (b.price_cents < a.price_cents OR b.qty > a.qty))
+      |ORDER BY price_cents, qty, part""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_skyline"         -> q28,
     "q22_approx_quantile" -> q22,
     "q23_kmv_distinct"    -> q23,
     "q24_rank_functions"  -> q24,
@@ -714,6 +768,7 @@ object MoreRelationalQueries extends QueryPack {
     "q21_bloom_prefilter" -> q21)
 
   override def oracle: Map[String, String] = Map(
+    "q28_skyline"      -> q28Sql,
     "q10_full_outer"   -> q10Sql,
     "q11_cube"         -> q11Sql,
     "q12_stats"        -> q12Sql,

@@ -1070,7 +1070,87 @@ object TextQueries extends QueryPack {
       |GROUP BY tg.source
       |ORDER BY tg.source""".stripMargin
 
+  /** t21 — BM25 retrieval scoring: rank the corpus against a fixed
+    * query-term set with Okapi BM25 (k1 = 1.2, b = 0.75) and return
+    * the top 20 documents — the lexical-retrieval half of a RAG /
+    * data-curation stack (t15's TF-IDF profiles sources; BM25 answers
+    * queries). The IDF keeps t15's LOG-FREE convention: the classic
+    * `ln((N-df+0.5)/(df+0.5))` is monotone in its argument, so
+    * ranking by the raw ratio is rank-equivalent and `log` (not
+    * correctly rounded across libms) never enters the plan. The
+    * per-document score sums per-term contributions in TERM ORDER via
+    * an ordered left fold (float recipe 15: Spark `aggregate(slice..)`
+    * seeded by the first element ≡ DuckDB `list_reduce`), so the
+    * double result is bit-identical in both engines.
+    *
+    * Scale: tf over the query terms is a corpus scan with a
+    * `term IN (...)` pushdown filter before any shuffle; df and the
+    * doc-length stats are partial+final aggs; both stat frames are
+    * tiny (|Q| rows, 1 row) and broadcast. The final top-20 is
+    * `TakeOrderedAndProject` (per-partition heaps, q3's shape) — no
+    * global sort, no unpartitioned window. */
+  private def t21(s: SparkSession, dir: String): DataFrame = {
+    val qTerms = Seq("spark", "window", "join", "stream")
+    val d = docs(s, dir)
+      .select(col("doc_id"), words.as("w"))
+      .withColumn("dl", size(col("w")).cast("long"))
+    val stats = d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+    val tf = d.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .filter(col("term").isin(qTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("tot_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      .withColumn("sterm",
+        col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("n_terms"),
+        expr("transform(array_sort(collect_list(struct(term, sterm))), " +
+          "x -> x.sterm)").as("ss"))
+      .withColumn("score", round(expr(
+        "aggregate(slice(ss, 2, size(ss) - 1), ss[0], (acc, x) -> acc + x)"), 6))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), col("dl"), col("n_terms"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  private val t21Sql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      |  FROM documents),
+      |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_dl FROM d),
+      |tf AS (
+      |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+      |    SELECT doc_id, dl, unnest(w) AS term FROM d) t
+      |  WHERE term IN ('spark', 'window', 'join', 'stream')
+      |  GROUP BY doc_id, dl, term),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.dl, tf.term,
+      |    ((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+      |      * (tf * CAST(2.2 AS DOUBLE))
+      |      / (tf + 1.2 * (0.25 + 0.75 * (dl / (CAST(tot_dl AS DOUBLE) / n_docs))))
+      |      AS sterm
+      |  FROM tf JOIN dfreq USING (term), stats),
+      |folded AS (
+      |  SELECT doc_id, dl, COUNT(*) AS n_terms,
+      |    ROUND(list_reduce(list(sterm ORDER BY term),
+      |                      (acc, x) -> acc + x), 6) AS score
+      |  FROM scored GROUP BY doc_id, dl)
+      |SELECT doc_id, dl, n_terms, score
+      |FROM folded
+      |ORDER BY score DESC, doc_id
+      |LIMIT 20""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t21_bm25"           -> t21,
     "t20_decontam_apply" -> t20,
     "t19_effective_tokens" -> t19,
     "t18_novelty"        -> t18,
@@ -1093,6 +1173,7 @@ object TextQueries extends QueryPack {
     "t12_mix_weights" -> t12)
 
   override def oracle: Map[String, String] = Map(
+    "t21_bm25"           -> t21Sql,
     "t20_decontam_apply" -> t20Sql,
     "t19_effective_tokens" -> t19Sql,
     "t18_novelty"        -> t18Sql,
