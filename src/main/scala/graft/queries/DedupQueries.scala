@@ -899,7 +899,86 @@ object DedupQueries extends QueryPack {
       |FROM dirs WHERE containment >= 0.9
       |ORDER BY contained, container""".stripMargin
 
+  /** d19 — leakage-safe train/val/test split: documents are assigned
+    * to splits by the HASH OF THEIR NEAR-DUP CLUSTER (d6's connected
+    * components over the shared d3 LSH pair graph), never by their
+    * own id — so a document and its near-duplicates land in the SAME
+    * split by construction, and val/test can't leak paraphrases of
+    * training docs (the split-contamination failure mode that
+    * inflates eval numbers). The 52-bit md5 prefix of the cluster
+    * representative (q23's exactly-double-representable recipe) mods
+    * into 8/1/1 train/val/test. Emits per-split doc, cluster and
+    * token masses plus `leaked_pairs` — the count of near-dup pairs
+    * whose endpoints landed in different splits, provably 0 here and
+    * the audit a pipeline would run when the split key ever changes.
+    *
+    * Scale: clusters come from the shared pointer-jumping CC
+    * artifact; assignment is one hash expression per row; the audit
+    * join is pair-frame-sized, keyed on doc id both ends. */
+  private def d19(s: SparkSession, dir: String): DataFrame = {
+    val edges = DocArtifacts(s, dir).pairs3.select(col("d1"), col("d2"))
+    val assigned = graft.operators.ConnectedComponents
+      .run(edges, "d1", "d2", docs(s, dir), "doc_id")
+      .select(col("id").as("doc_id"), col("cluster"))
+      .withColumn("h",
+        expr("conv(substring(md5(cast(cluster as string)), 1, 13), 16, 10)")
+          .cast("long") % 10)
+      .withColumn("split",
+        when(col("h") < 8, "train").when(col("h") === 8, "val")
+          .otherwise("test"))
+    val toks = docs(s, dir).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val leaked = edges
+      .join(assigned.select(col("doc_id").as("d1"), col("split").as("sp1")), "d1")
+      .join(assigned.select(col("doc_id").as("d2"), col("split").as("sp2")), "d2")
+      .agg(sum(when(col("sp1") =!= col("sp2"), 1L).otherwise(0L))
+        .as("leaked_pairs"))
+    assigned.join(toks, "doc_id")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster")).as("n_clusters"),
+        sum(col("n_tokens")).as("tokens"))
+      .crossJoin(broadcast(leaked))
+      .select(col("split"), col("n_docs"), col("n_clusters"), col("tokens"),
+        col("leaked_pairs"))
+      .orderBy(col("split"))
+  }
+
+  private val d19Sql =
+    s"""WITH RECURSIVE pairs AS (SELECT d1, d2 FROM ($d3Sql)),
+      |sym AS (SELECT d1 AS s, d2 AS t FROM pairs
+      |        UNION ALL SELECT d2, d1 FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT reach.id, sym.t FROM reach JOIN sym ON reach.r = sym.s),
+      |cl AS (SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id),
+      |assigned AS (
+      |  SELECT doc_id, cluster,
+      |    CASE WHEN h < 8 THEN 'train' WHEN h = 8 THEN 'val' ELSE 'test' END
+      |      AS split
+      |  FROM (SELECT doc_id, cluster,
+      |          CAST(('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 13))
+      |               AS BIGINT) % 10 AS h
+      |        FROM cl) t),
+      |toks AS (SELECT doc_id,
+      |           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |         FROM documents),
+      |leaked AS (
+      |  SELECT CAST(SUM(CASE WHEN a1.split <> a2.split THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS leaked_pairs
+      |  FROM pairs JOIN assigned a1 ON pairs.d1 = a1.doc_id
+      |             JOIN assigned a2 ON pairs.d2 = a2.doc_id)
+      |SELECT a.split, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT a.cluster) AS n_clusters,
+      |  CAST(SUM(t.n_tokens) AS BIGINT) AS tokens,
+      |  leaked.leaked_pairs
+      |FROM assigned a JOIN toks t ON a.doc_id = t.doc_id, leaked
+      |GROUP BY a.split, leaked.leaked_pairs
+      |ORDER BY a.split""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d19_leakage_split" -> d19,
     "d15_containment"   -> d15,
     "d14_edit_dedup"    -> d14,
     "d10_incremental_lsh" -> d10,
@@ -918,6 +997,7 @@ object DedupQueries extends QueryPack {
     "c1_curation_report" -> c1)
 
   override def oracle: Map[String, String] = Map(
+    "d19_leakage_split" -> d19Sql,
     "d15_containment"   -> d15Sql,
     "d14_edit_dedup"    -> d14Sql,
     "d10_incremental_lsh" -> d10Sql,

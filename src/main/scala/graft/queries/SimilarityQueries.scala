@@ -1047,7 +1047,115 @@ object SimilarityQueries extends QueryPack {
       |FROM ncs LEFT JOIN hits ON ncs.nprobe = hits.nprobe
       |ORDER BY ncs.nprobe""".stripMargin
 
+  /** s14 — int8 SCALAR quantization + distance-fidelity audit: the
+    * other production vector-compression scheme next to PQ (s10).
+    * Per-dimension corpus (min, width) train the quantizer; every
+    * vector encodes to 64 one-byte codes (floor((x-mn)/wd·256),
+    * clamped — 4× smaller than float32, 256 distinct levels) and
+    * decodes to the level midpoint. The audit is s12's shape against
+    * the FULL corpus: exact vs reconstructed squared-L2 top-1 per
+    * query, candidate-count, and the mean absolute distance error
+    * folded in candidate-id order (recipe 17).
+    *
+    * Determinism: codes use floor (exact both engines — never
+    * round-half on a float), and every quantize/dequantize step is
+    * the same IEEE expression sequence in both engines, so codes and
+    * reconstructions are bit-identical, not approximately equal.
+    *
+    * Scale: the dim-stats frame is 64 rows (partial+final min/max
+    * agg) and broadcasts; encode/decode is map-side per-row array
+    * math; the brute audit join is the AUDIT shape (runs on a query
+    * sample at 100 TB — serving goes through IVF, s2/s11). */
+  private def s14(s: SparkSession, dir: String): DataFrame = {
+    val base = evec(s, dir)
+    val dims = base
+      .select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x")).as("mn"), (max(col("x")) - min(col("x"))).as("wd"))
+    val stats = dims.groupBy()
+      .agg(expr("transform(array_sort(collect_list(struct(pos, mn))), s -> s.mn)")
+          .as("mns"),
+        expr("transform(array_sort(collect_list(struct(pos, wd))), s -> s.wd)")
+          .as("wds"))
+    val rz = base.crossJoin(broadcast(stats))
+      .withColumn("code", expr(
+        "zip_with(zip_with(v, mns, (x, mn) -> x - mn), wds, (d, wd) -> " +
+          "IF(wd = 0D, 0D, least(floor((d / wd) * 256.0D), 255.0D)))"))
+      .withColumn("r", expr(
+        "zip_with(zip_with(code, mns, (c, mn) -> named_struct('c', c, 'mn', mn)), " +
+          "wds, (t, wd) -> t.mn + ((t.c + 0.5D) / 256.0D) * wd)"))
+      .withColumn("rr", dot(col("r"), col("r")))
+      .select(col("vec_id"), col("v"), col("vv"), col("r"), col("rr"))
+    val qs = rz.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("vv").as("qq"))
+    val scored = qs.join(rz, col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("cid_"),
+        (col("qq") - lit(2.0) * dot(col("qv"), col("v")) + col("vv")).as("exact"),
+        (col("qq") - lit(2.0) * dot(col("qv"), col("r")) + col("rr")).as("sq"))
+    val sortedErrFold = expr(
+      "aggregate(transform(array_sort(collect_list(struct(cid_, e))), " +
+        "x -> x.e), cast(0.0 AS double), (acc, x) -> acc + x)")
+    scored
+      .withColumn("e", abs(col("sq") - col("exact")))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_cands"),
+        min(struct(col("exact"), col("cid_"))).as("te"),
+        min(struct(col("sq"), col("cid_"))).as("ta"),
+        sortedErrFold.as("errsum"))
+      .select(col("qid"), col("n_cands"),
+        col("te.cid_").as("top1_exact"), col("ta.cid_").as("top1_sq"),
+        (col("te.cid_") === col("ta.cid_")).as("agree"),
+        round(col("errsum") / col("n_cands"), 6).as("mean_abs_err"))
+      .orderBy(col("qid"))
+  }
+
+  private val s14Sql =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |ev AS (SELECT vec_id, v,
+      |       list_sum(list_transform(v, x -> x*x)) AS vv FROM e),
+      |dims AS (
+      |  SELECT pos, MIN(x) AS mn, MAX(x) - MIN(x) AS wd
+      |  FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e) u
+      |  GROUP BY pos),
+      |stats AS (
+      |  SELECT list(mn ORDER BY pos) AS mns, list(wd ORDER BY pos) AS wds
+      |  FROM dims),
+      |qz AS (
+      |  SELECT ev.vec_id, ev.v, ev.vv, s.mns, s.wds,
+      |    list_transform(list_zip(list_zip(ev.v, s.mns), s.wds),
+      |      x -> CASE WHEN x[2] = 0 THEN CAST(0 AS DOUBLE)
+      |                ELSE least(floor(((x[1][1] - x[1][2]) / x[2]) * CAST(256 AS DOUBLE)),
+      |                           CAST(255 AS DOUBLE)) END) AS code
+      |  FROM ev CROSS JOIN stats s),
+      |rz AS (
+      |  SELECT vec_id, v, vv,
+      |    list_transform(list_zip(list_zip(code, mns), wds),
+      |      x -> x[1][2] + ((x[1][1] + 0.5) / CAST(256 AS DOUBLE)) * x[2]) AS r
+      |  FROM qz),
+      |rz2 AS (
+      |  SELECT vec_id, v, vv, r,
+      |    list_sum(list_transform(r, x -> x*x)) AS rr FROM rz),
+      |scored AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS cid_,
+      |    q.vv - 2*list_sum(list_transform(list_zip(q.v, c.v), x -> x[1]*x[2])) + c.vv AS exact,
+      |    q.vv - 2*list_sum(list_transform(list_zip(q.v, c.r), x -> x[1]*x[2])) + c.rr AS sq
+      |  FROM rz2 q JOIN rz2 c ON q.vec_id <> c.vec_id
+      |  WHERE q.vec_id < 10),
+      |agg AS (
+      |  SELECT qid, COUNT(*) AS n_cands,
+      |    MIN(struct_pack(d := exact, i := cid_)) AS te,
+      |    MIN(struct_pack(d := sq, i := cid_)) AS ta,
+      |    list_sum(list(ABS(sq - exact) ORDER BY cid_)) AS errsum
+      |  FROM scored GROUP BY qid)
+      |SELECT qid, n_cands, te.i AS top1_exact, ta.i AS top1_sq,
+      |  te.i = ta.i AS agree,
+      |  ROUND(errsum / n_cands, 6) AS mean_abs_err
+      |FROM agg ORDER BY qid""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s14_int8_quant" -> s14,
     "s13_nprobe_sweep" -> s13,
     "s12_adc_audit" -> s12,
     "s11_ivfpq_ann" -> s11,
@@ -1065,6 +1173,7 @@ object SimilarityQueries extends QueryPack {
     "d8_semdedup"  -> d8)
 
   override def oracle: Map[String, String] = Map(
+    "s14_int8_quant" -> s14Sql,
     "s13_nprobe_sweep" -> s13Sql,
     "s12_adc_audit" -> s12Sql,
     "s11_ivfpq_ann" -> s11Sql,
