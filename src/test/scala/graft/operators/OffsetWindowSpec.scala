@@ -44,6 +44,22 @@ class OffsetWindowSpec extends SparkSpec {
       .filter(col("exp") =!= col("got")).count() shouldBe 0L
   }
 
+  test("prefixMaxExcl equals the naive exclusive running max") {
+    val naive = rows.withColumn("exp",
+      max(col("w")).over(Window.partitionBy(col("g"))
+        .orderBy(col("x"), col("id"))
+        .rowsBetween(Window.unboundedPreceding, -1)))
+    val got = OffsetWindow.prefixMaxExcl(rows, Seq("g"),
+      bucket = floor(col("x") / 100).cast("long"),
+      order = Seq(col("x"), col("id")), value = col("w"), out = "got")
+    naive.select("g", "id", "exp")
+      .join(got.select("g", "id", "got"), Seq("g", "id"))
+      .filter(!(col("exp") <=> col("got"))).count() shouldBe 0L
+    // per-group first row has no predecessor -> null
+    got.filter(col("got").isNull).count() shouldBe
+      rows.select("g").distinct().count()
+  }
+
   test("empty group list = one global ordering, still gate-clean") {
     val naive = rows.withColumn("exp",
       row_number().over(Window.orderBy(col("x"), col("id"))).cast("long"))

@@ -247,6 +247,112 @@ class NewFamilyInvariantsSpec extends SparkSpec {
       .collect() shouldBe s10Before
   }
 
+  test("q28: skyline equals the brute-force dominance filter") {
+    val parts = Tables(spark, sfDir, "lineitem")
+      .groupBy(col("l_partkey").as("part"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("long").as("qty"),
+        min((col("l_extendedprice").cast("decimal(18,2)") * 100)).cast("long")
+          .as("price_cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = parts.filter { case (_, q, p) =>
+      !parts.exists { case (_, q2, p2) =>
+        p2 <= p && q2 >= q && (p2 < p || q2 > q)
+      }
+    }.map(_._1).toSet
+    val got = SparkEntry.queries("q28_skyline")(spark, sfDir)
+      .select(col("part")).collect().map(_.getLong(0)).toSet
+    got shouldBe brute
+    got should not be empty
+    // no frontier member dominates another (mutual non-dominance)
+    val fr = parts.filter(t => got(t._1))
+    fr.foreach { case (id, q, p) =>
+      fr.count { case (_, q2, p2) =>
+        p2 <= p && q2 >= q && (p2 < p || q2 > q) } shouldBe 0
+    }
+  }
+
+  test("e25: Holt fold matches the imperative two-state model exactly") {
+    import graft.QueryPack.dec
+    val daily = Tables(spark, sfDir, "events")
+      .groupBy(col("user_id"),
+        date_trunc("DAY", col("ts")).cast("date").as("day"))
+      .agg((round(sum(dec(col("value"))), 2) * 100).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2)))
+    val model = daily.groupBy(_._1).map { case (uid, rows) =>
+      val cs = rows.sortBy(_._2).map(_._3.toDouble)
+      var l = cs.head; var b = 0.0
+      cs.tail.foreach { x =>
+        val lp = 0.5 * x + 0.5 * (l + b)
+        b = 0.5 * (lp - l) + 0.5 * b
+        l = lp
+      }
+      uid -> ((l / 100, b / 100))
+    }
+    val got = SparkEntry.queries("e25_holt_trend")(spark, sfDir).collect()
+    got should not be empty
+    got.foreach { r =>
+      val (ml, mb) = model(r.getLong(0))
+      withClue(s"user ${r.getLong(0)}") {
+        r.getDouble(3) shouldBe (BigDecimal(ml)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        r.getDouble(4) shouldBe (BigDecimal(mb)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+  }
+
+  test("s14: reconstruction error per dim is within half a quantization step") {
+    // |x - dequant(quant(x))| <= wd/512 by construction (midpoint
+    // decode of a 256-level uniform grid); distances then satisfy the
+    // audit's error column >= 0. The gated query only exposes distance
+    // error; recompute the per-dim bound here.
+    val e = Tables(spark, sfDir, "embeddings")
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val dims = e.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x")).as("mn"), (max(col("x")) - min(col("x"))).as("wd"))
+    val worstStep = dims.agg(max(col("wd"))).collect()(0).getDouble(0) / 512
+    val recon = e.crossJoin(broadcast(dims.groupBy()
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mn))), s -> s.mn)").as("mns"),
+          expr("transform(array_sort(collect_list(struct(pos, wd))), s -> s.wd)").as("wds"))))
+      .withColumn("err", expr(
+        "aggregate(zip_with(zip_with(v, mns, (x, mn) -> x - mn), wds, (d, wd) -> " +
+          "abs(d - (IF(wd = 0D, 0D, least(floor((d / wd) * 256.0D), 255.0D)) + 0.5D) / 256.0D * wd)), " +
+          "cast(0.0 as double), (acc, x) -> greatest(acc, x))"))
+      .agg(max(col("err"))).collect()(0).getDouble(0)
+    recon should be <= worstStep + 1e-9
+    val rows = SparkEntry.queries("s14_int8_quant")(spark, sfDir).collect()
+    rows should not be empty
+    all(rows.map(_.getDouble(5))) should be >= 0.0
+  }
+
+  test("d19: splits partition the corpus and never separate a near-dup pair") {
+    val rows = SparkEntry.queries("d19_leakage_split")(spark, sfDir).collect()
+    rows should not be empty
+    all(rows.map(_.getLong(4))) shouldBe 0L // leaked_pairs
+    val totalDocs = rows.map(_.getLong(1)).sum
+    totalDocs shouldBe Tables(spark, sfDir, "documents").count()
+    // token mass conservation vs a direct count
+    val totalToks = rows.map(_.getLong(3)).sum
+    val direct = Tables(spark, sfDir, "documents")
+      .agg(sum(expr("size(split(text, ' '))").cast("long")))
+      .collect()(0).getLong(0)
+    totalToks shouldBe direct
+  }
+
+  test("t21: bm25 results carry matched terms and descend in score") {
+    val rows = SparkEntry.queries("t21_bm25")(spark, sfDir).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      withClue(s"doc ${r.getLong(0)}") {
+        r.getLong(2) should (be >= 1L and be <= 4L) // n_terms
+        r.getDouble(3) should be > 0.0
+      }
+    }
+    val scores = rows.map(_.getDouble(3))
+    scores.zip(scores.tail).foreach { case (a, b) => a should be >= b }
+  }
+
   test("t17: overlap scores are valid Jaccards over ordered source pairs") {
     val rows = SparkEntry.queries("t17_source_overlap")(spark, sfDir).collect()
     rows should not be empty
