@@ -89,11 +89,18 @@ object OffsetWindow {
     val base = if (groupCols.nonEmpty) t else t.withColumn("__g", lit(0))
     val maxima = base.groupBy((gnames :+ "__bk").map(col): _*)
       .agg(max(col("__v")).as("__m"))
-    val wOff = Window.partitionBy(gnames.map(col): _*).orderBy(col("__bk"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = maxima
-      .withColumn("__off", max(col("__m")).over(wOff))
-      .select((gnames :+ "__bk" :+ "__off").map(col): _*)
+    // exclusive prefix max over the per-bucket maxima via a TRIANGULAR
+    // self-join, not a window: with empty groupCols the literal
+    // partition key constant-folds away and the plan would carry an
+    // unpartitioned window (the exact funnel PlanAuditSpec outlaws).
+    // The frame is one row per bucket — metadata-scale at any SF — so
+    // the B² pair join is trivia and needs no ordering machinery.
+    val joinCond = (gnames.map(n => col("a." + n) === col("b." + n)) :+
+      (col("b.__bk") < col("a.__bk"))).reduce(_ && _)
+    val offsets = maxima.as("a")
+      .join(broadcast(maxima.as("b")), joinCond, "left")
+      .groupBy((gnames :+ "__bk").map(n => col("a." + n)): _*)
+      .agg(max(col("b.__m")).as("__off"))
     val wLoc = Window.partitionBy((gnames :+ "__bk").map(col): _*)
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)

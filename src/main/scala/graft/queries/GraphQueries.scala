@@ -31,30 +31,97 @@ import org.apache.spark.sql.functions._
   */
 object GraphQueries extends QueryPack {
 
+  /** Shared graph index artifacts, keyed by (session, dir) — the
+    * DocArtifacts/PqArtifacts lifecycle applied to the derived
+    * graphs: the bipartite customer↔supplier edge frame (+ degrees)
+    * feeds BOTH g1 and g3, and g2's part co-occurrence edges and
+    * degree-ordered orientation are its own train-once index. In
+    * production these are bucketed edge TABLES (CorpusLayout) written
+    * once per corpus snapshot; here they are persisted + eagerly
+    * materialized frames with an explicit release hook. */
+  private object GraphArtifacts {
+    final case class Arts(deg: DataFrame, edgesDeg: DataFrame,
+        partDeg: DataFrame, oriented: DataFrame)
+    private val reg =
+      scala.collection.mutable.Map.empty[(SparkSession, String), Arts]
+
+    def apply(s: SparkSession, dir: String): Arts = synchronized {
+      reg.getOrElseUpdate((s, dir), build(s, dir))
+    }
+
+    def release(s: SparkSession, dir: String): Unit = synchronized {
+      reg.remove((s, dir)).foreach { a =>
+        Seq(a.deg, a.edgesDeg, a.partDeg, a.oriented)
+          .foreach(_.unpersist(blocking = false))
+      }
+    }
+
+    private def persistEager(df: DataFrame): DataFrame = {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    }
+
+    private def build(s: SparkSession, dir: String): Arts = {
+      // bipartite graph (g1/g3): the edge/degree subtree (fact join +
+      // distinct) is STATIC across rounds — persist both or every
+      // round recomputes it (measured: 7.8 s → ~2 s at sf0.1). Eager
+      // count ends the cache-fill race (the jaccardPairsLeased
+      // convention).
+      val pairs = Tables(s, dir, "orders")
+        .join(Tables(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = pairs
+        .select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+        .unionAll(pairs.select((col("sk") * 2 + 1).as("src"),
+          (col("ck") * 2).as("dst")))
+      val deg = persistEager(
+        edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+      val edgesDeg = persistEager(edges.join(deg, "src"))
+
+      // part co-occurrence graph (g2): edges + degree-ordered
+      // orientation — lexicographic (deg, id), an explicit
+      // comparison, never a packed scalar key (deg·C + id breaks
+      // silently once ids reach C at larger corpora)
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val pEdges = persistEager(li.as("a").hint("shuffle_hash")
+        .join(li.as("b").hint("shuffle_hash"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+        .distinct())
+      val partDeg = persistEager(pEdges.select(col("u").as("node"))
+        .unionAll(pEdges.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg")))
+      val withU = pEdges
+        .join(partDeg.select(col("node").as("u"), col("deg").as("du")), "u")
+        .join(partDeg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      val uFirst = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      val oriented = persistEager(withU.select(
+        when(uFirst, col("u")).otherwise(col("v")).as("src"),
+        when(uFirst, col("v")).otherwise(col("u")).as("dst")))
+      pEdges.unpersist(blocking = false) // folded into oriented
+      Arts(deg, edgesDeg, partDeg, oriented)
+    }
+  }
+
+  /** Release the shared graph artifacts for one corpus dir (the
+    * [[DedupQueries.releaseArtifacts]] lifecycle). */
+  def releaseArtifacts(s: SparkSession, dir: String): Unit =
+    GraphArtifacts.release(s, dir)
+
   /** g1 — 3-round damped PageRank (d = 0.85) over the undirected
     * customer↔supplier graph. Node ids are disambiguated by parity
     * (customer k → 2k, supplier k → 2k+1). Undirected ⇒ no dangling
     * nodes (every node has out-degree ≥ 1), so no dangling-mass
     * redistribution term is needed. */
   private def g1(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables(s, dir, "orders")
-      .join(Tables(s, dir, "lineitem"),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
-      .distinct()
-    val edges = pairs
-      .select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
-      .unionAll(pairs.select((col("sk") * 2 + 1).as("src"), (col("ck") * 2).as("dst")))
-    // the edge/degree subtree (fact join + distinct) is STATIC across
-    // rounds — persist both or every round recomputes it (measured:
-    // 7.8 s → ~2 s at sf0.1). Eager count ends the cache-fill race
-    // (the d8/jaccardPairsLeased convention).
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    deg.count()
-    val edgesDeg = edges.join(deg, "src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    edgesDeg.count()
+    val arts = GraphArtifacts(s, dir)
+    val (deg, edgesDeg) = (arts.deg, arts.edgesDeg)
     val nDf = deg.agg(count(lit(1)).as("n"))
 
     val sortedFold = expr(
@@ -139,32 +206,8 @@ object GraphQueries extends QueryPack {
     * shuffles only |E| adjacency rows + 3·|triangles| exploded
     * corners (measured 3× faster, and the gap widens with density). */
   private def g2(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val edges = li.as("a").hint("shuffle_hash")
-      .join(li.as("b").hint("shuffle_hash"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    edges.count() // eager fill: deg + both join sides read it
-    val deg = edges.select(col("u").as("node"))
-      .unionAll(edges.select(col("v").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    // total order for the orientation: lexicographic (deg, id) — an
-    // explicit comparison, never a packed scalar key (deg·C + id
-    // breaks silently once ids reach C at larger corpora)
-    val withU = edges
-      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
-      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
-    val uFirst = col("du") < col("dv") ||
-      (col("du") === col("dv") && col("u") < col("v"))
-    val oriented = withU.select(
-        when(uFirst, col("u")).otherwise(col("v")).as("src"),
-        when(uFirst, col("v")).otherwise(col("u")).as("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    oriented.count()
+    val arts = GraphArtifacts(s, dir)
+    val (deg, oriented) = (arts.partDeg, arts.oriented)
     // adjacency is node-sized WITH O(sqrt m) arrays — never broadcast
     val adj = oriented.groupBy(col("src"))
       .agg(collect_list(col("dst")).as("nbrs"))
@@ -223,20 +266,8 @@ object GraphQueries extends QueryPack {
     * the 10-row seed table, a broadcast. Nodes unreachable in 3 rounds
     * simply keep rank 0 via the left join against the full node set. */
   private def g3(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables(s, dir, "orders")
-      .join(Tables(s, dir, "lineitem"),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
-      .distinct()
-    val edges = pairs
-      .select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
-      .unionAll(pairs.select((col("sk") * 2 + 1).as("src"), (col("ck") * 2).as("dst")))
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    deg.count()
-    val edgesDeg = edges.join(deg, "src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    edgesDeg.count()
+    val arts = GraphArtifacts(s, dir)
+    val (deg, edgesDeg) = (arts.deg, arts.edgesDeg)
 
     val sortedFold = expr(
       "aggregate(transform(array_sort(collect_list(struct(src, c))), " +

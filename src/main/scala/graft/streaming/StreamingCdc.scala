@@ -20,29 +20,49 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * State: one (version, live, payload) triple per key — the
   * streaming state IS the live table; `stateTtlMs > 0` arms the
-  * usual processing-time TTL for keys gone quiet (after expiry the
-  * next change, whatever its version, re-seeds the row — document
-  * retention accordingly).
+  * usual processing-time TTL for keys gone quiet. By default expiry
+  * DROPS the key entirely, so the next change — whatever its version
+  * — re-seeds the row (retention semantics; stale redeliveries of a
+  * long-dead key are accepted). When consumers need last-writer-wins
+  * monotonicity to survive expiry, `retainVersionOnExpiry = true`
+  * keeps a version HIGH-WATER residue instead: the payload is
+  * cleared (the bulk of the state), the timeout is not re-armed, and
+  * the few-bytes (version, live) marker lives on to swallow any
+  * pre-expiry version forever — the compact watermark ledger a real
+  * CDC consumer persists beside its store.
   */
 object StreamingCdc {
 
   final case class Change(key: Long, version: Long, op: String, payload: String)
   final case class Update(key: Long, version: Long, live: Boolean, payload: String)
 
-  def upserts(changes: Dataset[Change], stateTtlMs: Long = 0): Dataset[Update] = {
+  def upserts(changes: Dataset[Change], stateTtlMs: Long = 0,
+      retainVersionOnExpiry: Boolean = false): Dataset[Update] = {
     val spark = changes.sparkSession
     import spark.implicits._
     val timeout = if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
     changes.groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append(), timeout)(advance(stateTtlMs))
+      .flatMapGroupsWithState(OutputMode.Append(), timeout)(
+        advance(stateTtlMs, retainVersionOnExpiry))
   }
 
   /** The per-key transition — surfaced for TestGroupState specs. */
-  private[streaming] def advance(stateTtlMs: Long = 0)(
+  private[streaming] def advance(stateTtlMs: Long = 0,
+      retainVersionOnExpiry: Boolean = false)(
       key: Long, batch: Iterator[Change],
       state: GroupState[(Long, Boolean, String)]): Iterator[Update] = {
-    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    if (state.hasTimedOut) {
+      if (retainVersionOnExpiry) state.getOption match {
+        case Some((v, live, _)) =>
+          // shrink to the high-water residue; no timeout re-arm — the
+          // marker is O(bytes) and outlives any retention window
+          state.update((v, live, ""))
+        case None => state.remove()
+      }
+      else state.remove()
+      return Iterator.empty
+    }
     var cur = state.getOption
     val out = Seq.newBuilder[Update]
     batch.toSeq.sortBy(_.version).foreach { c =>

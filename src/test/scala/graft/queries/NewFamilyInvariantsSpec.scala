@@ -238,13 +238,17 @@ class NewFamilyInvariantsSpec extends SparkSpec {
     // warm both registries, snapshot results
     val d3Before = SparkEntry.queries("d3_minhash_lsh")(spark, sfDir).collect()
     val s10Before = SparkEntry.queries("s10_pq_codes")(spark, sfDir).collect()
+    val g2Before = SparkEntry.queries("g2_triangles")(spark, sfDir).collect()
     DedupQueries.releaseArtifacts(spark, sfDir)
     SimilarityQueries.releaseArtifacts(spark, sfDir)
+    GraphQueries.releaseArtifacts(spark, sfDir)
     // released artifacts rebuild lazily and reproduce the same output
     SparkEntry.queries("d3_minhash_lsh")(spark, sfDir)
       .collect() shouldBe d3Before
     SparkEntry.queries("s10_pq_codes")(spark, sfDir)
       .collect() shouldBe s10Before
+    SparkEntry.queries("g2_triangles")(spark, sfDir)
+      .collect() shouldBe g2Before
   }
 
   test("q28: skyline equals the brute-force dominance filter") {

@@ -97,4 +97,32 @@ class StreamingCdcSpec extends SparkSpec {
     out.map(_.payload) shouldBe Seq("re")
     fresh.getTimeoutTimestampMs.get() shouldBe 6000L
   }
+
+  test("retainVersionOnExpiry: expiry shrinks to a high-water residue " +
+      "that keeps swallowing stale versions") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    val gone = TestGroupState.create[(Long, Boolean, String)](
+      Optional.of((10L, true, "bulky-payload")),
+      GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long], hasTimedOut = true)
+    StreamingCdc.advance(5000, retainVersionOnExpiry = true)(
+      1L, Iterator.empty, gone).toSeq shouldBe empty
+    gone.isRemoved shouldBe false
+    gone.get shouldBe ((10L, true, "")) // payload dropped, hwm kept
+
+    // a pre-expiry version is still stale against the residue...
+    val residue = TestGroupState.create[(Long, Boolean, String)](
+      Optional.of((10L, true, "")), GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long], hasTimedOut = false)
+    StreamingCdc.advance(5000, retainVersionOnExpiry = true)(1L,
+      Iterator(StreamingCdc.Change(1L, 9L, "U", "stale")), residue)
+      .toSeq shouldBe empty
+    // ...and a genuinely newer one is accepted and re-arms the TTL
+    val out = StreamingCdc.advance(5000, retainVersionOnExpiry = true)(1L,
+      Iterator(StreamingCdc.Change(1L, 11L, "U", "v11")), residue).toSeq
+    out.map(u => (u.version, u.payload)) shouldBe Seq((11L, "v11"))
+    residue.get shouldBe ((11L, true, "v11"))
+    residue.getTimeoutTimestampMs.get() shouldBe 6000L
+  }
 }
