@@ -979,7 +979,63 @@ object EventsQueries extends QueryPack {
       |FROM agg a JOIN fin f ON a.user_id = f.user_id
       |ORDER BY a.user_id""".stripMargin
 
+  /** e26 — weekday seasonal index per event type: mean daily value on
+    * each day-of-week relative to the type's overall daily mean — the
+    * seasonality profile that turns e22/e25's level-and-trend into a
+    * full classical decomposition (level + trend + season), and the
+    * input a forecaster multiplies into its one-step prediction.
+    * Index > 1 ⇒ that weekday runs hot for that event type.
+    *
+    * Determinism: both means are ratios of EXACT aggregates (decimal
+    * cent sums, day counts); the index is two IEEE divisions and one
+    * more division on identical inputs in identical order, then
+    * round(6). Day-of-week is normalized to DuckDB's 0=Sunday..6
+    * convention (Spark's `dayofweek` is 1-based).
+    *
+    * Scale: two partial+final aggs over the daily frame (one keyed
+    * by (type, dow), one by type) and a broadcast join — no windows,
+    * no skew exposure beyond the daily rollup itself. */
+  private def e26(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir, "events")
+      .groupBy(col("event_type"),
+        date_trunc("DAY", col("ts")).cast("date").as("day"))
+      .agg((round(sum(dec(col("value"))), 2) * 100).cast("long").as("c"))
+    val byDow = daily
+      .withColumn("dow", (dayofweek(col("day")) - 1).cast("long"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("sc"))
+    val tot = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nt"), sum(col("c")).as("st"))
+    byDow.join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("dow"), col("n_days"),
+        round((col("sc").cast("double") / col("n_days")) / 100, 2)
+          .as("mean_daily"),
+        round((col("sc").cast("double") / col("n_days")) /
+          (col("st").cast("double") / col("nt")), 6).as("season_index"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
+  private val e26Sql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) * 100 AS BIGINT) AS c
+      |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+      |bydow AS (
+      |  SELECT event_type, CAST(dayofweek(day) AS BIGINT) AS dow,
+      |    COUNT(*) AS n_days, CAST(SUM(c) AS BIGINT) AS sc
+      |  FROM daily GROUP BY event_type, dayofweek(day)),
+      |tot AS (
+      |  SELECT event_type, COUNT(*) AS nt, CAST(SUM(c) AS BIGINT) AS st
+      |  FROM daily GROUP BY event_type)
+      |SELECT b.event_type, b.dow, b.n_days,
+      |  ROUND((CAST(sc AS DOUBLE) / n_days) / 100, 2) AS mean_daily,
+      |  ROUND((CAST(sc AS DOUBLE) / n_days) / (CAST(st AS DOUBLE) / nt), 6)
+      |    AS season_index
+      |FROM bydow b JOIN tot t ON b.event_type = t.event_type
+      |ORDER BY b.event_type, b.dow""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e26_seasonal_index" -> e26,
     "e25_holt_trend"     -> e25,
     "e24_attribution"    -> e24,
     "e23_incr_rollup"    -> e23,
@@ -1007,6 +1063,7 @@ object EventsQueries extends QueryPack {
     "e17_trailing_window" -> e17)
 
   override def oracle: Map[String, String] = Map(
+    "e26_seasonal_index" -> e26Sql,
     "e25_holt_trend"     -> e25Sql,
     "e24_attribution"    -> e24Sql,
     "e23_incr_rollup"    -> e23Sql,

@@ -746,7 +746,71 @@ object MoreRelationalQueries extends QueryPack {
       |    AND (b.price_cents < a.price_cents OR b.qty > a.qty))
       |ORDER BY price_cents, qty, part""".stripMargin
 
+  /** q29 — k-anonymity audit (k = 5) with a generalization ladder:
+    * the privacy-governance pass a training-data release runs over
+    * quasi-identifiers. Equivalence classes are
+    * (nation, segment, account-balance bucket); any class smaller
+    * than k re-identifies its members. The ladder re-audits under
+    * coarser balance buckets ($1000 → $5000 → dropped) and reports
+    * how the violating-class mass shrinks — the generalization-vs-
+    * utility table an anonymization step is tuned on.
+    *
+    * Scale: one scan per ladder level, partial+final count aggs on
+    * the quasi-identifier key; class frames are
+    * cardinality-of-the-identifier-space sized, never row-sized; the
+    * 1-row total broadcasts. All integer math (exact cents). */
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val c = Tables(s, dir, "customer")
+      .withColumn("cents", (dec(col("c_acctbal")) * 100).cast("long"))
+    val tot = c.agg(count(lit(1)).as("n_rows"))
+    def level(lv: Int, bucket: Column): DataFrame =
+      c.withColumn("bk", bucket)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bk"))
+        .agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_classes"),
+          sum(when(col("sz") < k, 1L).otherwise(0L)).as("n_violating"),
+          sum(when(col("sz") < k, col("sz")).otherwise(0L)).as("rows_at_risk"))
+        .select(lit(lv.toLong).as("level"), col("n_classes"),
+          col("n_violating"), col("rows_at_risk"))
+    level(0, expr("cents div 100000"))
+      .unionByName(level(1, expr("cents div 500000")))
+      .unionByName(level(2, lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("level"), col("n_classes"), col("n_violating"),
+        col("rows_at_risk"),
+        round(col("rows_at_risk").cast("double") / col("n_rows"), 6)
+          .as("risk_rate"))
+      .orderBy(col("level"))
+  }
+
+  private val q29Sql = {
+    def level(lv: Int, bucket: String) =
+      s"""SELECT CAST($lv AS BIGINT) AS level, COUNT(*) AS n_classes,
+        |  CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating,
+        |  CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+        |    AS rows_at_risk
+        |FROM (SELECT COUNT(*) AS sz FROM c
+        |      GROUP BY c_nationkey, c_mktsegment, $bucket) g$lv""".stripMargin
+    s"""WITH c AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM customer),
+      |tot AS (SELECT COUNT(*) AS n_rows FROM c),
+      |lv AS (
+      |${level(0, "cents // 100000")}
+      |UNION ALL
+      |${level(1, "cents // 500000")}
+      |UNION ALL
+      |${level(2, "CAST(0 AS BIGINT)")})
+      |SELECT level, n_classes, n_violating, rows_at_risk,
+      |  ROUND(CAST(rows_at_risk AS DOUBLE) / n_rows, 6) AS risk_rate
+      |FROM lv, tot ORDER BY level""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_k_anonymity"     -> q29,
     "q28_skyline"         -> q28,
     "q22_approx_quantile" -> q22,
     "q23_kmv_distinct"    -> q23,
@@ -768,6 +832,7 @@ object MoreRelationalQueries extends QueryPack {
     "q21_bloom_prefilter" -> q21)
 
   override def oracle: Map[String, String] = Map(
+    "q29_k_anonymity"  -> q29Sql,
     "q28_skyline"      -> q28Sql,
     "q10_full_outer"   -> q10Sql,
     "q11_cube"         -> q11Sql,

@@ -1154,7 +1154,60 @@ object SimilarityQueries extends QueryPack {
       |  ROUND(errsum / n_cands, 6) AS mean_abs_err
       |FROM agg ORDER BY qid""".stripMargin
 
+  /** s16 — hard-negative mining for contrastive training: for each
+    * query vector, the k = 3 MOST similar corpus vectors carrying a
+    * DIFFERENT label — the "hard negatives" a retrieval/embedding
+    * trainer pairs against its positives (random negatives are too
+    * easy; the near-misses carry the gradient). s1's exact-cosine
+    * shape plus a label inequation in the join condition.
+    *
+    * Scale: at corpus scale the exact pass becomes the s2/s11 ANN
+    * path with a post-filter on label — the query here IS the audit
+    * shape (query sample × corpus), and the label filter drops into
+    * the join condition so Catalyst evaluates it before the rank
+    * window sees a row. */
+  private def s16(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+      .select(col("vec_id"), col("label"), col("v"), col("norm"))
+    val q = e.filter(col("vec_id") < 10)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    q.as("a").join(e.as("b"),
+        col("a.vec_id") =!= col("b.vec_id") &&
+          col("a.label") =!= col("b.label"))
+      .select(col("a.vec_id").as("qid"), col("a.label").as("qlabel"),
+        col("b.vec_id").as("nid"), col("b.label").as("nlabel"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6)
+          .as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("rk").cast("long").as("rk"), col("qlabel"),
+        col("nid"), col("nlabel"), col("cos"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  private val s16Sql =
+    """WITH e AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, label, v,
+      |      sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),
+      |scored AS (
+      |  SELECT a.vec_id AS qid, a.label AS qlabel, b.vec_id AS nid,
+      |    b.label AS nlabel,
+      |    ROUND(list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]))
+      |          / (a.norm * b.norm), 6) AS cos
+      |  FROM n a JOIN n b ON a.vec_id <> b.vec_id AND a.label <> b.label
+      |  WHERE a.vec_id < 10),
+      |ranked AS (
+      |  SELECT qid, qlabel, nid, nlabel, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+      |  FROM scored)
+      |SELECT qid, CAST(rk AS BIGINT) AS rk, qlabel, nid, nlabel, cos
+      |FROM ranked WHERE rk <= 3
+      |ORDER BY qid, rk""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s16_hard_negatives" -> s16,
     "s14_int8_quant" -> s14,
     "s13_nprobe_sweep" -> s13,
     "s12_adc_audit" -> s12,
@@ -1173,6 +1226,7 @@ object SimilarityQueries extends QueryPack {
     "d8_semdedup"  -> d8)
 
   override def oracle: Map[String, String] = Map(
+    "s16_hard_negatives" -> s16Sql,
     "s14_int8_quant" -> s14Sql,
     "s13_nprobe_sweep" -> s13Sql,
     "s12_adc_audit" -> s12Sql,
