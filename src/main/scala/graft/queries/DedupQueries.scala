@@ -977,7 +977,45 @@ object DedupQueries extends QueryPack {
       |GROUP BY a.split, leaked.leaked_pairs
       |ORDER BY a.split""".stripMargin
 
+  /** d20 — INCREMENTAL near-dup clusters: yesterday's cluster labels
+    * + today's delta edges → today's labels WITHOUT re-walking the
+    * old pair graph. The old solution folds in as STAR edges (member
+    * → its cluster representative — connectivity-preserving and
+    * depth-1 by construction), unioned with the delta-touching pairs
+    * (d10's delta-vs-index flow one level up); hash-min CC over that
+    * union provably equals the full recompute — the oracle IS d6's
+    * full-graph recursive CTE, so the incremental-maintenance law
+    * `CC(star(CC(G)) ∪ Δ) = CC(G ∪ Δ)` is hash-gated, not asserted.
+    *
+    * Scale: this is how a daily crawl maintains corpus-wide dup
+    * clusters — the star frame is node-sized (not edge-sized), the
+    * delta frame is today-sized, and the merged CC converges in ~2
+    * rounds because star chains are already depth 1. The full
+    * recompute exists only as the audit. */
+  private def d20(s: SparkSession, dir: String): DataFrame = {
+    val all = docs(s, dir)
+    val pairsAll = DocArtifacts(s, dir).pairs3.select(col("d1"), col("d2"))
+    val isNew = (c: org.apache.spark.sql.Column) => c % 10 === 3
+    val oldLabels = graft.operators.ConnectedComponents
+      .run(pairsAll.filter(!isNew(col("d1")) && !isNew(col("d2"))),
+        "d1", "d2", all.filter(!isNew(col("doc_id"))), "doc_id")
+      .select(col("id"), col("cluster"))
+    val starEdges = oldLabels.filter(col("id") =!= col("cluster"))
+      .select(col("id").as("d1"), col("cluster").as("d2"))
+    val deltaEdges = pairsAll.filter(isNew(col("d1")) || isNew(col("d2")))
+    graft.operators.ConnectedComponents
+      .run(starEdges.unionByName(deltaEdges), "d1", "d2", all, "doc_id")
+      .select(col("id").as("doc_id"), col("cluster"),
+        (col("cluster") === col("id")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  // the incremental path must land EXACTLY on the full recompute —
+  // d6's full-graph oracle, verbatim
+  private def d20Sql = d6Sql
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d20_incr_clusters" -> d20,
     "d19_leakage_split" -> d19,
     "d15_containment"   -> d15,
     "d14_edit_dedup"    -> d14,
@@ -997,6 +1035,7 @@ object DedupQueries extends QueryPack {
     "c1_curation_report" -> c1)
 
   override def oracle: Map[String, String] = Map(
+    "d20_incr_clusters" -> d20Sql,
     "d19_leakage_split" -> d19Sql,
     "d15_containment"   -> d15Sql,
     "d14_edit_dedup"    -> d14Sql,

@@ -1034,7 +1034,102 @@ object EventsQueries extends QueryPack {
       |FROM bydow b JOIN tot t ON b.event_type = t.event_type
       |ORDER BY b.event_type, b.dow""".stripMargin
 
+  /** e27 — CUSUM drift detection over each user's daily spend: the
+    * classic one-sided cumulative-sum chart S₀ = 0,
+    * Sₜ = max(0, Sₜ₋₁ + (xₜ − μ − κ)) with slack κ = σ/2 and alarm
+    * threshold h = 3σ — the sequential changepoint detector a
+    * training-data pipeline runs per SOURCE to catch distribution
+    * drift before it poisons a mixture (here per user over `events`,
+    * the same shape). Emits per user the final S, the maximum S, the
+    * number of alarm days and the first alarm day.
+    *
+    * Determinism: μ and σ derive from EXACT integer cent sums (Σx,
+    * Σx² — order-free), so both engines see identical doubles; the
+    * recurrence folds in day order with identical IEEE ops per step.
+    * The fold state is a struct, so the oracle uses e25's
+    * recursive-CTE mirror (DuckDB v1.0.0 list_reduce struct
+    * accumulators are untrustworthy — see e25).
+    *
+    * Scale: one partial+final daily agg, one exact per-user stats
+    * agg, then a per-user fold over own days — grouped, bounded, no
+    * funnel; alarms at 100 TB are per-source, thousands of groups. */
+  private def e27(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir, "events")
+      .groupBy(col("user_id"),
+        date_trunc("DAY", col("ts")).cast("date").as("day"))
+      .agg((round(sum(dec(col("value"))), 2) * 100).cast("long").as("c"))
+    daily.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("c")).as("sx"), sum(col("c") * col("c")).as("sq"),
+        expr("array_sort(collect_list(struct(day, c)))").as("xs"))
+      .withColumn("mu", col("sx").cast("double") / col("n_days"))
+      .withColumn("sigma", sqrt(greatest(lit(0.0),
+        col("sq").cast("double") / col("n_days") - col("mu") * col("mu"))))
+      .withColumn("st", expr(
+        // state: (s = current CUSUM, mx = running max, na = alarm days,
+        // fd = first alarm day or null); kappa = sigma/2, h = 3*sigma
+        "aggregate(xs, named_struct(" +
+          "'s', 0D, 'mx', 0D, 'na', 0L, 'fd', cast(null as date)), " +
+          "(acc, x) -> named_struct(" +
+          "'s', greatest(0D, acc.s + (cast(x.c as double) - mu - sigma / 2D)), " +
+          "'mx', greatest(acc.mx, greatest(0D, acc.s + (cast(x.c as double) - mu - sigma / 2D))), " +
+          "'na', acc.na + IF(greatest(0D, acc.s + (cast(x.c as double) - mu - sigma / 2D)) > 3D * sigma, 1L, 0L), " +
+          "'fd', coalesce(acc.fd, IF(greatest(0D, acc.s + (cast(x.c as double) - mu - sigma / 2D)) > 3D * sigma, x.day, cast(null as date)))))"))
+      .select(col("user_id"), col("n_days"),
+        round(col("mu") / 100, 4).as("mean_daily"),
+        round(col("st.s") / 100, 4).as("cusum_final"),
+        round(col("st.mx") / 100, 4).as("cusum_max"),
+        col("st.na").as("alarm_days"), col("st.fd").as("first_alarm"))
+      .orderBy(col("user_id"))
+  }
+
+  private val e27Sql =
+    """WITH RECURSIVE daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) * 100 AS BIGINT) AS c
+      |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+      |stats AS (
+      |  SELECT user_id, COUNT(*) AS n_days,
+      |    CAST(SUM(c) AS DOUBLE) / COUNT(*) AS mu,
+      |    sqrt(greatest(CAST(0 AS DOUBLE),
+      |         CAST(SUM(c * c) AS DOUBLE) / COUNT(*) -
+      |         (CAST(SUM(c) AS DOUBLE) / COUNT(*)) *
+      |         (CAST(SUM(c) AS DOUBLE) / COUNT(*)))) AS sigma
+      |  FROM daily GROUP BY user_id),
+      |ranked AS (
+      |  SELECT user_id, day, c,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS i,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n
+      |  FROM daily),
+      |st(user_id, i, n, s, mx, na, fd) AS (
+      |  SELECT r.user_id, 0, r.n, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+      |    CAST(0 AS BIGINT), CAST(NULL AS DATE)
+      |  FROM ranked r WHERE r.i = 1
+      |  UNION ALL
+      |  SELECT r.user_id, r.i, r.n,
+      |    greatest(CAST(0 AS DOUBLE),
+      |             st.s + (CAST(r.c AS DOUBLE) - t.mu - t.sigma / 2)),
+      |    greatest(st.mx, greatest(CAST(0 AS DOUBLE),
+      |             st.s + (CAST(r.c AS DOUBLE) - t.mu - t.sigma / 2))),
+      |    st.na + CASE WHEN greatest(CAST(0 AS DOUBLE),
+      |             st.s + (CAST(r.c AS DOUBLE) - t.mu - t.sigma / 2))
+      |             > 3 * t.sigma THEN 1 ELSE 0 END,
+      |    COALESCE(st.fd, CASE WHEN greatest(CAST(0 AS DOUBLE),
+      |             st.s + (CAST(r.c AS DOUBLE) - t.mu - t.sigma / 2))
+      |             > 3 * t.sigma THEN r.day ELSE NULL END)
+      |  FROM st JOIN ranked r ON r.user_id = st.user_id AND r.i = st.i + 1
+      |          JOIN stats t ON t.user_id = st.user_id),
+      |fin AS (SELECT user_id, s, mx, na, fd FROM st WHERE i = n)
+      |SELECT t.user_id, t.n_days,
+      |  ROUND(t.mu / 100, 4) AS mean_daily,
+      |  ROUND(f.s / 100, 4) AS cusum_final,
+      |  ROUND(f.mx / 100, 4) AS cusum_max,
+      |  f.na AS alarm_days, f.fd AS first_alarm
+      |FROM stats t JOIN fin f ON t.user_id = f.user_id
+      |ORDER BY t.user_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e27_cusum_drift"    -> e27,
     "e26_seasonal_index" -> e26,
     "e25_holt_trend"     -> e25,
     "e24_attribution"    -> e24,
@@ -1063,6 +1158,7 @@ object EventsQueries extends QueryPack {
     "e17_trailing_window" -> e17)
 
   override def oracle: Map[String, String] = Map(
+    "e27_cusum_drift"    -> e27Sql,
     "e26_seasonal_index" -> e26Sql,
     "e25_holt_trend"     -> e25Sql,
     "e24_attribution"    -> e24Sql,

@@ -357,6 +357,47 @@ class NewFamilyInvariantsSpec extends SparkSpec {
     scores.zip(scores.tail).foreach { case (a, b) => a should be >= b }
   }
 
+  test("d20: incremental clusters equal the full d6 recompute row for row") {
+    val incr = SparkEntry.queries("d20_incr_clusters")(spark, sfDir)
+    val full = SparkEntry.queries("d6_dup_clusters")(spark, sfDir)
+    incr.count() should be > 0L
+    incr.except(full).count() shouldBe 0L
+    full.except(incr).count() shouldBe 0L
+  }
+
+  test("e27: CUSUM fold matches the imperative model exactly") {
+    import graft.QueryPack.dec
+    val daily = Tables(spark, sfDir, "events")
+      .groupBy(col("user_id"),
+        date_trunc("DAY", col("ts")).cast("date").as("day"))
+      .agg((round(sum(dec(col("value"))), 2) * 100).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2)))
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val model = daily.groupBy(_._1).map { case (uid, rows) =>
+      val cs = rows.sortBy(_._2).map(_._3)
+      val n = cs.length
+      val mu = cs.sum.toDouble / n
+      val sigma = math.sqrt(math.max(0.0,
+        cs.map(c => c * c).sum.toDouble / n - mu * mu))
+      var s = 0.0; var mx = 0.0; var na = 0L
+      cs.foreach { c =>
+        s = math.max(0.0, s + (c.toDouble - mu - sigma / 2))
+        mx = math.max(mx, s)
+        if (s > 3 * sigma) na += 1
+      }
+      uid -> ((r4(s / 100), r4(mx / 100), na))
+    }
+    val got = SparkEntry.queries("e27_cusum_drift")(spark, sfDir).collect()
+    got should not be empty
+    got.foreach { r =>
+      withClue(s"user ${r.getLong(0)}") {
+        (r.getDouble(3), r.getDouble(4), r.getLong(5)) shouldBe
+          model(r.getLong(0))
+      }
+    }
+  }
+
   test("t17: overlap scores are valid Jaccards over ordered source pairs") {
     val rows = SparkEntry.queries("t17_source_overlap")(spark, sfDir).collect()
     rows should not be empty
