@@ -718,16 +718,20 @@ object MoreRelationalQueries extends QueryPack {
       .groupBy(col("l_partkey").as("part"))
       .agg(sum(dec(col("l_quantity"))).cast("long").as("qty"),
         min(dec(col("l_extendedprice")) * 100).cast("long").as("price_cents"))
+    // the member ids ride INSIDE the collapsed (price, qty) pair frame,
+    // so the fact aggregate is scanned once and the frontier re-expands
+    // with a per-row explode instead of a join back (ties stay bounded:
+    // identical-metric parts are rare by construction of the metrics)
     val pairs = parts.groupBy(col("price_cents"), col("qty"))
-      .agg(count(lit(1)).as("n"))
-    val sky = graft.operators.OffsetWindow
+      .agg(collect_list(col("part")).as("members"))
+    graft.operators.OffsetWindow
       .prefixMaxExcl(pairs, Nil,
         bucket = expr("price_cents div 100000"),
         order = Seq(col("price_cents"), col("qty").desc),
         value = col("qty"), out = "pm")
       .filter(col("pm").isNull || col("qty") > col("pm"))
-      .select(col("price_cents"), col("qty"))
-    parts.join(broadcast(sky), Seq("price_cents", "qty"))
+      .select(col("price_cents"), col("qty"),
+        explode(col("members")).as("part"))
       .select(col("part"), col("price_cents"), col("qty"))
       .orderBy(col("price_cents"), col("qty"), col("part"))
   }
@@ -809,7 +813,96 @@ object MoreRelationalQueries extends QueryPack {
       |FROM lv, tot ORDER BY level""".stripMargin
   }
 
+  /** q30 — data-quality expectation suite: the contract checks an
+    * ingestion gate runs before a table version is published
+    * (null-rate ceilings, domain ranges, key uniqueness, referential
+    * integrity) — one row per expectation with its observed metric
+    * and verdict. The table-stakes governance operator next to q29's
+    * anonymity audit; at 100 TB this IS the publish gate, so every
+    * check must stay one scan or one keyed anti-join.
+    *
+    * Scale: the lineitem checks share a single scan (one aggregate
+    * computes all counters); uniqueness is a two-level agg on the
+    * key; the orphan check is a broadcast-able anti-join keyed on
+    * custkey. Exact integer/decimal math throughout — `rate` is the
+    * only double, derived from exact counts. */
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val base = li.agg(
+      count(lit(1)).as("n_rows"), // in-plan rate denominator, no action
+      sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("null_ok"),
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+        .otherwise(0L)).as("qty_range"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+        .otherwise(0L)).as("disc_range"),
+      sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("null_ship"))
+    val dupKeys = li.groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .agg(coalesce(sum(col("n")), lit(0L)).as("dup_rows"))
+    val orphans = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("orphan_orders"))
+    def check(name: String, failing: Column): Column =
+      struct(lit(name).as("expectation"), failing.as("failing_rows"))
+    base.crossJoin(broadcast(dupKeys)).crossJoin(broadcast(orphans))
+      .select(col("n_rows"), explode(array(
+        check("lineitem.l_orderkey not null", col("null_ok")),
+        check("lineitem.l_quantity in [1, 50]", col("qty_range")),
+        check("lineitem.l_discount in [0, 0.1]", col("disc_range")),
+        check("lineitem.l_shipdate not null", col("null_ship")),
+        check("lineitem (l_orderkey, l_linenumber) unique", col("dup_rows")),
+        check("orders.o_custkey references customer", col("orphan_orders"))))
+        .as("c"))
+      .select(col("c.expectation").as("expectation"),
+        col("c.failing_rows").as("failing_rows"),
+        round(col("c.failing_rows").cast("double") / col("n_rows"), 6)
+          .as("rate"),
+        (col("c.failing_rows") === 0).as("pass"))
+      .orderBy(col("expectation"))
+  }
+
+  private val q30Sql =
+    """WITH tot AS (SELECT COUNT(*) AS n FROM lineitem),
+      |base AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS null_ok,
+      |    CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS qty_range,
+      |    CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS disc_range,
+      |    CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS null_ship
+      |  FROM lineitem),
+      |dup AS (
+      |  SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS dup_rows FROM (
+      |    SELECT COUNT(*) AS n FROM lineitem
+      |    GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1) g),
+      |orph AS (
+      |  SELECT COUNT(*) AS orphan_orders FROM orders
+      |  WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)),
+      |checks AS (
+      |  SELECT 'lineitem.l_orderkey not null' AS expectation,
+      |         null_ok AS failing_rows FROM base
+      |  UNION ALL
+      |  SELECT 'lineitem.l_quantity in [1, 50]', qty_range FROM base
+      |  UNION ALL
+      |  SELECT 'lineitem.l_discount in [0, 0.1]', disc_range FROM base
+      |  UNION ALL
+      |  SELECT 'lineitem.l_shipdate not null', null_ship FROM base
+      |  UNION ALL
+      |  SELECT 'lineitem (l_orderkey, l_linenumber) unique', dup_rows FROM dup
+      |  UNION ALL
+      |  SELECT 'orders.o_custkey references customer', orphan_orders FROM orph)
+      |SELECT expectation, failing_rows,
+      |  ROUND(CAST(failing_rows AS DOUBLE) / tot.n, 6) AS rate,
+      |  failing_rows = 0 AS pass
+      |FROM checks, tot
+      |ORDER BY expectation""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_data_quality"    -> q30,
     "q29_k_anonymity"     -> q29,
     "q28_skyline"         -> q28,
     "q22_approx_quantile" -> q22,
@@ -832,6 +925,7 @@ object MoreRelationalQueries extends QueryPack {
     "q21_bloom_prefilter" -> q21)
 
   override def oracle: Map[String, String] = Map(
+    "q30_data_quality" -> q30Sql,
     "q29_k_anonymity"  -> q29Sql,
     "q28_skyline"      -> q28Sql,
     "q10_full_outer"   -> q10Sql,
