@@ -901,7 +901,54 @@ object MoreRelationalQueries extends QueryPack {
       |FROM checks, tot
       |ORDER BY expectation""".stripMargin
 
+  /** q31 — incremental JOIN maintenance: the delta-join identity
+    * `Δ(A ⋈ B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB` applied to the
+    * orders⋈lineitem revenue view, with both inputs split at a date
+    * cut into (history, delta). The maintained view — history-join
+    * plus the three delta terms — is hash-gated against the oracle's
+    * FULL recompute, so the IVM law is checked, not asserted. The
+    * third leg of the library's incremental-maintenance story next to
+    * e23 (aggregates) and d20 (clusters).
+    *
+    * Scale: this is the nightly view-refresh flow — the three delta
+    * terms are delta-sized on at least one side (ΔA⋈ΔB on both);
+    * only A₀⋈ΔB and ΔA⋈B₀ touch history, and each is a keyed join
+    * a delta-side broadcast or shuffle-hash handles. The full re-join
+    * exists only as the audit. */
+  private def q31(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1997-06-01").cast("timestamp")
+    val o = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"),
+        (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .as("rev"))
+    val (o0, dO) = (o.filter(col("o_orderdate") < cut),
+      o.filter(col("o_orderdate") >= cut))
+    val (l0, dL) = (li.filter(col("l_shipdate") < cut),
+      li.filter(col("l_shipdate") >= cut))
+    def part(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, col("o_orderkey") === col("l_orderkey"))
+    val view = part(o0, l0)
+      .unionByName(part(dO, l0))
+      .unionByName(part(o0, dL))
+      .unionByName(part(dO, dL))
+    view.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_items"), money(sum(col("rev"))).as("revenue"))
+      .filter(col("n_items") >= 20)
+      .orderBy(col("o_custkey"))
+  }
+
+  private val q31Sql =
+    """SELECT o_custkey, COUNT(*) AS n_items,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |       (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_custkey HAVING COUNT(*) >= 20
+      |ORDER BY o_custkey""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_incr_join"       -> q31,
     "q30_data_quality"    -> q30,
     "q29_k_anonymity"     -> q29,
     "q28_skyline"         -> q28,
@@ -925,6 +972,7 @@ object MoreRelationalQueries extends QueryPack {
     "q21_bloom_prefilter" -> q21)
 
   override def oracle: Map[String, String] = Map(
+    "q31_incr_join"    -> q31Sql,
     "q30_data_quality" -> q30Sql,
     "q29_k_anonymity"  -> q29Sql,
     "q28_skyline"      -> q28Sql,
