@@ -947,7 +947,156 @@ object MoreRelationalQueries extends QueryPack {
       |GROUP BY o_custkey HAVING COUNT(*) >= 20
       |ORDER BY o_custkey""".stripMargin
 
+  /** q32 — distributed OLS by sufficient statistics: per returnflag,
+    * regress extendedprice on quantity from the five exact sums
+    * (n, Σx, Σy, Σxy, Σx², Σy²) accumulated as DECIMALs in ONE
+    * partial+final hash agg, then solved in closed form on the
+    * per-group row. This is the canonical distributed-ML shape —
+    * the model fit is an O(1)-state aggregation, never an iterative
+    * pass; the same pattern carries any GLM-by-Newton step or a
+    * full Gram matrix (X'X) for multivariate ridge.
+    *
+    * Float determinism: all sums are exact decimal arithmetic
+    * (recipe #14 — derive floats from exact sums); the closed-form
+    * algebra then runs the same IEEE double ops on both engines.
+    * DECIMAL(38,4) product sums hold to ~10^33 — petabyte-scale
+    * group sizes before precision management is needed.
+    *
+    * Scale: one scan, map-side combine, 3 group rows out; nothing
+    * else moves. */
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_returnflag").as("rf"),
+        dec(col("l_quantity")).as("x"), dec(col("l_extendedprice")).as("y"))
+    val stats = li.groupBy(col("rf")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val n = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val covN  = n * d("sxy") - d("sx") * d("sy")
+    val varxN = n * d("sxx") - d("sx") * d("sx")
+    val varyN = n * d("syy") - d("sy") * d("sy")
+    stats
+      .withColumn("slope", covN / varxN)
+      .withColumn("intercept", (d("sy") - col("slope") * d("sx")) / n)
+      .withColumn("r2", covN * covN / (varxN * varyN))
+      .select(col("rf"), col("n"), round(col("slope"), 6).as("slope"),
+        round(col("intercept"), 6).as("intercept"),
+        round(col("r2"), 6).as("r2"))
+      .orderBy(col("rf"))
+  }
+
+  private val q32Sql =
+    """WITH stats AS (
+      |  SELECT l_returnflag AS rf, COUNT(*) AS n,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+      |  FROM lineitem GROUP BY 1),
+      |solved AS (
+      |  SELECT rf, n,
+      |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+      |    CAST(sx AS DOUBLE) AS dsx, CAST(sy AS DOUBLE) AS dsy,
+      |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) AS covn,
+      |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS varxn,
+      |    (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS varyn
+      |  FROM stats)
+      |SELECT rf, n, ROUND(slope, 6) AS slope,
+      |  ROUND((dsy - slope * dsx) / CAST(n AS DOUBLE), 6) AS intercept,
+      |  ROUND(covn * covn / (varxn * varyn), 6) AS r2
+      |FROM solved ORDER BY rf""".stripMargin
+
+  /** q33 — zone-map data-skipping audit: quantifies what parquet
+    * row-group min/max pruning buys a range predicate under two
+    * physical layouts of the SAME table. `raw` zones chunk the
+    * natural insertion order (l_orderkey ranges — shipdate is
+    * uncorrelated with it, so every zone's [min,max] straddles the
+    * predicate and nothing prunes); `sorted` zones chunk the
+    * shipdate-sorted order (zones tile the time axis disjointly, so
+    * only the zones overlapping the quarter are read). Output: one
+    * row per layout with zones/rows scanned vs matched, and `sound`
+    * — no matching row lives in a pruned zone — which makes the
+    * pruning LAW hash-gated, not asserted. This is the CorpusLayout
+    * write-side story measured from the read side: sort your layout
+    * or your zone maps are decorative.
+    *
+    * Scale: zone stats are one partial+final agg per layout. The
+    * sorted rank comes from [[graft.operators.OffsetWindow]] (month
+    * buckets + broadcast offsets, two fully parallel passes) — never
+    * an unpartitioned window. At 100 TB "zones" are parquet row
+    * groups/files and the stats live in the footer; the audit's
+    * economics are identical. */
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    val zoneRows = 4096L
+    val lo = lit("1995-01-01").cast("timestamp")
+    val hi = lit("1995-03-31").cast("timestamp")
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+    val matched = col("l_shipdate").between(lo, hi)
+
+    def audit(zoned: DataFrame, layout: String): DataFrame = {
+      val z = zoned.groupBy(col("zone")).agg(
+        count(lit(1)).as("n"),
+        sum(when(matched, 1L).otherwise(0L)).as("n_match"),
+        min(col("l_shipdate")).as("mn"), max(col("l_shipdate")).as("mx"))
+      val scanned = col("mn") <= hi && col("mx") >= lo
+      z.agg(
+        count(lit(1)).as("zones_total"),
+        sum(when(scanned, 1L).otherwise(0L)).as("zones_scanned"),
+        sum(when(scanned, col("n")).otherwise(0L)).as("rows_scanned"),
+        sum(col("n_match")).as("rows_matched"),
+        max(when(!scanned && col("n_match") > 0, 1L).otherwise(0L)).as("leaks"))
+        .select(lit(layout).as("layout"), col("zones_total"),
+          col("zones_scanned"), col("rows_scanned"), col("rows_matched"),
+          (col("leaks") === 0L).as("sound"))
+    }
+
+    // ~4 lines per order → 1024-order chunks hold ~zoneRows rows, so
+    // the two layouts differ only in ORDER, not zone granularity
+    val raw = audit(li.withColumn("zone", floor(col("l_orderkey") / (zoneRows / 4))), "raw")
+    val ranked = graft.operators.OffsetWindow.globalRank(
+      li, Nil, date_trunc("month", col("l_shipdate")),
+      Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")), "rk")
+    val sorted = audit(ranked.withColumn("zone", floor((col("rk") - 1) / zoneRows)), "sorted")
+    raw.unionByName(sorted).orderBy(col("layout"))
+  }
+
+  private val q33Sql =
+    """WITH li AS (SELECT l_orderkey, l_linenumber, l_shipdate,
+      |    l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-03-31' AS m
+      |  FROM lineitem),
+      |zr AS (SELECT l_orderkey // 1024 AS zone, COUNT(*) AS n,
+      |    SUM(CASE WHEN m THEN 1 ELSE 0 END) AS n_match,
+      |    MIN(l_shipdate) AS mn, MAX(l_shipdate) AS mx FROM li GROUP BY 1),
+      |zs AS (SELECT (ROW_NUMBER() OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber) - 1) // 4096 AS zone,
+      |    m, l_shipdate FROM li),
+      |zsg AS (SELECT zone, COUNT(*) AS n, SUM(CASE WHEN m THEN 1 ELSE 0 END) AS n_match,
+      |    MIN(l_shipdate) AS mn, MAX(l_shipdate) AS mx FROM zs GROUP BY 1),
+      |a AS (
+      |  SELECT 'raw' AS layout, CAST(COUNT(*) AS BIGINT) AS zones_total,
+      |    CAST(SUM(CASE WHEN mn <= TIMESTAMP '1995-03-31' AND mx >= TIMESTAMP '1995-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS zones_scanned,
+      |    CAST(SUM(CASE WHEN mn <= TIMESTAMP '1995-03-31' AND mx >= TIMESTAMP '1995-01-01' THEN n ELSE 0 END) AS BIGINT) AS rows_scanned,
+      |    CAST(SUM(n_match) AS BIGINT) AS rows_matched,
+      |    MAX(CASE WHEN NOT (mn <= TIMESTAMP '1995-03-31' AND mx >= TIMESTAMP '1995-01-01') AND n_match > 0 THEN 1 ELSE 0 END) = 0 AS sound
+      |  FROM zr
+      |  UNION ALL
+      |  SELECT 'sorted', CAST(COUNT(*) AS BIGINT),
+      |    CAST(SUM(CASE WHEN mn <= TIMESTAMP '1995-03-31' AND mx >= TIMESTAMP '1995-01-01' THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(SUM(CASE WHEN mn <= TIMESTAMP '1995-03-31' AND mx >= TIMESTAMP '1995-01-01' THEN n ELSE 0 END) AS BIGINT),
+      |    CAST(SUM(n_match) AS BIGINT),
+      |    MAX(CASE WHEN NOT (mn <= TIMESTAMP '1995-03-31' AND mx >= TIMESTAMP '1995-01-01') AND n_match > 0 THEN 1 ELSE 0 END) = 0
+      |  FROM zsg)
+      |SELECT * FROM a ORDER BY layout""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_zonemap_skip"    -> q33,
+    "q32_linreg"          -> q32,
     "q31_incr_join"       -> q31,
     "q30_data_quality"    -> q30,
     "q29_k_anonymity"     -> q29,
@@ -972,6 +1121,8 @@ object MoreRelationalQueries extends QueryPack {
     "q21_bloom_prefilter" -> q21)
 
   override def oracle: Map[String, String] = Map(
+    "q33_zonemap_skip" -> q33Sql,
+    "q32_linreg"       -> q32Sql,
     "q31_incr_join"    -> q31Sql,
     "q30_data_quality" -> q30Sql,
     "q29_k_anonymity"  -> q29Sql,
