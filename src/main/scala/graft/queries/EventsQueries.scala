@@ -1128,7 +1128,69 @@ object EventsQueries extends QueryPack {
       |FROM stats t JOIN fin f ON t.user_id = f.user_id
       |ORDER BY t.user_id""".stripMargin
 
+  /** e28 — sequence-pattern matching (MATCH_RECOGNIZE-lite): each
+    * user's event history becomes an ordered single-char journey
+    * string (v/c/p/s/e), and per-journey regexes count behavioral
+    * motifs — here `v[^pe]*p` (a view converting to purchase with no
+    * error or earlier purchase between) and `v[^pe]*e` (a view
+    * journey aborted by an error). Output is the (conversions,
+    * aborts) → user-count distribution. Regex-over-journeys is the
+    * general form of e14's fixed 3-stage funnel: any ordered motif
+    * with exclusions is one pattern string, no new plan.
+    *
+    * The journey build stays inside whole-stage codegen: each event
+    * becomes `zero-padded(tsu) ++ zero-padded(event_id) ++ code`, so
+    * `array_sort` (lexicographic = chronological, event_id
+    * tie-break) + `array_join` + one `regexp_replace` strip yields
+    * the ordered code string with NO per-element lambda (the
+    * interpreted-HOF pitfall). Patterns exclude their terminators in
+    * the character class, so greedy/lazy and RE2/Java semantics
+    * coincide — both engines count identical non-overlapping
+    * matches.
+    *
+    * Scale: one shuffle (groupBy user, map-side combined
+    * collect_list); journey length is bounded by per-user activity;
+    * the regex runs once per user, codegen'd. The distribution agg
+    * is a second tiny shuffle on (n_conv, n_abort). */
+  private def e28(s: SparkSession, dir: String): DataFrame = {
+    val codes = typedLit(Map("view" -> "v", "click" -> "c",
+      "purchase" -> "p", "signup" -> "s", "error" -> "e"))
+    val seqs = ev(s, dir)
+      .select(col("user_id"), format_string("%019d%019d%s",
+        unix_micros(col("ts")), col("event_id"),
+        element_at(codes, col("event_type"))).as("tok"))
+      .groupBy(col("user_id"))
+      .agg(regexp_replace(array_join(array_sort(collect_list(col("tok"))), ""),
+        "[0-9]", "").as("seq"))
+    seqs
+      .select(
+        org.apache.spark.sql.functions.size(
+          regexp_extract_all(col("seq"), lit("v[^pe]*p"), lit(0)))
+          .cast("long").as("n_conv"),
+        org.apache.spark.sql.functions.size(
+          regexp_extract_all(col("seq"), lit("v[^pe]*e"), lit(0)))
+          .cast("long").as("n_abort"))
+      .groupBy(col("n_conv"), col("n_abort"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_conv"), col("n_abort"))
+  }
+
+  private val e28Sql =
+    """WITH e AS (SELECT user_id, epoch_ns(ts)//1000 AS tsu, event_id,
+      |  CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+      |    WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' ELSE 'e' END AS code
+      |  FROM events),
+      |s AS (SELECT user_id, string_agg(code, '' ORDER BY tsu, event_id) AS seq
+      |  FROM e GROUP BY 1),
+      |x AS (SELECT
+      |  CAST(len(regexp_extract_all(seq, 'v[^pe]*p')) AS BIGINT) AS n_conv,
+      |  CAST(len(regexp_extract_all(seq, 'v[^pe]*e')) AS BIGINT) AS n_abort
+      |  FROM s)
+      |SELECT n_conv, n_abort, COUNT(*) AS n_users
+      |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e28_pattern_match"  -> e28,
     "e27_cusum_drift"    -> e27,
     "e26_seasonal_index" -> e26,
     "e25_holt_trend"     -> e25,
@@ -1158,6 +1220,7 @@ object EventsQueries extends QueryPack {
     "e17_trailing_window" -> e17)
 
   override def oracle: Map[String, String] = Map(
+    "e28_pattern_match"  -> e28Sql,
     "e27_cusum_drift"    -> e27Sql,
     "e26_seasonal_index" -> e26Sql,
     "e25_holt_trend"     -> e25Sql,

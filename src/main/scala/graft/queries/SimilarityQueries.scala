@@ -1206,7 +1206,84 @@ object SimilarityQueries extends QueryPack {
       |FROM ranked WHERE rk <= 3
       |ORDER BY qid, rk""".stripMargin
 
+  /** s17 — per-dimension embedding profile (the standardization /
+    * whitening-diagnostic pass every embedding pipeline runs before
+    * indexing or PCA): mean, std, min/max and a |z|>3 outlier count
+    * for each of the 64 dimensions, via `posexplode` → one
+    * partial+final hash agg keyed on dim. Dead dimensions (std≈0),
+    * off-center dimensions and heavy-tailed dimensions all surface
+    * here; the (mean, std) rows are exactly the statistics a
+    * downstream whitening transform broadcasts.
+    *
+    * Float determinism (recipe #14): values are scaled to exact
+    * 1e-6 fixed-point longs (`floor(x·1e6 + 0.5)` — the s7 floor
+    * convention) so Σv and Σv² are exact integer sums; mean/std then
+    * derive from identical doubles on both engines. Long Σv² holds
+    * to ~10¹⁸ — beyond 10⁹ rows per dim switch the two sums to
+    * DECIMAL(38) (the q32 route). The z-pass re-scans with the
+    * 64-row stats frame broadcast (q22's audit convention).
+    *
+    * Scale: explode ×64 then map-side combine collapses each
+    * partition to ≤64 partial rows — the shuffle ships KB; 64 final
+    * groups never skew. */
+  private def s17(s: SparkSession, dir: String): DataFrame = {
+    val fixed = emb(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"),
+        floor(col("v").cast("double") * 1e6 + 0.5).cast("long").as("f"))
+    val stats = fixed.groupBy(col("dim")).agg(
+      count(lit(1)).as("n"),
+      sum(col("f")).as("sf"),
+      sum(col("f") * col("f")).as("sff"),
+      min(col("f")).as("mnf"), max(col("f")).as("mxf"))
+    val n = col("n").cast("double")
+    val mean = col("sf").cast("double") / 1e6 / n
+    val variance = col("sff").cast("double") / 1e12 / n - mean * mean
+    val profiled = stats.select(col("dim"), col("n"),
+      mean.as("mean"), sqrt(variance).as("std"),
+      (col("mnf").cast("double") / 1e6).as("mn"),
+      (col("mxf").cast("double") / 1e6).as("mx"))
+    fixed.join(broadcast(profiled), Seq("dim"))
+      .groupBy(col("dim"), col("n"), col("mean"), col("std"),
+        col("mn"), col("mx"))
+      .agg(sum(when(
+        abs(col("f").cast("double") / 1e6 - col("mean")) > lit(3) * col("std"),
+        1L).otherwise(0L)).as("n_outlier3"))
+      .select(col("dim"), col("n"), round(col("mean"), 6).as("mean"),
+        round(col("std"), 6).as("std"), round(col("mn"), 6).as("mn"),
+        round(col("mx"), 6).as("mx"), col("n_outlier3"))
+      .orderBy(col("dim"))
+  }
+
+  private val s17Sql =
+    """WITH fixed AS (
+      |  SELECT CAST(dim AS BIGINT) AS dim,
+      |    CAST(FLOOR(CAST(v AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS f
+      |  FROM (SELECT unnest(embedding) AS v,
+      |          unnest(range(len(embedding))) AS dim FROM embeddings)),
+      |stats AS (
+      |  SELECT dim, COUNT(*) AS n, CAST(SUM(f) AS BIGINT) AS sf,
+      |    CAST(SUM(f * f) AS BIGINT) AS sff,
+      |    MIN(f) AS mnf, MAX(f) AS mxf
+      |  FROM fixed GROUP BY 1),
+      |prof AS (
+      |  SELECT dim, n,
+      |    CAST(sf AS DOUBLE) / 1e6 / CAST(n AS DOUBLE) AS mean,
+      |    SQRT(CAST(sff AS DOUBLE) / 1e12 / CAST(n AS DOUBLE)
+      |      - (CAST(sf AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))
+      |        * (CAST(sf AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))) AS std,
+      |    CAST(mnf AS DOUBLE) / 1e6 AS mn, CAST(mxf AS DOUBLE) / 1e6 AS mx
+      |  FROM stats)
+      |SELECT p.dim, p.n, ROUND(p.mean, 6) AS mean, ROUND(p.std, 6) AS std,
+      |  ROUND(p.mn, 6) AS mn, ROUND(p.mx, 6) AS mx,
+      |  CAST(SUM(CASE WHEN ABS(CAST(f.f AS DOUBLE) / 1e6 - p.mean)
+      |    > 3 * p.std THEN 1 ELSE 0 END) AS BIGINT) AS n_outlier3
+      |FROM fixed f JOIN prof p USING (dim)
+      |GROUP BY p.dim, p.n, p.mean, p.std, p.mn, p.mx
+      |ORDER BY p.dim""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s17_embed_profile" -> s17,
     "s16_hard_negatives" -> s16,
     "s14_int8_quant" -> s14,
     "s13_nprobe_sweep" -> s13,
@@ -1226,6 +1303,7 @@ object SimilarityQueries extends QueryPack {
     "d8_semdedup"  -> d8)
 
   override def oracle: Map[String, String] = Map(
+    "s17_embed_profile" -> s17Sql,
     "s16_hard_negatives" -> s16Sql,
     "s14_int8_quant" -> s14Sql,
     "s13_nprobe_sweep" -> s13Sql,
