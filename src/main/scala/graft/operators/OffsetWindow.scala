@@ -50,11 +50,18 @@ object OffsetWindow {
     val base = if (groupCols.nonEmpty) t else t.withColumn("__g", lit(0))
     val counts = base.groupBy((gnames :+ "__bk").map(col): _*)
       .agg(sum(col("__w")).as("__c"))
-    val wOff = Window.partitionBy(gnames.map(col): _*).orderBy(col("__bk"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = counts
-      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
-      .select((gnames :+ "__bk" :+ "__off").map(col): _*)
+    // exclusive prefix sum over the per-bucket counts via a TRIANGULAR
+    // self-join, not a window: with empty groupCols the literal
+    // partition key constant-folds away and the plan would carry an
+    // unpartitioned window (the exact funnel PlanAuditSpec outlaws;
+    // same treatment as prefixMaxExcl). One row per (group, bucket) —
+    // metadata-scale — so the B² pair join is trivia.
+    val joinCond = (gnames.map(n => col("a." + n) === col("b." + n)) :+
+      (col("b.__bk") < col("a.__bk"))).reduce(_ && _)
+    val offsets = counts.as("a")
+      .join(broadcast(counts.as("b")), joinCond, "left")
+      .groupBy((gnames :+ "__bk").map(n => col("a." + n)): _*)
+      .agg(coalesce(sum(col("b.__c")), lit(0L)).as("__off"))
     val wLoc = Window.partitionBy((gnames :+ "__bk").map(col): _*)
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -32,7 +32,9 @@ object LifecycleQueries extends QueryPack {
     * Scale: both merges are one full-outer join on the business key +
     * a union with closed history (see Scd2's scaladoc) — no windows,
     * no per-key loops. */
-  private def k1(s: SparkSession, dir: String): DataFrame = {
+  /** The two-snapshot SCD2 table k1 gates — shared with k3's
+    * time-travel reads. */
+  private def scdTable(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables(s, dir, "customer")
     val attrs = Seq("c_name", "c_mktsegment")
     val snap1 = cust.filter(col("c_custkey") <= 1200)
@@ -49,8 +51,11 @@ object LifecycleQueries extends QueryPack {
       .withColumn("isCurrent", lit(true))
       .limit(0)
     val v1 = Scd2.merge(empty, snap1, "c_custkey", attrs, t1)
-    val v2 = Scd2.merge(v1, snap2, "c_custkey", attrs, t2)
-    v2.select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+    Scd2.merge(v1, snap2, "c_custkey", attrs, t2)
+  }
+
+  private def k1(s: SparkSession, dir: String): DataFrame = {
+    scdTable(s, dir).select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
       col("validFrom").cast("date").as("valid_from"),
       col("validTo").cast("date").as("valid_to"),
       col("isCurrent").as("is_current"))
@@ -126,11 +131,79 @@ object LifecycleQueries extends QueryPack {
       |SELECT user_id, amt, day FROM last WHERE op <> 'D'
       |ORDER BY user_id""".stripMargin
 
+  /** k3 — time travel over the SCD2 dim: the same history table k1
+    * gates, read "as of" three instants — before the second merge,
+    * after it, and mid-history on the exact merge boundary (validFrom
+    * inclusive, validTo exclusive — the boundary row must belong to
+    * the NEW version). Emits per (as_of, segment) member counts and a
+    * key checksum, so segment membership drift across versions
+    * (SEG_MOVED exists only at t2; keys 1-300 exist only at t1) is
+    * hash-gated. This is the read side of SCD2: the fact-join form is
+    * [[graft.etl.Scd2.asOfJoin]] (gated by e9/e10's as-of machinery);
+    * here the snapshot selector itself is under the oracle.
+    *
+    * Scale: the snapshot filter is a predicate on the dim (partition
+    * the closed history by validTo year and time travel prunes to
+    * the open slice + one year); counts are one hash agg. */
+  private def k3(s: SparkSession, dir: String): DataFrame = {
+    val scd = scdTable(s, dir)
+    def snap(at: String): DataFrame = {
+      val t = to_timestamp(lit(at))
+      scd.filter(col("validFrom") <= t &&
+          (col("validTo").isNull || col("validTo") > t))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("c_custkey")).as("key_sum"))
+        .select(lit(at).as("as_of"), col("c_mktsegment"),
+          col("n_members"), col("key_sum"))
+    }
+    snap("2024-01-15 00:00:00")
+      .unionByName(snap("2024-02-01 00:00:00")) // boundary: new version wins
+      .unionByName(snap("2024-02-15 00:00:00"))
+      .orderBy(col("as_of"), col("c_mktsegment"))
+  }
+
+  /** Oracle: rebuild the version table (k1's CTE) and filter each
+    * interval per timestamp. */
+  private val k3Sql =
+    """WITH s1 AS (
+      |  SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey <= 1200),
+      |s2 AS (
+      |  SELECT c_custkey, c_name,
+      |    CASE WHEN c_custkey % 7 = 0 THEN 'SEG_MOVED' ELSE c_mktsegment END AS c_mktsegment
+      |  FROM customer WHERE c_custkey > 300),
+      |j AS (
+      |  SELECT o.c_custkey AS ok, o.c_name AS o_name, o.c_mktsegment AS o_seg,
+      |         i.c_custkey AS ik, i.c_name AS i_name, i.c_mktsegment AS i_seg
+      |  FROM s1 o FULL OUTER JOIN s2 i ON o.c_custkey = i.c_custkey),
+      |scd AS (
+      |  SELECT ok AS c_custkey, o_seg AS c_mktsegment,
+      |    TIMESTAMP '2024-01-01' AS vf, CAST(NULL AS TIMESTAMP) AS vt
+      |  FROM j WHERE ok IS NOT NULL AND ik IS NOT NULL
+      |    AND o_name = i_name AND o_seg = i_seg
+      |  UNION ALL
+      |  SELECT ok, o_seg, TIMESTAMP '2024-01-01', TIMESTAMP '2024-02-01'
+      |  FROM j WHERE ok IS NOT NULL
+      |    AND (ik IS NULL OR o_name <> i_name OR o_seg <> i_seg)
+      |  UNION ALL
+      |  SELECT ik, i_seg, TIMESTAMP '2024-02-01', NULL
+      |  FROM j WHERE ik IS NOT NULL
+      |    AND (ok IS NULL OR o_name <> i_name OR o_seg <> i_seg)),
+      |ats AS (SELECT * FROM (VALUES
+      |  (TIMESTAMP '2024-01-15'), (TIMESTAMP '2024-02-01'),
+      |  (TIMESTAMP '2024-02-15')) v(t))
+      |SELECT strftime(ats.t, '%Y-%m-%d %H:%M:%S') AS as_of, c_mktsegment,
+      |  COUNT(*) AS n_members, CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+      |FROM scd, ats WHERE vf <= ats.t AND (vt IS NULL OR vt > ats.t)
+      |GROUP BY 1, 2 ORDER BY as_of, c_mktsegment""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k3_time_travel" -> k3,
     "k1_scd2_merge" -> k1,
     "k2_cdc_apply"  -> k2)
 
   override def oracle: Map[String, String] = Map(
+    "k3_time_travel" -> k3Sql,
     "k1_scd2_merge" -> k1Sql,
     "k2_cdc_apply"  -> k2Sql)
 }

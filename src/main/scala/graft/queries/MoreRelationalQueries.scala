@@ -1094,7 +1094,94 @@ object MoreRelationalQueries extends QueryPack {
       |  FROM zsg)
       |SELECT * FROM a ORDER BY layout""".stripMargin
 
+  /** q34 — KMV sketch SET ALGEBRA: estimate |A∪B|, Jaccard and
+    * |A∩B| of two customer cohorts (custkeys ordering in 1995 vs
+    * 1996) from ONE bottom-k sketch of the union, carrying per-hash
+    * membership flags — the mergeable-sketch identity
+    * J ≈ |{bottom-k(A∪B)} ∩ A ∩ B| / k, |A∩B| ≈ J · (k−1)/u_k
+    * (Beyer et al., "On Synopses for Distinct-Value Estimation Under
+    * Multiset Operations"). Like q23, KMV is REPLAYABLE cross-engine
+    * (same md5 52-bit hashes, same bottom-k, same IEEE ratio), so
+    * the ESTIMATES are hash-gated, not just tolerance flags; exact
+    * values and a tolerance boolean ride along (q22's convention).
+    * When the union has < k distinct hashes the sketch IS the set
+    * and every estimate collapses to exact (both engines take the
+    * same branch).
+    *
+    * Scale: membership flags are one hash agg on h; the global
+    * bottom-k is `orderBy(h).limit(k)` = TakeOrderedAndProject —
+    * per-partition top-k then a k·partitions driver merge, never a
+    * global sort. Sketches this shape union/intersect across ANY
+    * number of cohorts with k rows shipped per cohort. */
+  private def q34(s: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    def cohort(yr: Int, ia: Int, ib: Int): DataFrame =
+      Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit(s"$yr-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit(s"${yr + 1}-01-01").cast("timestamp"))
+        .select(col("o_custkey")).distinct()
+        .select(conv(substring(md5(col("o_custkey").cast("string")), 1, 13),
+          16, 10).cast("long").as("h"),
+          lit(ia).as("ia"), lit(ib).as("ib"))
+    val m = cohort(1995, 1, 0).unionByName(cohort(1996, 0, 1))
+      .groupBy(col("h"))
+      .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
+    val exact = m.agg(
+      sum(col("ia")).as("na"), sum(col("ib")).as("nb"),
+      count(lit(1)).as("nu"),
+      sum(col("ia") * col("ib")).as("ni"))
+    val mins = m.orderBy(col("h")).limit(k)
+      .agg(count(lit(1)).as("kk"), max(col("h")).as("hk"),
+        sum(col("ia") * col("ib")).as("ni_k"))
+    val unionEst = when(col("kk") < k, col("kk").cast("double"))
+      .otherwise(lit((k - 1).toDouble) /
+        (col("hk").cast("double") / lit(4503599627370496.0))) // 2^52
+    val jacEst = col("ni_k").cast("double") / col("kk").cast("double")
+    exact.crossJoin(broadcast(mins))
+      .withColumn("union_est", unionEst)
+      .withColumn("jaccard_est", jacEst)
+      .select(col("na"), col("nb"), col("nu"), col("ni"),
+        round(col("ni").cast("double") / col("nu").cast("double"), 6)
+          .as("jaccard_exact"),
+        round(col("union_est"), 4).as("union_est"),
+        round(col("jaccard_est"), 6).as("jaccard_est"),
+        round(col("jaccard_est") * col("union_est"), 4).as("intersect_est"),
+        (abs(col("jaccard_est") * col("union_est") - col("ni").cast("double"))
+          <= lit(0.3) * col("ni").cast("double")).as("within_tol"))
+  }
+
+  private val q34Sql =
+    """WITH a AS (SELECT DISTINCT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'),
+      |b AS (SELECT DISTINCT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'),
+      |m AS (SELECT h, MAX(ia) AS ia, MAX(ib) AS ib FROM (
+      |    SELECT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 13)) AS BIGINT) AS h,
+      |      1 AS ia, 0 AS ib FROM a
+      |    UNION ALL
+      |    SELECT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 13)) AS BIGINT),
+      |      0, 1 FROM b) u GROUP BY h),
+      |exact AS (SELECT CAST(SUM(ia) AS BIGINT) AS na, CAST(SUM(ib) AS BIGINT) AS nb,
+      |    COUNT(*) AS nu, CAST(SUM(ia * ib) AS BIGINT) AS ni FROM m),
+      |mins AS (SELECT COUNT(*) AS kk, MAX(h) AS hk, CAST(SUM(ia * ib) AS BIGINT) AS ni_k
+      |  FROM (SELECT * FROM m ORDER BY h LIMIT 256) t),
+      |est AS (SELECT exact.*, mins.*,
+      |    CASE WHEN kk < 256 THEN CAST(kk AS DOUBLE)
+      |         ELSE CAST(255 AS DOUBLE) / (CAST(hk AS DOUBLE) / CAST(4503599627370496 AS DOUBLE))
+      |    END AS union_est,
+      |    CAST(ni_k AS DOUBLE) / CAST(kk AS DOUBLE) AS jaccard_est
+      |  FROM exact, mins)
+      |SELECT na, nb, nu, ni,
+      |  ROUND(CAST(ni AS DOUBLE) / CAST(nu AS DOUBLE), 6) AS jaccard_exact,
+      |  ROUND(union_est, 4) AS union_est,
+      |  ROUND(jaccard_est, 6) AS jaccard_est,
+      |  ROUND(jaccard_est * union_est, 4) AS intersect_est,
+      |  ABS(jaccard_est * union_est - CAST(ni AS DOUBLE))
+      |    <= CAST(0.3 AS DOUBLE) * CAST(ni AS DOUBLE) AS within_tol
+      |FROM est""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_kmv_setalgebra"  -> q34,
     "q33_zonemap_skip"    -> q33,
     "q32_linreg"          -> q32,
     "q31_incr_join"       -> q31,
@@ -1121,6 +1208,7 @@ object MoreRelationalQueries extends QueryPack {
     "q21_bloom_prefilter" -> q21)
 
   override def oracle: Map[String, String] = Map(
+    "q34_kmv_setalgebra" -> q34Sql,
     "q33_zonemap_skip" -> q33Sql,
     "q32_linreg"       -> q32Sql,
     "q31_incr_join"    -> q31Sql,

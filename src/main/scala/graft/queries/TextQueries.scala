@@ -1149,7 +1149,60 @@ object TextQueries extends QueryPack {
       |ORDER BY score DESC, doc_id
       |LIMIT 20""".stripMargin
 
+  /** t22 — context-window chunking (the RAG / pretraining document
+    * splitter): each document becomes overlapping token windows of
+    * size 64 with stride 48 (16-token overlap carries context across
+    * boundaries), emitting per chunk its index, start offset, token
+    * count and an md5 fingerprint of the reassembled text — the
+    * chunk table a retrieval index or a sequence packer (t14)
+    * consumes. Start offsets are the stride grid 0, 48, 96, … up to
+    * the last multiple covering the tail, so every token lands in
+    * ≥1 chunk and chunk boundaries are reproducible from (doc, idx)
+    * alone. All integer arithmetic — both engines compute identical
+    * grids — and the fingerprint hash-gates the chunk CONTENT, not
+    * just its shape.
+    *
+    * Scale: pure map-side explode (fan-out ×n/stride, no shuffle —
+    * the ORDER BY is gate-only); `sequence`/`slice`/`array_join`
+    * are native codegen'd array ops, no lambdas. At 100 TB this is
+    * the embarrassingly parallel stage before embedding. */
+  private def t22(s: SparkSession, dir: String): DataFrame = {
+    val (w, st) = (64, 48)
+    val toks = split(col("text"), " ")
+    val n = org.apache.spark.sql.functions.size(toks)
+    // last start = smallest stride multiple with start + w >= n
+    val lastStart = (greatest(n - w, lit(0)) + (st - 1)).divide(st)
+      .cast("int") * st
+    docs(s, dir)
+      .select(col("doc_id"), toks.as("toks"), n.as("n"),
+        posexplode(sequence(lit(0), lastStart, lit(st)))
+          .as(Seq("chunk_idx", "start_tok")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        slice(col("toks"), col("start_tok") + 1, lit(w)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        org.apache.spark.sql.functions.size(col("chunk")).cast("long")
+          .as("n_tok"),
+        md5(array_join(col("chunk"), " ")).as("fp"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  private val t22Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g AS (SELECT doc_id, toks,
+      |    ((GREATEST(len(toks) - 64, 0) + 47) // 48) * 48 AS last_start
+      |  FROM d),
+      |c AS (SELECT doc_id, toks,
+      |    unnest(range(0, last_start + 1, 48)) AS start_tok
+      |  FROM g)
+      |SELECT doc_id, CAST(start_tok // 48 AS BIGINT) AS chunk_idx,
+      |  CAST(start_tok AS BIGINT) AS start_tok,
+      |  CAST(len(list_slice(toks, start_tok + 1, start_tok + 64)) AS BIGINT) AS n_tok,
+      |  md5(array_to_string(list_slice(toks, start_tok + 1, start_tok + 64), ' ')) AS fp
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t22_chunking"       -> t22,
     "t21_bm25"           -> t21,
     "t20_decontam_apply" -> t20,
     "t19_effective_tokens" -> t19,
@@ -1173,6 +1226,7 @@ object TextQueries extends QueryPack {
     "t12_mix_weights" -> t12)
 
   override def oracle: Map[String, String] = Map(
+    "t22_chunking"       -> t22Sql,
     "t21_bm25"           -> t21Sql,
     "t20_decontam_apply" -> t20Sql,
     "t19_effective_tokens" -> t19Sql,
