@@ -201,7 +201,67 @@ object MediaQueries extends QueryPack {
       |GROUP BY 'img/' || source
       |ORDER BY kind""".stripMargin
 
+  /** m6 — content-addressable-storage dedup estimate: each payload
+    * splits into fixed 256-byte blocks, blocks dedupe by fingerprint
+    * (the backup/blob-store chunking model — fixed blocks here;
+    * content-defined boundaries would reuse t4's rolling hash), and
+    * per kind the query reports block counts, duplicate blocks and
+    * the bytes a dedup store would save. Identical blocks have
+    * identical lengths, so savings = Σ (count−1)·len per distinct
+    * fingerprint — exact, not modeled.
+    *
+    * Scale: the explode is map-side; the only shuffle is the hash
+    * agg on (kind, fingerprint) — uniformly distributed keys, no
+    * skew, partial combine collapses same-payload repeats. This is
+    * THE shape of block-level dedup at 100 TB: fingerprint, hash-
+    * partition, count. */
+  private def m6(s: SparkSession, dir: String): DataFrame = {
+    val blocks = media(s, dir)
+      .filter(length(col("bytes")) > 0)
+      .select(col("kind"), col("bytes"),
+        posexplode(sequence(lit(0),
+          ((length(col("bytes")) + 255) / 256).cast("int") - 1))
+          .as(Seq("bi", "i")))
+      .select(col("kind"),
+        col("bytes").substr(col("i") * 256 + 1, lit(256)).as("block"))
+      .select(col("kind"), md5(hex(col("block"))).as("fp"),
+        length(col("block")).cast("long").as("len"))
+    blocks.groupBy(col("kind"), col("fp"))
+      .agg(count(lit(1)).as("cnt"), max(col("len")).as("len"))
+      .groupBy(col("kind"))
+      .agg(sum(col("cnt")).as("total_blocks"),
+        count(lit(1)).as("distinct_blocks"),
+        sum(col("cnt") - 1).as("dup_blocks"),
+        sum((col("cnt") - 1) * col("len")).as("bytes_saved"))
+      .withColumn("dedup_ratio",
+        round(col("dup_blocks").cast("double") /
+          col("total_blocks").cast("double"), 6))
+      .orderBy(col("kind"))
+  }
+
+  // DuckDB substring() is VARCHAR-only: slice the hex form at doubled
+  // offsets instead — hex is per-byte, so hex(bytes[a..b]) ==
+  // hex(bytes)[2a..2b] and the fingerprints match Spark's
+  // md5(hex(binary-slice)) exactly.
+  private val m6Sql =
+    """WITH b AS (
+      |  SELECT 'img/' || source AS kind,
+      |    md5(substring(hex(encode(text)), i * 512 + 1, 512)) AS fp,
+      |    CAST(length(substring(hex(encode(text)), i * 512 + 1, 512)) // 2 AS BIGINT) AS len
+      |  FROM documents,
+      |    LATERAL unnest(range((octet_length(encode(text)) + 255) // 256)) AS u(i)
+      |  WHERE octet_length(encode(text)) > 0),
+      |g AS (SELECT kind, fp, COUNT(*) AS cnt, MAX(len) AS len
+      |  FROM b GROUP BY 1, 2)
+      |SELECT kind, CAST(SUM(cnt) AS BIGINT) AS total_blocks,
+      |  COUNT(*) AS distinct_blocks,
+      |  CAST(SUM(cnt - 1) AS BIGINT) AS dup_blocks,
+      |  CAST(SUM((cnt - 1) * len) AS BIGINT) AS bytes_saved,
+      |  ROUND(CAST(SUM(cnt - 1) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6) AS dedup_ratio
+      |FROM g GROUP BY kind ORDER BY kind""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m6_block_dedup"   -> m6,
     "m5_storage_profile" -> m5,
     "m1_media_profile" -> m1,
     "m2_frame_sample"  -> m2,
@@ -209,6 +269,7 @@ object MediaQueries extends QueryPack {
     "m4_media_clusters" -> m4)
 
   override def oracle: Map[String, String] = Map(
+    "m6_block_dedup"   -> m6Sql,
     "m5_storage_profile" -> m5Sql,
     "m1_media_profile" -> m1Sql,
     "m2_frame_sample"  -> m2Sql,

@@ -1180,7 +1180,76 @@ object MoreRelationalQueries extends QueryPack {
       |    <= CAST(0.3 AS DOUBLE) * CAST(ni AS DOUBLE) AS within_tol
       |FROM est""".stripMargin
 
+  /** q35 — snapshot diff (the dataset-versioning primitive): the
+    * same derived view — per-order item count + revenue over a
+    * half-year activity window — materialized at two window
+    * positions, then diffed by key into added / removed / changed /
+    * same, with net deltas per status. `changed` compares the EXACT
+    * decimal revenue (no float equality), and the whole
+    * status × counts × deltas table is hash-gated, so the diff law
+    * (every key lands in exactly one status, deltas reconcile) is
+    * checked, not asserted. This is how a 100 TB pipeline audits a
+    * rebuilt table against yesterday's: diff the snapshots, not the
+    * inputs.
+    *
+    * Scale: one full-outer join on the view key + a 4-group rollup.
+    * Both sides are the SAME aggregation shape, so at scale they
+    * arrive identically partitioned (or bucketed by CorpusLayout)
+    * and the join is co-located — the diff costs one pass over the
+    * larger snapshot. */
+  private def q35(s: SparkSession, dir: String): DataFrame = {
+    def view(lo: String, hi: String): DataFrame =
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit(lo).cast("timestamp") &&
+          col("l_shipdate") < lit(hi).cast("timestamp"))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec(col("l_extendedprice"))).as("rev"))
+    val v1 = view("1996-07-01", "1997-01-01")
+      .select(col("l_orderkey"), col("n_items").as("n1"), col("rev").as("r1"))
+    val v2 = view("1997-01-01", "1997-07-01")
+      .select(col("l_orderkey"), col("n_items").as("n2"), col("rev").as("r2"))
+    v1.join(v2, Seq("l_orderkey"), "full_outer")
+      .withColumn("status",
+        when(col("n1").isNull, "added")
+          .when(col("n2").isNull, "removed")
+          .when(col("n1") =!= col("n2") || col("r1") =!= col("r2"), "changed")
+          .otherwise("same"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(coalesce(col("n2"), lit(0L)) - coalesce(col("n1"), lit(0L)))
+          .as("net_items_delta"),
+        money(sum(coalesce(col("r2"), lit(0).cast("decimal(18,2)")) -
+          coalesce(col("r1"), lit(0).cast("decimal(18,2)"))))
+          .as("net_revenue_delta"))
+      .orderBy(col("status"))
+  }
+
+  private val q35Sql =
+    """WITH v1 AS (
+      |  SELECT l_orderkey, COUNT(*) AS n1,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS r1
+      |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-07-01'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01' GROUP BY 1),
+      |v2 AS (
+      |  SELECT l_orderkey, COUNT(*) AS n2,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS r2
+      |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-07-01' GROUP BY 1),
+      |d AS (
+      |  SELECT CASE WHEN n1 IS NULL THEN 'added'
+      |    WHEN n2 IS NULL THEN 'removed'
+      |    WHEN n1 <> n2 OR r1 <> r2 THEN 'changed'
+      |    ELSE 'same' END AS status, n1, n2, r1, r2
+      |  FROM v1 FULL OUTER JOIN v2 USING (l_orderkey))
+      |SELECT status, COUNT(*) AS n_orders,
+      |  CAST(SUM(COALESCE(n2, 0) - COALESCE(n1, 0)) AS BIGINT) AS net_items_delta,
+      |  CAST(ROUND(SUM(COALESCE(r2, CAST(0 AS DECIMAL(18,2)))
+      |    - COALESCE(r1, CAST(0 AS DECIMAL(18,2)))), 2) AS DOUBLE) AS net_revenue_delta
+      |FROM d GROUP BY status ORDER BY status""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_snapshot_diff"   -> q35,
     "q34_kmv_setalgebra"  -> q34,
     "q33_zonemap_skip"    -> q33,
     "q32_linreg"          -> q32,
@@ -1208,6 +1277,7 @@ object MoreRelationalQueries extends QueryPack {
     "q21_bloom_prefilter" -> q21)
 
   override def oracle: Map[String, String] = Map(
+    "q35_snapshot_diff"  -> q35Sql,
     "q34_kmv_setalgebra" -> q34Sql,
     "q33_zonemap_skip" -> q33Sql,
     "q32_linreg"       -> q32Sql,
