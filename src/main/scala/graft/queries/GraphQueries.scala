@@ -337,12 +337,76 @@ object GraphQueries extends QueryPack {
       |ORDER BY r DESC, node LIMIT 50""".stripMargin
   }
 
+  /** g4 — label-propagation communities (synchronous LPA, Raghavan
+    * et al. 2007) on the bipartite order graph: every node starts as
+    * its own label; each round a node adopts its neighbors' MODE
+    * label (tie → smallest label — the determinism that async LPA
+    * lacks), three rounds unrolled; output is the community-size
+    * distribution. Integer-only arithmetic, so the rounds are
+    * bit-replayable in any engine — the oracle unrolls the same
+    * three rounds as CTE stages.
+    *
+    * Scale: a round is one keyed join (edges ⋈ labels on src — the
+    * g1 shuffle-hash shape) + two hash aggs (label counts, then
+    * per-node argmax as a max-of-struct partial agg, never a rank
+    * window); lineage is cut per round (the ConnectedComponents
+    * localCheckpoint lesson). Rounds are O(diameter) in general;
+    * fixed at 3 here so the gate is static. */
+  private def g4(s: SparkSession, dir: String): DataFrame = {
+    val edges = GraphArtifacts(s, dir).edgesDeg.select(col("src"), col("dst"))
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to 3) {
+      labels = edges
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        // argmax by (cnt desc, lbl asc) as a struct max — partial+final
+        .groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("dst").as("node"), (-col("m.nl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels.groupBy(col("lbl")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size")).agg(count(lit(1)).as("n_communities"))
+      .orderBy(col("size"))
+  }
+
+  private val g4Sql =
+    """WITH pairs AS (
+      |  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |edges AS (
+      |  SELECT ck * 2 AS src, sk * 2 + 1 AS dst FROM pairs
+      |  UNION ALL SELECT sk * 2 + 1, ck * 2 FROM pairs),
+      |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+      |c1 AS (SELECT e.dst, l.lbl, COUNT(*) AS cnt FROM edges e
+      |  JOIN l0 l ON e.src = l.node GROUP BY 1, 2),
+      |l1 AS (SELECT dst AS node, lbl FROM (SELECT dst, lbl,
+      |    ROW_NUMBER() OVER (PARTITION BY dst ORDER BY cnt DESC, lbl ASC) AS rn
+      |  FROM c1) t WHERE rn = 1),
+      |c2 AS (SELECT e.dst, l.lbl, COUNT(*) AS cnt FROM edges e
+      |  JOIN l1 l ON e.src = l.node GROUP BY 1, 2),
+      |l2 AS (SELECT dst AS node, lbl FROM (SELECT dst, lbl,
+      |    ROW_NUMBER() OVER (PARTITION BY dst ORDER BY cnt DESC, lbl ASC) AS rn
+      |  FROM c2) t WHERE rn = 1),
+      |c3 AS (SELECT e.dst, l.lbl, COUNT(*) AS cnt FROM edges e
+      |  JOIN l2 l ON e.src = l.node GROUP BY 1, 2),
+      |l3 AS (SELECT dst AS node, lbl FROM (SELECT dst, lbl,
+      |    ROW_NUMBER() OVER (PARTITION BY dst ORDER BY cnt DESC, lbl ASC) AS rn
+      |  FROM c3) t WHERE rn = 1),
+      |comm AS (SELECT lbl, COUNT(*) AS size FROM l3 GROUP BY lbl)
+      |SELECT size, COUNT(*) AS n_communities
+      |FROM comm GROUP BY size ORDER BY size""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g4_label_prop" -> g4,
     "g1_pagerank" -> g1,
     "g2_triangles" -> g2,
     "g3_seeded_ppr" -> g3)
 
   override def oracle: Map[String, String] = Map(
+    "g4_label_prop" -> g4Sql,
     "g1_pagerank" -> g1Sql,
     "g2_triangles" -> g2Sql,
     "g3_seeded_ppr" -> g3Sql)

@@ -1282,7 +1282,110 @@ object SimilarityQueries extends QueryPack {
       |GROUP BY p.dim, p.n, p.mean, p.std, p.mn, p.mx
       |ORDER BY p.dim""".stripMargin
 
+  /** s18 — random projection (Johnson–Lindenstrauss) from 64 → 16
+    * dims with a ±1 sign matrix, plus the distortion audit that
+    * justifies it: for every sampled vector pair,
+    * ratio = ‖Px₁−Px₂‖² / (m·‖x₁−x₂‖²) must concentrate around 1
+    * (E[‖Px‖²] = m‖x‖² for Rademacher projections). The sign matrix
+    * is derived from md5 parity of (i,j) — both engines materialize
+    * the IDENTICAL matrix from the rule, nothing is stored — and all
+    * sums run on exact 1e-6 fixed-point longs (the s17 convention),
+    * so projections, distances and ratios are bit-replayable and the
+    * ratios themselves are hash-gated. Sampled ids are a
+    * data-independent 1/16 hash slice; pairs are the slice's
+    * self-join.
+    *
+    * Scale: the projection is a map-side matmul — explode ×64, join
+    * the BROADCAST 1024-row sign matrix, partial+final integer agg
+    * keyed (vec_id, j): one shuffle of 16 longs per vector, the
+    * standard shape for projecting a 100 TB embedding table. The
+    * audit's pair joins touch only the sampled slice. */
+  private def s18(s: SparkSession, dir: String): DataFrame = {
+    val m = 16
+    val fixed = emb(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .select(col("vec_id"), col("i"),
+        floor(col("v").cast("double") * 1e6 + 0.5).cast("long").as("f"))
+    val signs = {
+      import s.implicits._
+      (0 until 64).flatMap(i => (0 until m).map(j => (i, j)))
+        .toDF("i", "j")
+        .withColumn("sgn", when(substring(
+          md5(concat(col("i").cast("string"), lit("_"), col("j").cast("string"))),
+          1, 1).isin("0", "2", "4", "6", "8", "a", "c", "e"), 1L)
+          .otherwise(-1L))
+    }
+    val proj = fixed.join(broadcast(signs), "i")
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(col("f") * col("sgn")).as("p"))
+    val sampled = emb(s, dir)
+      .select(col("vec_id"))
+      .filter(substring(md5(col("vec_id").cast("string")), 1, 1) === "0")
+    val pairs = sampled.select(col("vec_id").as("id1"))
+      .crossJoin(sampled.select(col("vec_id").as("id2")))
+      .filter(col("id1") < col("id2"))
+    val dOrig = fixed.select(col("vec_id").as("id1"), col("i"), col("f").as("f1"))
+      .join(broadcast(pairs), "id1")
+      .join(fixed.select(col("vec_id").as("id2"), col("i"), col("f").as("f2")),
+        Seq("id2", "i"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(sum((col("f1") - col("f2")) * (col("f1") - col("f2"))).as("d2"))
+    val dProj = proj.select(col("vec_id").as("id1"), col("j"), col("p").as("p1"))
+      .join(broadcast(pairs), "id1")
+      .join(proj.select(col("vec_id").as("id2"), col("j"), col("p").as("p2")),
+        Seq("id2", "j"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(sum((col("p1") - col("p2")) * (col("p1") - col("p2"))).as("pd2"))
+    dOrig.join(dProj, Seq("id1", "id2"))
+      .filter(col("d2") > 0) // duplicate embeddings: ratio undefined
+      .select(col("id1"), col("id2"),
+        round(col("pd2").cast("double") /
+          (lit(m.toDouble) * col("d2").cast("double")), 6).as("ratio"))
+      .withColumn("within_3sigma",
+        col("ratio") >= 1.0 - 3 * math.sqrt(2.0 / m) &&
+          col("ratio") <= 1.0 + 3 * math.sqrt(2.0 / m))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  private val s18Sql =
+    """WITH fixed AS (
+      |  SELECT vec_id, CAST(i AS INT) AS i,
+      |    CAST(FLOOR(CAST(v AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS f
+      |  FROM (SELECT vec_id, unnest(embedding) AS v,
+      |          unnest(range(len(embedding))) AS i FROM embeddings)),
+      |signs AS (
+      |  SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+      |    CASE WHEN substr(md5(CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1)
+      |      IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END AS sgn
+      |  FROM range(64) t1(i), range(16) t2(j)),
+      |proj AS (
+      |  SELECT vec_id, j, CAST(SUM(f * sgn) AS BIGINT) AS p
+      |  FROM fixed JOIN signs USING (i) GROUP BY 1, 2),
+      |sampled AS (SELECT vec_id FROM embeddings
+      |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) = '0'),
+      |pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2
+      |  FROM sampled a, sampled b WHERE a.vec_id < b.vec_id),
+      |dorig AS (
+      |  SELECT id1, id2, CAST(SUM((f1.f - f2.f) * (f1.f - f2.f)) AS BIGINT) AS d2
+      |  FROM pairs JOIN fixed f1 ON f1.vec_id = id1
+      |    JOIN fixed f2 ON f2.vec_id = id2 AND f2.i = f1.i
+      |  GROUP BY 1, 2),
+      |dproj AS (
+      |  SELECT id1, id2, CAST(SUM((p1.p - p2.p) * (p1.p - p2.p)) AS BIGINT) AS pd2
+      |  FROM pairs JOIN proj p1 ON p1.vec_id = id1
+      |    JOIN proj p2 ON p2.vec_id = id2 AND p2.j = p1.j
+      |  GROUP BY 1, 2)
+      |SELECT id1, id2,
+      |  ROUND(CAST(pd2 AS DOUBLE) / (CAST(16 AS DOUBLE) * CAST(d2 AS DOUBLE)), 6) AS ratio,
+      |  ROUND(CAST(pd2 AS DOUBLE) / (CAST(16 AS DOUBLE) * CAST(d2 AS DOUBLE)), 6)
+      |    BETWEEN 1 - 3 * sqrt(CAST(2 AS DOUBLE) / 16)
+      |        AND 1 + 3 * sqrt(CAST(2 AS DOUBLE) / 16) AS within_3sigma
+      |FROM dorig JOIN dproj USING (id1, id2)
+      |WHERE d2 > 0
+      |ORDER BY id1, id2""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s18_random_projection" -> s18,
     "s17_embed_profile" -> s17,
     "s16_hard_negatives" -> s16,
     "s14_int8_quant" -> s14,
@@ -1303,6 +1406,7 @@ object SimilarityQueries extends QueryPack {
     "d8_semdedup"  -> d8)
 
   override def oracle: Map[String, String] = Map(
+    "s18_random_projection" -> s18Sql,
     "s17_embed_profile" -> s17Sql,
     "s16_hard_negatives" -> s16Sql,
     "s14_int8_quant" -> s14Sql,
