@@ -1189,7 +1189,93 @@ object EventsQueries extends QueryPack {
       |SELECT n_conv, n_abort, COUNT(*) AS n_users
       |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** e29 — position-based (U-shaped) MULTI-touch attribution, the
+    * fractional complement to e24's last-touch: every purchase's
+    * revenue splits across its 7-day touch history — 40% first
+    * touch, 40% last, 20% spread over the middle (k=1 → 100%,
+    * k=2 → 50/50). Per touch type: touch counts and attributed
+    * revenue, plus an `unattributed` row for purchases with no
+    * history, so the attributed total provably reconciles to total
+    * purchase revenue (spec'd).
+    *
+    * Determinism: weights are exact rationals of k; per-touch
+    * amounts are fixed to integer MICRO-units via the s7 floor
+    * convention (`floor(cents·w·1e4 + 0.5)`), so the final sums are
+    * exact integer arithmetic on both engines — no float-summation
+    * order anywhere. First/last resolve ties by (ts, event_id).
+    *
+    * Scale: the touch join is keyed on user_id with a time-range
+    * predicate (the e11 interval shape — bucket by day at 100 TB);
+    * per-purchase stats are one keyed agg; no windows over the
+    * fact. Purchase fan-in is bounded by per-user 7-day activity. */
+  private def e29(s: SparkSession, dir: String): DataFrame = {
+    val week = 7L * 86400 * 1000000
+    val e = ev(s, dir).withColumn("tsu", unix_micros(col("ts")))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"), col("tsu"),
+        (round(dec(col("value")), 2) * 100).cast("long").as("cents"))
+    val touches = e.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("tsu").as("t_tsu"),
+        col("event_id").as("t_eid"), col("event_type").as("ttype"))
+    val pairs = purchases.join(touches, Seq("user_id"))
+      .filter(col("t_tsu") < col("tsu") && col("t_tsu") >= col("tsu") - week)
+    val stats = pairs.groupBy(col("pid"))
+      .agg(count(lit(1)).as("k"),
+        min(struct(col("t_tsu"), col("t_eid"))).as("first"),
+        max(struct(col("t_tsu"), col("t_eid"))).as("last"))
+    val isFirst = struct(col("t_tsu"), col("t_eid")) === col("first")
+    val isLast = struct(col("t_tsu"), col("t_eid")) === col("last")
+    val w = when(col("k") === 1, lit(1.0))
+      .when(col("k") === 2, lit(0.5))
+      .when(isFirst || isLast, lit(0.4))
+      .otherwise(lit(0.2) / (col("k") - 2).cast("double"))
+    val attributed = pairs.join(stats, "pid")
+      .select(col("ttype"),
+        floor(col("cents").cast("double") * w * 1e4 + 0.5)
+          .cast("long").as("micro"))
+    val unattributed = purchases
+      .join(pairs.select(col("pid")).distinct(), Seq("pid"), "left_anti")
+      .select(lit("unattributed").as("ttype"),
+        (col("cents") * 10000L).as("micro"))
+    attributed.unionByName(unattributed)
+      .groupBy(col("ttype"))
+      .agg(count(lit(1)).as("n_touches"),
+        round(sum(col("micro")).cast("double") / 1e6, 2).as("revenue"))
+      .orderBy(col("ttype"))
+  }
+
+  private val e29Sql =
+    """WITH e AS (SELECT event_id, user_id, event_type, value,
+      |    epoch_ns(ts)//1000 AS tsu FROM events),
+      |p AS (SELECT event_id AS pid, user_id, tsu,
+      |    CAST(ROUND(CAST(value AS DECIMAL(18,2)), 2) * 100 AS BIGINT) AS cents
+      |  FROM e WHERE event_type = 'purchase'),
+      |t AS (SELECT user_id, tsu AS t_tsu, event_id AS t_eid,
+      |    event_type AS ttype FROM e WHERE event_type IN ('view', 'click')),
+      |pr AS (SELECT p.pid, p.cents, t.t_tsu, t.t_eid, t.ttype
+      |  FROM p JOIN t ON p.user_id = t.user_id
+      |    AND t.t_tsu < p.tsu AND t.t_tsu >= p.tsu - 604800000000),
+      |st AS (SELECT pid, COUNT(*) AS k,
+      |    MIN(ROW(t_tsu, t_eid)) AS frst, MAX(ROW(t_tsu, t_eid)) AS lst
+      |  FROM pr GROUP BY pid),
+      |att AS (SELECT pr.ttype,
+      |    CAST(FLOOR(CAST(pr.cents AS DOUBLE) *
+      |      (CASE WHEN st.k = 1 THEN CAST(1.0 AS DOUBLE)
+      |            WHEN st.k = 2 THEN CAST(0.5 AS DOUBLE)
+      |            WHEN ROW(pr.t_tsu, pr.t_eid) = st.frst
+      |              OR ROW(pr.t_tsu, pr.t_eid) = st.lst THEN CAST(0.4 AS DOUBLE)
+      |            ELSE CAST(0.2 AS DOUBLE) / CAST(st.k - 2 AS DOUBLE) END)
+      |      * 1e4 + 0.5) AS BIGINT) AS micro
+      |  FROM pr JOIN st USING (pid)),
+      |una AS (SELECT 'unattributed' AS ttype, cents * 10000 AS micro
+      |  FROM p WHERE pid NOT IN (SELECT DISTINCT pid FROM pr)),
+      |u AS (SELECT * FROM att UNION ALL SELECT * FROM una)
+      |SELECT ttype, COUNT(*) AS n_touches,
+      |  ROUND(CAST(SUM(micro) AS DOUBLE) / 1e6, 2) AS revenue
+      |FROM u GROUP BY ttype ORDER BY ttype""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e29_multitouch"     -> e29,
     "e28_pattern_match"  -> e28,
     "e27_cusum_drift"    -> e27,
     "e26_seasonal_index" -> e26,
@@ -1220,6 +1306,7 @@ object EventsQueries extends QueryPack {
     "e17_trailing_window" -> e17)
 
   override def oracle: Map[String, String] = Map(
+    "e29_multitouch"     -> e29Sql,
     "e28_pattern_match"  -> e28Sql,
     "e27_cusum_drift"    -> e27Sql,
     "e26_seasonal_index" -> e26Sql,

@@ -1201,7 +1201,93 @@ object TextQueries extends QueryPack {
       |  md5(array_to_string(list_slice(toks, start_tok + 1, start_tok + 64), ' ')) AS fp
       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** t23 — token-budget curriculum cut (data budgeting): sources
+    * ranked by stopword-density quality (the t1 signal, exact
+    * integer numerator/denominator), then a 50%-of-corpus token
+    * budget fills greedily down the ranking — whole sources until
+    * the straddler, which contributes a fractional sampling rate.
+    * Emits per source: rank, tokens, quality, tokens already
+    * committed above it, the include flag and the take fraction —
+    * the plan a mixture sampler (t13's machinery) executes. The
+    * fill LAW (Σ tokens·take_frac = budget when the corpus
+    * overfills it) is spec'd.
+    *
+    * Determinism: ranking compares exact integer cross-products
+    * (num_a·den_b vs num_b·den_a — no float ordering), ties by
+    * source; take_frac derives from integer budget/cum values with
+    * one double division, floor-rounded to 1e-6 (the s7
+    * convention).
+    *
+    * Scale: per-source stats are one partial+final agg; the
+    * ranking/prefix machinery runs on the SOURCE-cardinality frame
+    * (metadata-scale at any SF) via a triangular broadcast
+    * self-join — no window, no funnel, the OffsetWindow-offsets
+    * pattern. */
+  private def t23(s: SparkSession, dir: String): DataFrame = {
+    val bySrc = docs(s, dir)
+      .select(col("source"), words.as("w"))
+      .select(col("source"),
+        org.apache.spark.sql.functions.size(col("w")).cast("long").as("n"),
+        stopCount.as("stops"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("tokens"), sum(col("stops")).as("stop_num"))
+    val total = bySrc.agg(sum(col("tokens")).as("corpus_tokens"),
+      (sum(col("tokens")) / 2).cast("long").as("budget"))
+    // strictly-better = higher stop density, tie → smaller source id;
+    // integer cross-product comparison, no float ordering
+    val better = col("b.stop_num") * col("a.tokens") >
+      col("a.stop_num") * col("b.tokens") ||
+      (col("b.stop_num") * col("a.tokens") ===
+        col("a.stop_num") * col("b.tokens") &&
+        col("b.source") < col("a.source"))
+    val ranked = bySrc.as("a")
+      .join(broadcast(bySrc.as("b")), better, "left")
+      .groupBy(col("a.source"), col("a.tokens"), col("a.stop_num"))
+      .agg(count(col("b.source")).as("n_better"),
+        coalesce(sum(col("b.tokens")), lit(0L)).as("cum_prev"))
+    ranked.crossJoin(broadcast(total))
+      .select(col("source"), (col("n_better") + 1).as("rank"),
+        col("tokens"),
+        round(col("stop_num").cast("double") / col("tokens").cast("double"), 6)
+          .as("quality"),
+        col("cum_prev"), col("budget"),
+        (col("cum_prev") < col("budget")).as("included"),
+        (floor(least(lit(1.0),
+          greatest(lit(0.0),
+            (col("budget") - col("cum_prev")).cast("double") /
+              col("tokens").cast("double"))) * 1e6 + 0.5) / 1e6)
+          .as("take_frac"))
+      .orderBy(col("rank"))
+  }
+
+  private val t23Sql =
+    """WITH bysrc AS (
+      |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+      |    CAST(SUM(len(list_filter(string_split(text, ' '),
+      |      x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and' OR x = 'to'
+      |        OR x = 'in' OR x = 'is' OR x = 'it'))) AS BIGINT) AS stop_num
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS corpus_tokens,
+      |    CAST(SUM(tokens) // 2 AS BIGINT) AS budget FROM bysrc),
+      |ranked AS (
+      |  SELECT a.source, a.tokens, a.stop_num,
+      |    COUNT(b.source) AS n_better,
+      |    COALESCE(CAST(SUM(b.tokens) AS BIGINT), 0) AS cum_prev
+      |  FROM bysrc a LEFT JOIN bysrc b
+      |    ON b.stop_num * a.tokens > a.stop_num * b.tokens
+      |    OR (b.stop_num * a.tokens = a.stop_num * b.tokens
+      |        AND b.source < a.source)
+      |  GROUP BY a.source, a.tokens, a.stop_num)
+      |SELECT source, CAST(n_better + 1 AS BIGINT) AS rank, tokens,
+      |  ROUND(CAST(stop_num AS DOUBLE) / CAST(tokens AS DOUBLE), 6) AS quality,
+      |  cum_prev, budget, cum_prev < budget AS included,
+      |  FLOOR(LEAST(CAST(1.0 AS DOUBLE), GREATEST(CAST(0.0 AS DOUBLE),
+      |    CAST(budget - cum_prev AS DOUBLE) / CAST(tokens AS DOUBLE)))
+      |    * 1e6 + 0.5) / 1e6 AS take_frac
+      |FROM ranked, tot ORDER BY rank""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t23_token_budget"   -> t23,
     "t22_chunking"       -> t22,
     "t21_bm25"           -> t21,
     "t20_decontam_apply" -> t20,
@@ -1226,6 +1312,7 @@ object TextQueries extends QueryPack {
     "t12_mix_weights" -> t12)
 
   override def oracle: Map[String, String] = Map(
+    "t23_token_budget"   -> t23Sql,
     "t22_chunking"       -> t22Sql,
     "t21_bm25"           -> t21Sql,
     "t20_decontam_apply" -> t20Sql,

@@ -167,6 +167,27 @@ class Round5InvariantsSpec extends SparkSpec {
     dist.map(r => r.getLong(0) * r.getLong(1)).sum shouldBe nNodes
   }
 
+  test("e29: attributed revenue reconciles to total purchase revenue") {
+    val rows = SparkEntry.queries("e29_multitouch")(spark, sfDir).collect()
+    val attributed = rows.map(_.getDouble(2)).sum
+    val total = Tables(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .agg(sum((round(col("value").cast("decimal(18,2)"), 2) * 100)
+        .cast("long"))).collect().head.getLong(0)
+    // per-touch micro-rounding absorbs ≤ 1e-6 per touch
+    attributed shouldBe (total.toDouble / 100) +- 0.01
+  }
+
+  test("t23: the greedy fill commits exactly the budget") {
+    val rows = SparkEntry.queries("t23_token_budget")(spark, sfDir).collect()
+    val budget = rows.head.getLong(5)
+    val committed = rows.map(r => r.getLong(2) * r.getDouble(7)).sum
+    committed shouldBe budget.toDouble +- rows.length * 1e-6 * 2000
+    // included prefix is contiguous in rank order
+    val inc = rows.sortBy(_.getLong(1)).map(_.getBoolean(6))
+    inc.dropWhile(identity).exists(identity) shouldBe false
+  }
+
   test("q31: the maintained view equals the monolithic join-aggregate") {
     val maintained = SparkEntry.queries("q31_incr_join")(spark, sfDir)
     val monolithic = {
