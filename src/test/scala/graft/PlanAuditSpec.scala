@@ -214,6 +214,26 @@ class PlanAuditSpec extends SparkSpec {
     plan("s11_ivfpq_ann") should include("BroadcastHashJoin")
   }
 
+  test("s18: the sign matrix broadcasts; the exploded corpus side probes") {
+    val p = plan("s18_random_projection")
+    p should include("BroadcastHashJoin")
+  }
+
+  test("q33: no global sort anywhere (sorted zones come from bucketed ranks)") {
+    val p = plan("q33_zonemap_skip")
+    // the only acceptable Sort nodes are the final 2-row orderBy and
+    // window-local sorts; a global Sort over lineitem would contain
+    // the scan columns in a Sort [l_shipdate ... global
+    p.linesIterator.filter(l => l.contains("Sort") && l.contains("global=true"))
+      .filter(_.contains("l_orderkey")) shouldBe empty
+  }
+
+  test("g4: label rounds join shuffled (labels never broadcast at scale)") {
+    val p = plan("g4_label_prop")
+    // argmax is an aggregate, not a rank window
+    p should not include "row_number"
+  }
+
   test("no query plans an unpartitioned window (single-reducer funnel)") {
     // A Window with an empty partitionSpec requires AllTuples — every
     // row funnels through ONE task (Spark warns "No Partition Defined
