@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
   * monotone in the intended order (`floor(x/1000)`, a leading hash
   * byte), local running sums run per (group, bucket) — thousands of
   * independent window partitions — and per-bucket totals (one row
-  * per bucket, metadata-scale at any SF) turn into broadcast
-  * prefix-sum offsets. Two fully parallel passes; bucket width is
+  * per bucket per group, metadata-scale at any SF) turn into
+  * prefix-sum offsets — a group-partitioned window when groups
+  * exist (scales to any group cardinality), a broadcast triangular
+  * join when they don't. Two fully parallel passes; bucket width is
   * the skew knob.
   *
   * The bucket expression must be deterministic — NOT
@@ -50,24 +52,44 @@ object OffsetWindow {
     val base = if (groupCols.nonEmpty) t else t.withColumn("__g", lit(0))
     val counts = base.groupBy((gnames :+ "__bk").map(col): _*)
       .agg(sum(col("__w")).as("__c"))
-    // exclusive prefix sum over the per-bucket counts via a TRIANGULAR
-    // self-join, not a window: with empty groupCols the literal
-    // partition key constant-folds away and the plan would carry an
-    // unpartitioned window (the exact funnel PlanAuditSpec outlaws;
-    // same treatment as prefixMaxExcl). One row per (group, bucket) —
-    // metadata-scale — so the B² pair join is trivia.
-    val joinCond = (gnames.map(n => col("a." + n) === col("b." + n)) :+
-      (col("b.__bk") < col("a.__bk"))).reduce(_ && _)
-    val offsets = counts.as("a")
-      .join(broadcast(counts.as("b")), joinCond, "left")
-      .groupBy((gnames :+ "__bk").map(n => col("a." + n)): _*)
-      .agg(coalesce(sum(col("b.__c")), lit(0L)).as("__off"))
+    // Exclusive prefix sum over the per-bucket counts frame (one row
+    // per (group, bucket)). Two regimes:
+    //  - groupCols non-empty: a window PARTITIONED BY the group keys —
+    //    already funnel-free (each group's ≤B bucket rows are one
+    //    partition), and unlike a broadcast it scales to arbitrarily
+    //    many groups. The offsets join stays unhinted so the planner
+    //    broadcasts small frames and shuffles huge ones.
+    //  - groupCols empty: the literal partition key constant-folds
+    //    away, so a window would be the unpartitioned funnel
+    //    PlanAuditSpec outlaws — use the TRIANGULAR broadcast
+    //    self-join instead (B buckets ⇒ a trivia-sized B² pair join).
+    val offsets =
+      if (groupCols.nonEmpty) {
+        val wOff = Window.partitionBy(gnames.map(col): _*)
+          .orderBy(col("__bk"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        counts
+          .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
+          .drop("__c")
+      } else {
+        val joinCond = (gnames.map(n => col("a." + n) === col("b." + n)) :+
+          (col("b.__bk") < col("a.__bk"))).reduce(_ && _)
+        counts.as("a")
+          .join(broadcast(counts.as("b")), joinCond, "left")
+          .groupBy((gnames :+ "__bk").map(n => col("a." + n)): _*)
+          .agg(coalesce(sum(col("b.__c")), lit(0L)).as("__off"))
+      }
     val wLoc = Window.partitionBy((gnames :+ "__bk").map(col): _*)
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    base
-      .withColumn("__lc", sum(col("__w")).over(wLoc))
-      .join(broadcast(offsets), gnames :+ "__bk")
+    val withOff =
+      if (groupCols.nonEmpty)
+        base.withColumn("__lc", sum(col("__w")).over(wLoc))
+          .join(offsets, gnames :+ "__bk")
+      else
+        base.withColumn("__lc", sum(col("__w")).over(wLoc))
+          .join(broadcast(offsets), gnames :+ "__bk")
+    withOff
       .withColumn(out, col("__off") + col("__lc"))
       .drop("__bk", "__lc", "__off", "__w")
       .drop((if (groupCols.nonEmpty) Nil else Seq("__g")): _*)
@@ -96,24 +118,38 @@ object OffsetWindow {
     val base = if (groupCols.nonEmpty) t else t.withColumn("__g", lit(0))
     val maxima = base.groupBy((gnames :+ "__bk").map(col): _*)
       .agg(max(col("__v")).as("__m"))
-    // exclusive prefix max over the per-bucket maxima via a TRIANGULAR
-    // self-join, not a window: with empty groupCols the literal
-    // partition key constant-folds away and the plan would carry an
-    // unpartitioned window (the exact funnel PlanAuditSpec outlaws).
-    // The frame is one row per bucket — metadata-scale at any SF — so
-    // the B² pair join is trivia and needs no ordering machinery.
-    val joinCond = (gnames.map(n => col("a." + n) === col("b." + n)) :+
-      (col("b.__bk") < col("a.__bk"))).reduce(_ && _)
-    val offsets = maxima.as("a")
-      .join(broadcast(maxima.as("b")), joinCond, "left")
-      .groupBy((gnames :+ "__bk").map(n => col("a." + n)): _*)
-      .agg(max(col("b.__m")).as("__off"))
+    // Exclusive prefix max over the per-bucket maxima: same two
+    // regimes as prefixSum — group-partitioned window (funnel-free,
+    // unbounded group count) when groupCols is non-empty, triangular
+    // broadcast self-join only for the empty case where a window
+    // would be the unpartitioned funnel PlanAuditSpec outlaws.
+    val offsets =
+      if (groupCols.nonEmpty) {
+        val wOff = Window.partitionBy(gnames.map(col): _*)
+          .orderBy(col("__bk"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        maxima
+          .withColumn("__off", max(col("__m")).over(wOff))
+          .drop("__m")
+      } else {
+        val joinCond = (gnames.map(n => col("a." + n) === col("b." + n)) :+
+          (col("b.__bk") < col("a.__bk"))).reduce(_ && _)
+        maxima.as("a")
+          .join(broadcast(maxima.as("b")), joinCond, "left")
+          .groupBy((gnames :+ "__bk").map(n => col("a." + n)): _*)
+          .agg(max(col("b.__m")).as("__off"))
+      }
     val wLoc = Window.partitionBy((gnames :+ "__bk").map(col): _*)
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    base
-      .withColumn("__lm", max(col("__v")).over(wLoc))
-      .join(broadcast(offsets), gnames :+ "__bk")
+    val withOff =
+      if (groupCols.nonEmpty)
+        base.withColumn("__lm", max(col("__v")).over(wLoc))
+          .join(offsets, gnames :+ "__bk")
+      else
+        base.withColumn("__lm", max(col("__v")).over(wLoc))
+          .join(broadcast(offsets), gnames :+ "__bk")
+    withOff
       // greatest() skips nulls: null only when BOTH sides are empty,
       // i.e. the global first row
       .withColumn(out, greatest(col("__lm"), col("__off")))

@@ -1158,7 +1158,9 @@ object EventsQueries extends QueryPack {
     val seqs = ev(s, dir)
       .select(col("user_id"), format_string("%019d%019d%s",
         unix_micros(col("ts")), col("event_id"),
-        element_at(codes, col("event_type"))).as("tok"))
+        // mirror the oracle's CASE … ELSE 'e': an unmapped sixth
+        // event type must not become the literal text "null"
+        coalesce(element_at(codes, col("event_type")), lit("e"))).as("tok"))
       .groupBy(col("user_id"))
       .agg(regexp_replace(array_join(array_sort(collect_list(col("tok"))), ""),
         "[0-9]", "").as("seq"))
@@ -1204,12 +1206,18 @@ object EventsQueries extends QueryPack {
     * exact integer arithmetic on both engines — no float-summation
     * order anywhere. First/last resolve ties by (ts, event_id).
     *
-    * Scale: the touch join is keyed on user_id with a time-range
-    * predicate (the e11 interval shape — bucket by day at 100 TB);
-    * per-purchase stats are one keyed agg; no windows over the
-    * fact. Purchase fan-in is bounded by per-user 7-day activity. */
+    * Scale: the touch join is DAY-BUCKETED (the e11 interval shape):
+    * each purchase explodes into the ≤8 UTC day buckets its 7-day
+    * lookback can touch, the join keys on (user_id, day) with the
+    * exact time range as a residual filter — so one bot-grade hot
+    * user spreads over 8 reducers per active day and a join group is
+    * bounded by ONE user-day's touches, not the user's whole history.
+    * Each (purchase, touch) pair lands in exactly one bucket (the
+    * touch's own day), so the explode introduces no duplicates.
+    * Per-purchase stats are one keyed agg; no windows over the fact. */
   private def e29(s: SparkSession, dir: String): DataFrame = {
     val week = 7L * 86400 * 1000000
+    val dayUs = 86400L * 1000000
     val e = ev(s, dir).withColumn("tsu", unix_micros(col("ts")))
     val purchases = e.filter(col("event_type") === "purchase")
       .select(col("event_id").as("pid"), col("user_id"), col("tsu"),
@@ -1217,8 +1225,13 @@ object EventsQueries extends QueryPack {
     val touches = e.filter(col("event_type").isin("view", "click"))
       .select(col("user_id"), col("tsu").as("t_tsu"),
         col("event_id").as("t_eid"), col("event_type").as("ttype"))
-    val pairs = purchases.join(touches, Seq("user_id"))
+      .withColumn("t_day", floor(col("t_tsu") / dayUs))
+    val pairs = purchases
+      .withColumn("__doff", explode(array((0 to 7).map(lit): _*)))
+      .withColumn("t_day", floor(col("tsu") / dayUs) - col("__doff"))
+      .join(touches, Seq("user_id", "t_day"))
       .filter(col("t_tsu") < col("tsu") && col("t_tsu") >= col("tsu") - week)
+      .drop("t_day", "__doff")
     val stats = pairs.groupBy(col("pid"))
       .agg(count(lit(1)).as("k"),
         min(struct(col("t_tsu"), col("t_eid"))).as("first"),
@@ -1274,7 +1287,49 @@ object EventsQueries extends QueryPack {
       |  ROUND(CAST(SUM(micro) AS DOUBLE) / 1e6, 2) AS revenue
       |FROM u GROUP BY ttype ORDER BY ttype""".stripMargin
 
+  /** e30 — the [[graft.streaming.StreamingTopK]] SpaceSaving summary
+    * run as a BATCH driver gate: `flatMapGroupsWithState` on a batch
+    * Dataset executes the identical per-group transition with empty
+    * initial state, and with capacity (128) ≥ the distinct item count
+    * (user_id mod 97 ⇒ ≤ 97 per group) the sketch never evicts — so
+    * `est` is the EXACT count, `err` = 0, and `guaranteed` reduces to
+    * est ≥ est(k+1-th) — all three oracle-expressible. This pins the
+    * est/err/guaranteed contract of the streaming operator against
+    * DuckDB, complementing the paper-bound ScalaTest specs that cover
+    * the lossy (evicting) regime no SQL oracle can express.
+    *
+    * Scale: one shuffle keyed by group; per-group state is O(m)
+    * regardless of stream length — that bound is the whole point. */
+  private def e30(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val obs = ev(s, dir)
+      .select(col("event_type").as("group"),
+        (col("user_id") % 97).cast("long").as("item"),
+        lit(1L).as("weight"))
+      .as[graft.streaming.StreamingTopK.Obs]
+    graft.streaming.StreamingTopK.topK(obs, capacity = 128, k = 5)
+      .toDF()
+      .select(col("group").as("grp"), col("item"), col("est"), col("err"),
+        col("guaranteed"))
+      .orderBy(col("grp"), col("item"))
+  }
+
+  private val e30Sql =
+    """WITH c AS (SELECT event_type AS grp, user_id % 97 AS item,
+      |    COUNT(*) AS est FROM events GROUP BY 1, 2),
+      |r AS (SELECT grp, item, est,
+      |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY est DESC, item) AS rk
+      |  FROM c),
+      |f AS (SELECT grp, MAX(CASE WHEN rk = 6 THEN est ELSE 0 END) AS floor_est
+      |  FROM r GROUP BY grp)
+      |SELECT r.grp, CAST(r.item AS BIGINT) AS item, r.est,
+      |  CAST(0 AS BIGINT) AS err, r.est >= f.floor_est AS guaranteed
+      |FROM r JOIN f USING (grp)
+      |WHERE r.rk <= 5
+      |ORDER BY r.grp, r.item""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e30_topk_exact"     -> e30,
     "e29_multitouch"     -> e29,
     "e28_pattern_match"  -> e28,
     "e27_cusum_drift"    -> e27,
@@ -1306,6 +1361,7 @@ object EventsQueries extends QueryPack {
     "e17_trailing_window" -> e17)
 
   override def oracle: Map[String, String] = Map(
+    "e30_topk_exact"     -> e30Sql,
     "e29_multitouch"     -> e29Sql,
     "e28_pattern_match"  -> e28Sql,
     "e27_cusum_drift"    -> e27Sql,

@@ -42,19 +42,27 @@ object GraphQueries extends QueryPack {
   private object GraphArtifacts {
     final case class Arts(deg: DataFrame, edgesDeg: DataFrame,
         partDeg: DataFrame, oriented: DataFrame)
-    private val reg =
-      scala.collection.mutable.Map.empty[(SparkSession, String), Arts]
 
-    def apply(s: SparkSession, dir: String): Arts = synchronized {
-      reg.getOrElseUpdate((s, dir), build(s, dir))
-    }
-
-    def release(s: SparkSession, dir: String): Unit = synchronized {
-      reg.remove((s, dir)).foreach { a =>
-        Seq(a.deg, a.edgesDeg, a.partDeg, a.oriented)
+    /** Per-key memo cell: the registry lock covers MAP ACCESS only
+      * (ConcurrentHashMap.computeIfAbsent); the eager persist+count
+      * Spark jobs run under the cell's own lazy-val lock, so two
+      * concurrent queries over DIFFERENT corpus dirs build in
+      * parallel while same-key callers still build exactly once. */
+    private final class Cell(s: SparkSession, dir: String) {
+      @volatile private var materialized = false
+      lazy val arts: Arts = { val a = build(s, dir); materialized = true; a }
+      def releaseIfBuilt(): Unit = if (materialized)
+        Seq(arts.deg, arts.edgesDeg, arts.partDeg, arts.oriented)
           .foreach(_.unpersist(blocking = false))
-      }
     }
+    private val reg = new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), Cell]()
+
+    def apply(s: SparkSession, dir: String): Arts =
+      reg.computeIfAbsent((s, dir), _ => new Cell(s, dir)).arts
+
+    def release(s: SparkSession, dir: String): Unit =
+      Option(reg.remove((s, dir))).foreach(_.releaseIfBuilt())
 
     private def persistEager(df: DataFrame): DataFrame = {
       val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

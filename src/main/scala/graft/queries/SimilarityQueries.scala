@@ -1291,15 +1291,22 @@ object SimilarityQueries extends QueryPack {
     * the IDENTICAL matrix from the rule, nothing is stored — and all
     * sums run on exact 1e-6 fixed-point longs (the s17 convention),
     * so projections, distances and ratios are bit-replayable and the
-    * ratios themselves are hash-gated. Sampled ids are a
-    * data-independent 1/16 hash slice; pairs are the slice's
-    * self-join.
+    * ratios themselves are hash-gated. Sampled ids are the
+    * content-hash-rank top-K (the s8/t6 convention): an ABSOLUTE cap,
+    * so the audit's pair set is O(K²) = constant no matter how large
+    * the corpus grows — a fractional slice would grow quadratically
+    * with the table and its pair set would eventually not fit
+    * anywhere.
     *
     * Scale: the projection is a map-side matmul — explode ×64, join
     * the BROADCAST 1024-row sign matrix, partial+final integer agg
     * keyed (vec_id, j): one shuffle of 16 longs per vector, the
     * standard shape for projecting a 100 TB embedding table. The
-    * audit's pair joins touch only the sampled slice. */
+    * sample is a distributed top-K (per-partition heaps, no global
+    * sort); the distance joins carry NO broadcast hint — at the
+    * default K the planner broadcasts the tiny pair set on its own,
+    * and raising K lets it fall back to a shuffle join instead of
+    * pinning the driver. */
   private def s18(s: SparkSession, dir: String): DataFrame = {
     val m = 16
     val fixed = emb(s, dir)
@@ -1318,20 +1325,22 @@ object SimilarityQueries extends QueryPack {
     val proj = fixed.join(broadcast(signs), "i")
       .groupBy(col("vec_id"), col("j"))
       .agg(sum(col("f") * col("sgn")).as("p"))
+    val sampleK = 40
     val sampled = emb(s, dir)
       .select(col("vec_id"))
-      .filter(substring(md5(col("vec_id").cast("string")), 1, 1) === "0")
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(sampleK)
     val pairs = sampled.select(col("vec_id").as("id1"))
       .crossJoin(sampled.select(col("vec_id").as("id2")))
       .filter(col("id1") < col("id2"))
     val dOrig = fixed.select(col("vec_id").as("id1"), col("i"), col("f").as("f1"))
-      .join(broadcast(pairs), "id1")
+      .join(pairs, "id1")
       .join(fixed.select(col("vec_id").as("id2"), col("i"), col("f").as("f2")),
         Seq("id2", "i"))
       .groupBy(col("id1"), col("id2"))
       .agg(sum((col("f1") - col("f2")) * (col("f1") - col("f2"))).as("d2"))
     val dProj = proj.select(col("vec_id").as("id1"), col("j"), col("p").as("p1"))
-      .join(broadcast(pairs), "id1")
+      .join(pairs, "id1")
       .join(proj.select(col("vec_id").as("id2"), col("j"), col("p").as("p2")),
         Seq("id2", "j"))
       .groupBy(col("id1"), col("id2"))
@@ -1362,7 +1371,7 @@ object SimilarityQueries extends QueryPack {
       |  SELECT vec_id, j, CAST(SUM(f * sgn) AS BIGINT) AS p
       |  FROM fixed JOIN signs USING (i) GROUP BY 1, 2),
       |sampled AS (SELECT vec_id FROM embeddings
-      |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) = '0'),
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 40),
       |pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2
       |  FROM sampled a, sampled b WHERE a.vec_id < b.vec_id),
       |dorig AS (

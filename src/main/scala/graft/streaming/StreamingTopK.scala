@@ -74,7 +74,16 @@ object StreamingTopK {
     val ranked = s.toSeq
       .map { case (it, (est, err)) => (it, est, err) }
       .sortBy { case (it, est, _) => (-est, it) }
-    val floorK1 = if (ranked.size > k) ranked(k)._2 else 0L
+    // `guaranteed` compares against the largest count any item OUTSIDE
+    // the reported top-k could have: the (k+1)-th est when one exists;
+    // otherwise, if the summary is FULL (evictions may have occurred),
+    // an untracked item can carry up to the summary's minimum est —
+    // flooring at 0 there would overclaim. A non-full summary has
+    // never evicted, so every unreported item truly has count 0.
+    val floorK1 =
+      if (ranked.size > k) ranked(k)._2
+      else if (s.size == capacity && ranked.nonEmpty) ranked.last._2
+      else 0L
     ranked.take(k).iterator.map { case (it, est, err) =>
       HeavyHitter(group, it, est, err, est - err >= floorK1)
     }

@@ -219,6 +219,38 @@ class PlanAuditSpec extends SparkSpec {
     p should include("BroadcastHashJoin")
   }
 
+  test("s18: the audit sample is an absolute top-K and the pair side is unhinted") {
+    // The distortion audit must not grow with the corpus: the sampled
+    // ids are a hash-rank top-K (distributed per-partition heaps, no
+    // global sort), and the O(K²) pair frame carries NO broadcast hint
+    // — the only hinted broadcast in the plan is the 1024-row sign
+    // matrix. A fractional sample + broadcast(pairs) is the shape that
+    // kills the driver at 100× scale.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val qe = SparkEntry.queries("s18_random_projection")(spark, dir)
+      .queryExecution
+    val hinted = qe.optimizedPlan.collect {
+      case j: Join if j.hint.leftHint.exists(_.strategy.isDefined) ||
+          j.hint.rightHint.exists(_.strategy.isDefined) => j
+    }
+    hinted should not be empty // the sign matrix IS hinted…
+    hinted.foreach { j =>      // …and nothing else is
+      val cols = (j.left.output ++ j.right.output).map(_.name)
+      withClue(cols.mkString(","))(cols should contain("sgn"))
+    }
+    qe.executedPlan.toString should include("TakeOrderedAndProject")
+  }
+
+  test("e29: the touch join keys on the day bucket, not user_id alone") {
+    // purchases ⋈ touches must carry the exploded t_day bucket in the
+    // equi key — a user_id-only key makes one hot user a single
+    // unbounded reducer with a quadratic pre-filter pair blow-up
+    val p = plan("e29_multitouch")
+    val joinLines = p.linesIterator.filter(l =>
+      l.contains("Join") && l.contains("t_day")).toList
+    joinLines should not be empty
+  }
+
   test("q33: no global sort anywhere (sorted zones come from bucketed ranks)") {
     val p = plan("q33_zonemap_skip")
     // the only acceptable Sort nodes are the final 2-row orderBy and
