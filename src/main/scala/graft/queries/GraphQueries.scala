@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * an (undirected) edge connects a customer to every supplier that
   * fulfilled one of its orders (orders ⋈ lineitem, distinct pairs).
   *
-  * Determinism contract (the t10 sorted-fold convention): per-node
+  * Determinism contract (the sorted-fold convention): per-node
   * neighbor contributions are folded in source-node order on both
   * engines (`aggregate(array_sort(collect_list(struct(src, c))))` ≡
   * DuckDB `list_sum(list(c ORDER BY src))`), damping constants are

@@ -518,7 +518,7 @@ object SimilarityQueries extends QueryPack {
     * mean row-MSE and worst absolute error.
     *
     * Determinism: per-row squared errors fold in position order and
-    * per-label row-MSEs fold in vec_id order (the t10 sorted-fold
+    * per-label row-MSEs fold in vec_id order (the sorted-fold
     * convention) — every double on both engines is the same sequence
     * of IEEE ops, so rounding is purely canonical.
     *
@@ -879,7 +879,7 @@ object SimilarityQueries extends QueryPack {
     * sample at production scale, same plan.
     *
     * Determinism: the mean error folds per-candidate errors in
-    * candidate-id order (the t10/g1 sorted-fold convention) — a plain
+    * candidate-id order (the g1 sorted-fold convention) — a plain
     * avg() would sum doubles in partition order and drift between
     * engines. Top-1s are min(struct(dist, id)) — partial+final, no
     * window. */

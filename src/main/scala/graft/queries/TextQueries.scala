@@ -425,12 +425,13 @@ object TextQueries extends QueryPack {
     * review (or a domain filter keeps, depending on direction).
     *
     * Determinism across engines, by construction: probabilities are
-    * exact integer-count ratios (one double division each), and the
-    * per-doc sum folds the probabilities in POSITION order (sorted
-    * struct array + left fold ≡ DuckDB `list_sum(list(p ORDER BY
-    * pos))`), so no parallel-reduction reorder can change the IEEE
-    * result — the same convention as the decimal-sum rule in
-    * [[graft.QueryPack]], applied to doubles.
+    * exact integer-count ratios (one double division each), then
+    * snapped to 1e-9 fixed-point LONGS (`floor(p·1e9 + 0.5)` — the
+    * s17 convention) so the per-doc sum is integer arithmetic:
+    * order-free, parallel-reduction-proof, and bit-identical in both
+    * engines with NO per-doc array buffer. (p ≤ 1 ⇒ each term ≤ 1e9;
+    * the long sum overflows only past ~9.2e9 bigrams in one document
+    * — far beyond any real document.)
     *
     * Scale: two hash aggregations build the model (bigram + unigram
     * context counts — partial+final, keyed on words), two keyed joins
@@ -458,12 +459,12 @@ object TextQueries extends QueryPack {
       graft.operators.SaltedJoin.inner(bi, cab, Seq("a", "b"), 8, saltBy),
       ca, Seq("a"), 8, saltBy)
       .withColumn("p", col("cab").cast("double") / col("ca"))
+      .withColumn("pf", floor(col("p") * 1e9 + 0.5).cast("long"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        expr("aggregate(transform(array_sort(collect_list(struct(pos, p))), " +
-          "s -> s.p), cast(0.0 AS double), (acc, x) -> acc + x)").as("sump"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("pf")).as("sumpf"))
       .select(col("doc_id"), col("n_bigrams"),
-        round(col("sump") / col("n_bigrams"), 6).as("avg_p"))
+        round(col("sumpf").cast("double") / 1e9 / col("n_bigrams"), 6)
+          .as("avg_p"))
       .orderBy(col("doc_id"))
   }
 
@@ -476,10 +477,11 @@ object TextQueries extends QueryPack {
       |cab AS (SELECT a, b, COUNT(*) AS cab FROM bi GROUP BY a, b),
       |ca AS (SELECT a, COUNT(*) AS ca FROM bi GROUP BY a),
       |sp AS (
-      |  SELECT bi.doc_id, bi.pos, CAST(cab.cab AS DOUBLE) / ca.ca AS p
+      |  SELECT bi.doc_id, bi.pos,
+      |    CAST(FLOOR(CAST(cab.cab AS DOUBLE) / ca.ca * 1e9 + 0.5) AS BIGINT) AS pf
       |  FROM bi JOIN cab USING (a, b) JOIN ca USING (a))
       |SELECT doc_id, COUNT(*) AS n_bigrams,
-      |  ROUND(list_sum(list(p ORDER BY pos)) / COUNT(*), 6) AS avg_p
+      |  ROUND(CAST(SUM(pf) AS DOUBLE) / 1e9 / COUNT(*), 6) AS avg_p
       |FROM sp
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
@@ -503,8 +505,40 @@ object TextQueries extends QueryPack {
     * gram set (with its doc ids) broadcasts and contamination is a
     * map-side hash probe per corpus gram; the per-doc rollup is one
     * partial+final hash agg keyed by doc_id (already co-grouped with
-    * the explode). No corpus-sized shuffle anywhere. */
-  private def t11(s: SparkSession, dir: String): DataFrame = {
+    * the explode). No corpus-sized shuffle anywhere.
+    *
+    * When the bench gram set is too big to broadcast (a mega-suite,
+    * or a gated run whose stand-in bench derives from the corpus
+    * itself), [[benchProbe]] switches to q21's shape: a driver-built
+    * bloom sketch prunes the corpus grams map-side (the sketch is
+    * O(accuracy) bytes, never the gram rows), then a SHUFFLED exact
+    * join on the ~selectivity·corpus survivors removes the false
+    * positives — result-identical by construction, spec-pinned. */
+  private def t11(s: SparkSession, dir: String): DataFrame =
+    t11Path(s, dir, bloomPath = false)
+
+  /** The oversized-bench fallback, exposed for the parity spec. */
+  private[graft] def t11Bloom(s: SparkSession, dir: String): DataFrame =
+    t11Path(s, dir, bloomPath = true)
+
+  /** probes ⋈ bench on `gram`: broadcast hash probe (small bench) or
+    * bloom-prefilter + shuffled exact join (oversized bench). */
+  private def benchProbe(probes: DataFrame, bench: DataFrame,
+      bloomPath: Boolean): DataFrame =
+    if (bloomPath) {
+      val bloom = bench.select(col("gram")).distinct()
+        .stat.bloomFilter("gram", 500000L, 0.01)
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      probes
+        .filter(call_function("graft_bloom_contains",
+          lit(bos.toByteArray), col("gram")))
+        .hint("shuffle_hash")
+        .join(bench.hint("shuffle_hash"), Seq("gram"))
+    } else probes.join(broadcast(bench), Seq("gram"))
+
+  private def t11Path(s: SparkSession, dir: String,
+      bloomPath: Boolean): DataFrame = {
     val grams = docs(s, dir)
       .withColumn("w", words)
       .filter(size(col("w")) >= 8)
@@ -514,10 +548,10 @@ object TextQueries extends QueryPack {
       .select(col("doc_id").as("bench_doc"), explode(col("xs")).as("gram"))
       .distinct()
     val train = grams.filter(col("doc_id") % 10 =!= 7)
-    val hits = train
-      .select(col("doc_id"), size(col("xs")).cast("long").as("n_grams"),
-        explode(col("xs")).as("gram"))
-      .join(broadcast(bench), Seq("gram"))
+    val hits = benchProbe(
+      train.select(col("doc_id"), size(col("xs")).cast("long").as("n_grams"),
+        explode(col("xs")).as("gram")),
+      bench, bloomPath)
       .groupBy(col("doc_id"), col("n_grams"))
       .agg(countDistinct(col("gram")).as("n_contaminated"),
         countDistinct(col("bench_doc")).as("n_bench_docs"))
@@ -560,7 +594,7 @@ object TextQueries extends QueryPack {
     * α is fixed at 0.5 deliberately: pow(x, α) is not required to be
     * correctly rounded and differs across libms, but √ is exact in
     * IEEE — so both engines compute bit-identical weights. The
-    * weight-sum denominator folds in source-name order (the t10
+    * weight-sum denominator folds in source-name order (the
     * sorted-fold convention) so parallel reduction can't perturb it.
     *
     * Scale: per-source token totals are one partial+final agg over
@@ -1016,8 +1050,18 @@ object TextQueries extends QueryPack {
     * reaches 5% are dropped, and the per-source survivor ledger
     * (docs dropped, token mass kept) is what actually feeds the t12
     * mixture step. Same broadcast-benchmark probe as t11 — the gram
-    * index never shuffles; the drop set joins back doc-keyed. */
-  private def t20(s: SparkSession, dir: String): DataFrame = {
+    * index never shuffles; the drop set joins back doc-keyed. The
+    * same [[benchProbe]] bloom fallback covers oversized bench sets
+    * (spec-pinned result parity). */
+  private def t20(s: SparkSession, dir: String): DataFrame =
+    t20Path(s, dir, bloomPath = false)
+
+  /** The oversized-bench fallback, exposed for the parity spec. */
+  private[graft] def t20Bloom(s: SparkSession, dir: String): DataFrame =
+    t20Path(s, dir, bloomPath = true)
+
+  private def t20Path(s: SparkSession, dir: String,
+      bloomPath: Boolean): DataFrame = {
     val grams = docs(s, dir)
       .withColumn("w", words)
       .filter(expr("size(w) >= 8"))
@@ -1026,10 +1070,10 @@ object TextQueries extends QueryPack {
     val bench = grams.filter(col("doc_id") % 10 === 7)
       .select(explode(col("xs")).as("gram")).distinct()
     val train = grams.filter(col("doc_id") % 10 =!= 7)
-    val dropped = train
-      .select(col("doc_id"), expr("size(xs)").cast("long").as("n_grams"),
-        explode(col("xs")).as("gram"))
-      .join(broadcast(bench), Seq("gram"))
+    val dropped = benchProbe(
+      train.select(col("doc_id"), expr("size(xs)").cast("long").as("n_grams"),
+        explode(col("xs")).as("gram")),
+      bench, bloomPath)
       .groupBy(col("doc_id"), col("n_grams"))
       .agg(countDistinct(col("gram")).as("nc"))
       .filter(col("nc").cast("double") / col("n_grams") >= 0.05)

@@ -181,6 +181,13 @@ class PlanAuditSpec extends SparkSpec {
     joinLines.size should be >= 2 // bigram-count join AND context-count join
   }
 
+  test("t10: the per-doc score is a plain sum — no per-doc array buffer") {
+    // the fixed-point positional sum replaced the collect_list fold:
+    // a pathological 10 MB document must not become a million-entry
+    // aggregation buffer
+    plan("t10_bigram_lm") should not include "collect_list"
+  }
+
   test("q21: the bloom probe filters the lineitem scan before the join") {
     val p = plan("q21_bloom_prefilter")
     p should include("graft_bloom_contains")

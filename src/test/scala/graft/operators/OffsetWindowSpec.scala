@@ -60,6 +60,29 @@ class OffsetWindowSpec extends SparkSpec {
       rows.select("g").distinct().count()
   }
 
+  test("grouped path: the offsets join carries no broadcast hint " +
+    "(group cardinality is unbounded)") {
+    // with real group columns the per-(group,bucket) offsets frame
+    // scales with the group count — a forced broadcast would overflow
+    // the driver at high cardinality; the planner must stay free to
+    // shuffle (ADVICE r5). The empty-group path still hints broadcast
+    // (bucket-count rows only) — asserted by the funnel test below.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    def hinted(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case j: Join if j.hint.leftHint.exists(_.strategy.isDefined) ||
+            j.hint.rightHint.exists(_.strategy.isDefined) => j
+      }
+    hinted(OffsetWindow.prefixSum(rows, Seq("g"),
+      bucket = floor(col("x") / 100).cast("long"),
+      order = Seq(col("x"), col("id")), weight = col("w"),
+      out = "got")) shouldBe empty
+    hinted(OffsetWindow.prefixMaxExcl(rows, Seq("g"),
+      bucket = floor(col("x") / 100).cast("long"),
+      order = Seq(col("x"), col("id")), value = col("w"),
+      out = "got")) shouldBe empty
+  }
+
   test("empty group list = one global ordering, still gate-clean") {
     val naive = rows.withColumn("exp",
       row_number().over(Window.orderBy(col("x"), col("id"))).cast("long"))

@@ -85,6 +85,32 @@ class StreamingTopKSpec extends SparkSpec {
     out.head.guaranteed shouldBe true
   }
 
+  test("full summary with <= k tracked items floors 'guaranteed' at the " +
+    "min est, not 0 (untracked items can hide up to the inherited min)") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    val st = TestGroupState.create[StreamingTopK.Summary](
+      Optional.empty(), GroupStateTimeout.NoTimeout(), 0L, Optional.empty(),
+      hasTimedOut = false)
+    // capacity 2 = k 2: item 3 evicts item 2; the summary is FULL and
+    // ranked.size == k, so an untracked item (e.g. the evicted 2) may
+    // truly hold up to minEst — item 3 (est 2, err 1: certain ≥ only 1)
+    // must NOT be 'guaranteed'; item 1 (est-err 5 ≥ 2) must be.
+    val out = StreamingTopK.update(2, 2)("g",
+      Iterator(Obs("g", 1L, 5L), Obs("g", 2L, 1L), Obs("g", 3L, 1L)), st)
+      .toSeq
+    out.map(h => h.item -> h.guaranteed).toMap shouldBe
+      Map(1L -> true, 3L -> false)
+    // a NON-full summary has never evicted: unreported items truly
+    // have count 0, so everything tracked is guaranteed
+    val st2 = TestGroupState.create[StreamingTopK.Summary](
+      Optional.empty(), GroupStateTimeout.NoTimeout(), 0L, Optional.empty(),
+      hasTimedOut = false)
+    val out2 = StreamingTopK.update(8, 2)("g",
+      Iterator(Obs("g", 1L, 5L), Obs("g", 2L, 1L)), st2).toSeq
+    out2.foreach(_.guaranteed shouldBe true)
+  }
+
   test("batch items fold in item order regardless of arrival order") {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
     import org.apache.spark.api.java.Optional
