@@ -21,17 +21,49 @@ import graft.etl.{Adapters, Dedup, PushSink, RosterGate}
   */
 object StreamingIngest {
 
+  /** Transport-agnostic envelope adapter: ANY streaming frame with a
+    * single raw-JSON string `value` column becomes the S1 envelope
+    * contract (`source, headers, body, receivedAt`) the adapters
+    * consume. This is the one seam every live transport plugs into:
+    *
+    *  - file drop → [[fileSource]] (below)
+    *  - TCP relay → [[socketSource]] (below)
+    *  - Kafka     → `spark.readStream.format("kafka")
+    *      .option("kafka.bootstrap.servers", …).option("subscribe", …)
+    *      .load().selectExpr("CAST(value AS STRING) AS value")`
+    *      then `lineEnvelopes(_, "ALOWARE")` — the connector jar is a
+    *      deploy-time dependency, the engine contract is just this
+    *      value column (record headers, if wanted for P5 delivery-id
+    *      dedup, map into `headers` the same way)
+    *  - Kinesis/PubSub → same: cast the data blob to string, adapt.
+    *
+    * Keeping the seam at "a string column" means the whole ingest
+    * dataflow (adapters → gate → stateful ledger → sink) is tested
+    * once and every transport reuses it unchanged. */
+  def lineEnvelopes(lines: DataFrame, source: String): DataFrame =
+    lines.select(
+      lit(source).as("source"),
+      map().cast("map<string,string>").as("headers"),
+      col("value").as("body"),
+      current_timestamp().as("receivedAt"))
+
   /** File-drop source of raw webhook JSON (the S3/landing-zone
     * deployment of SURVEY §2.1 S1-S3): one JSON object per line. */
   def fileSource(spark: SparkSession, dir: String, source: String): DataFrame =
-    spark.readStream
-      .schema("value STRING")
-      .text(dir)
-      .select(
-        lit(source).as("source"),
-        map().cast("map<string,string>").as("headers"),
-        col("value").as("body"),
-        current_timestamp().as("receivedAt"))
+    lineEnvelopes(
+      spark.readStream.schema("value STRING").text(dir), source)
+
+  /** Live TCP source (the webhook-relay deployment of S1: an HTTP
+    * terminator forwards each delivery as one JSON line over a
+    * socket). Spark's built-in socket source; NOT replayable — pair
+    * with an at-least-once relay or prefer Kafka in production; the
+    * stateful ledger absorbs redeliveries either way. */
+  def socketSource(spark: SparkSession, host: String, port: Int,
+      source: String): DataFrame =
+    lineEnvelopes(
+      spark.readStream.format("socket")
+        .option("host", host).option("port", port.toString).load(),
+      source)
 
   /** envelope stream → admitted FactEvent stream (dedup incl. the
     * 14-day cross-batch ledger window). */
