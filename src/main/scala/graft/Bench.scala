@@ -51,7 +51,14 @@ object Bench {
     // spreads it across one rep of many queries, which the median
     // then discards (measured: per-run spikes of 5-10 s move between
     // arbitrary queries run-to-run on this box).
-    val qs0 = SparkEntry.queries.toSeq.sortBy(_._1)
+    // optional comma-separated name filter for local scale soaks
+    // (SCALING.md); the driver sets no filter and measures everything
+    val keep: String => Boolean =
+      sys.env.get("SPARK_GRAFT_BENCH_FILTER") match {
+        case Some(f) => f.split(',').toSet
+        case None    => _ => true
+      }
+    val qs0 = SparkEntry.queries.toSeq.filter(kv => keep(kv._1)).sortBy(_._1)
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     for (rep <- 1 to Reps) {
