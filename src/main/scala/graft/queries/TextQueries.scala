@@ -1330,7 +1330,80 @@ object TextQueries extends QueryPack {
       |    * 1e6 + 0.5) / 1e6 AS take_frac
       |FROM ranked, tot ORDER BY rank""".stripMargin
 
+  /** t24 — boilerplate-chunk profile (the RefinedWeb/CCNet LINE-dedup
+    * curation step, expressed over 10-word chunks since this corpus
+    * has no newlines): a chunk that recurs across ≥2 distinct docs of
+    * the same source is boilerplate (headers, footers, nav text,
+    * license blurbs — at web scale the threshold is higher and
+    * per-snapshot); report, per source, the chunk-key and instance
+    * counts, the token mass, and what survives the strip. The
+    * output is the evidence table a pipeline uses to pick its
+    * strip threshold before applying it.
+    *
+    * Determinism: chunks are fixed 10-word windows (last one ragged)
+    * keyed by md5 of the exact chunk text — both engines derive the
+    * identical key from the rule; every metric is integer counting.
+    *
+    * Scale: this is deliberately JOIN-FREE — the strip decision is a
+    * function of the chunk KEY, so everything aggregates in two
+    * partial+final hash aggs (doc→chunk-key, chunk-key→source); the
+    * hot boilerplate keys (df up to all docs of a source) never join
+    * back to instances, which is the classic skew trap this shape
+    * avoids (PlanAuditSpec locks the no-join plan). ~N/10 chunk rows
+    * for an N-token corpus, shuffled once on (source, key). */
+  private def t24(s: SparkSession, dir: String): DataFrame = {
+    val chunked = docs(s, dir)
+      .withColumn("w", words)
+      .filter(size(col("w")) >= 1)
+      .select(col("doc_id"), col("source"), posexplode(expr(
+        "transform(sequence(0, CAST(ceil(size(w)/10.0) AS INT) - 1), " +
+          "i -> array_join(slice(w, i*10+1, 10), ' '))"))
+        .as(Seq("ci", "chunk")))
+      .select(col("doc_id"), col("source"), md5(col("chunk")).as("ck"),
+        size(split(col("chunk"), " ")).cast("long").as("cw"))
+    val keyed = chunked.groupBy(col("source"), col("ck"))
+      .agg(max(col("cw")).as("cw"), count(lit(1)).as("n_inst"),
+        countDistinct(col("doc_id")).as("df"))
+    val boiler = col("df") >= 2
+    keyed.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunk_keys"),
+        sum(when(boiler, 1L).otherwise(0L)).as("n_boiler_keys"),
+        sum(col("n_inst")).as("n_chunks"),
+        sum(when(boiler, col("n_inst")).otherwise(0L)).as("n_boiler_instances"),
+        sum(col("cw") * col("n_inst")).as("tokens_total"),
+        sum(when(!boiler, col("cw") * col("n_inst")).otherwise(0L))
+          .as("tokens_kept"))
+      .withColumn("boiler_frac",
+        round(col("n_boiler_instances").cast("double") / col("n_chunks"), 6))
+      .orderBy(col("source"))
+  }
+
+  private val t24Sql =
+    """WITH g AS (SELECT doc_id, source, string_split(text, ' ') AS w
+      |  FROM documents),
+      |ch AS (SELECT doc_id, source,
+      |    md5(array_to_string(w[i*10+1:i*10+10], ' ')) AS ck,
+      |    CAST(len(w[i*10+1:i*10+10]) AS BIGINT) AS cw
+      |  FROM g, unnest(range(CAST(ceil(len(w)/10.0) AS BIGINT))) t(i)
+      |  WHERE len(w) >= 1),
+      |k AS (SELECT source, ck, MAX(cw) AS cw, COUNT(*) AS n_inst,
+      |    COUNT(DISTINCT doc_id) AS df
+      |  FROM ch GROUP BY 1, 2)
+      |SELECT source, COUNT(*) AS n_chunk_keys,
+      |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler_keys,
+      |  CAST(SUM(n_inst) AS BIGINT) AS n_chunks,
+      |  CAST(SUM(CASE WHEN df >= 2 THEN n_inst ELSE 0 END) AS BIGINT)
+      |    AS n_boiler_instances,
+      |  CAST(SUM(cw * n_inst) AS BIGINT) AS tokens_total,
+      |  CAST(SUM(CASE WHEN df < 2 THEN cw * n_inst ELSE 0 END) AS BIGINT)
+      |    AS tokens_kept,
+      |  ROUND(CAST(SUM(CASE WHEN df >= 2 THEN n_inst ELSE 0 END) AS DOUBLE)
+      |    / SUM(n_inst), 6) AS boiler_frac
+      |FROM k GROUP BY source
+      |ORDER BY source""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t24_boilerplate"    -> t24,
     "t23_token_budget"   -> t23,
     "t22_chunking"       -> t22,
     "t21_bm25"           -> t21,
@@ -1356,6 +1429,7 @@ object TextQueries extends QueryPack {
     "t12_mix_weights" -> t12)
 
   override def oracle: Map[String, String] = Map(
+    "t24_boilerplate"    -> t24Sql,
     "t23_token_budget"   -> t23Sql,
     "t22_chunking"       -> t22Sql,
     "t21_bm25"           -> t21Sql,

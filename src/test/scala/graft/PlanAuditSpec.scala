@@ -188,6 +188,15 @@ class PlanAuditSpec extends SparkSpec {
     plan("t10_bigram_lm") should not include "collect_list"
   }
 
+  test("t24: the boilerplate strip is join-free (two keyed aggs, no skew trap)") {
+    // the strip decision is a function of the chunk key, so the plan
+    // must be agg-only: joining hot boilerplate keys (df up to all
+    // docs of a source) back to instances would be the classic skew
+    // reducer
+    val p = plan("t24_boilerplate")
+    p.linesIterator.filter(_.contains("Join")).toList shouldBe empty
+  }
+
   test("q21: the bloom probe filters the lineitem scan before the join") {
     val p = plan("q21_bloom_prefilter")
     p should include("graft_bloom_contains")
