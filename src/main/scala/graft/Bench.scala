@@ -29,6 +29,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // File-create syscalls dominate multi-stage queries on this VM:
       // the bypass-merge shuffle writer opens R files per map task
@@ -61,31 +62,45 @@ object Bench {
     val qs0 = SparkEntry.queries.toSeq.filter(kv => keep(kv._1)).sortBy(_._1)
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
+    // A query that throws in ANY rep is FAILED: its elapsed-until-throw
+    // samples are meaningless, and folding them into the total would
+    // make breakage look like speedup (BENCH_r07 reported "111.5 s"
+    // while a third of the surface crashed fast). Failed queries are
+    // excluded from the total and reported in a "failed" list instead.
+    val failed = scala.collection.mutable.SortedSet.empty[String]
     for (rep <- 1 to Reps) {
       // settle accumulated garbage between passes so a collection
       // pause lands here, not inside some arbitrary query's sample
       if (rep > 1) System.gc()
-      for ((name, fn) <- qs0) {
+      for ((name, fn) <- qs0 if !failed(name)) {
         val t0 = System.nanoTime()
-        try drain(fn(spark, sfDir)) catch {
-          case e: Throwable => System.err.println(s"BENCH ERROR $name: $e")
+        try {
+          drain(fn(spark, sfDir))
+          samples(name) ::= (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"BENCH ERROR $name: $e")
+            failed += name
         }
-        samples(name) ::= (System.nanoTime() - t0) / 1e9
       }
     }
-    val results = qs0.map { case (name, _) =>
+    val results = qs0.collect { case (name, _) if !failed(name) =>
       val times = samples(name).sorted
       name -> times(times.size / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","method":"median_of_${Reps}_full_materialize"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","method":"median_of_${Reps}_full_materialize"}""")
     // compact trailer AFTER the big line: the driver captures the tail
     // of stdout, and the per-query line can outgrow that capture — the
-    // total must always land inside it (BENCH_r03 lost its total this
-    // way)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    // total, n_queries, and any breakage must always land inside it
+    // (BENCH_r03 lost its total this way; BENCH_r07 parsed as healthy
+    // while 32 queries crashed)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir"}""")
+    if (failed.nonEmpty)
+      System.err.println(s"BENCH FAILED QUERIES (${failed.size}): ${failed.mkString(", ")}")
     spark.stop()
   }
 }

@@ -22,6 +22,7 @@ object Soak {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.shuffle.sort.bypassMergeThreshold", "8")
       .config("spark.local.dir", "/dev/shm/graft-shuffle")
@@ -29,20 +30,28 @@ object Soak {
     spark.sparkContext.setLogLevel("WARN")
     try Tables(spark, sfDir, "lineitem").count() catch { case _: Throwable => () }
     val qs = SparkEntry.queries.toSeq.filter(kv => keep(kv._1)).sortBy(_._1)
-    val warm = qs.map { case (name, fn) =>
-      def once(): Double = {
+    // A throwing query contributes NO time: elapsed-until-throw would
+    // understate it and make breakage read as a scaling win. It lands
+    // in the "failed" list instead (same contract as Bench).
+    val failed = scala.collection.mutable.SortedSet.empty[String]
+    val warm = qs.flatMap { case (name, fn) =>
+      def once(): Option[Double] = {
         val t0 = System.nanoTime()
-        try Bench.drain(fn(spark, sfDir)) catch {
-          case e: Throwable => System.err.println(s"SOAK ERROR $name: $e")
+        try { Bench.drain(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"SOAK ERROR $name: $e"); failed += name; None
         }
-        (System.nanoTime() - t0) / 1e9
       }
       once() // cold: artifacts + JIT
-      name -> once()
+      once().map(name -> _)
     }
     val body = warm.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"warm_total","value":${warm.map(_._2).sum},"unit":"sec","queries":$body,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"warm_total","value":${warm.map(_._2).sum},"unit":"sec","queries":$body,"failed":$failedJson,"sf":"$sfDir"}""")
+    if (failed.nonEmpty)
+      System.err.println(s"SOAK FAILED QUERIES (${failed.size}): ${failed.mkString(", ")}")
     spark.stop()
   }
 }

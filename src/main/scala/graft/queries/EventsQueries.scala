@@ -15,11 +15,12 @@ import org.apache.spark.sql.functions._
   * dedup (D1), ledger anti-join replay (D2), pivot, sessionization,
   * as-of join.
   *
-  * Timestamp convention: the parquet column is TIMESTAMP(NANOS);
-  * Spark reads µs (graft.Tables truncates), DuckDB reads ns. All
-  * instants compared or emitted go through microsecond longs —
-  * `unix_micros(ts)` / `epoch_ns(ts)//1000` — or day/hour truncation,
-  * so both engines see identical values.
+  * Timestamp convention: graft.Tables adapts to whatever physical
+  * encoding the driver wrote (`TIMESTAMP(NANOS)` read as long, or
+  * µs-precision timestamps) and always exposes epoch-nanos `ts_ns` +
+  * a µs TIMESTAMP `ts`. All instants compared or emitted go through
+  * microsecond longs — `unix_micros(ts)` / `epoch_ns(ts)//1000` — or
+  * day/hour truncation, so both engines see identical values.
   *
   * Scale notes (100 TB): every aggregation is a partial+final hash
   * agg keyed on low-skew keys; the goal dim is a 5-row broadcast;
@@ -107,9 +108,9 @@ object EventsQueries extends QueryPack {
     * "windows" are calendar filters, not streaming windows): one ISO
     * week of activity bucketed by hour. */
   private def e3(s: SparkSession, dir: String): DataFrame = {
-    ev(s, dir)
-      .filter(col("ts_ns") >= Tables.nanos("2024-01-08") &&
-        col("ts_ns") < Tables.nanos("2024-01-15"))
+    // ranged read: the week bounds filter the PHYSICAL ts column so
+    // they push to the parquet scan (PlanAuditSpec locks this)
+    Tables.events(s, dir, from = Some("2024-01-08"), until = Some("2024-01-15"))
       .groupBy(date_trunc("HOUR", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         money(sum(dec(col("value")))).as("sum_value"))
@@ -159,11 +160,11 @@ object EventsQueries extends QueryPack {
     * D2): the ledger is every (user, type) key seen on day 1; day-2
     * events anti-join it, so only first-ever keys pass the gate. */
   private def e5(s: SparkSession, dir: String): DataFrame = {
-    val e = ev(s, dir)
-    val ledger = e.filter(col("ts_ns") < Tables.nanos("2024-01-02"))
+    // both slices are selective day ranges — read them ranged so the
+    // bounds push to the scan instead of filtering derived ts_ns
+    val ledger = Tables.events(s, dir, until = Some("2024-01-02"))
       .select(col("user_id"), col("event_type")).distinct()
-    e.filter(col("ts_ns") >= Tables.nanos("2024-01-02") &&
-        col("ts_ns") < Tables.nanos("2024-01-03"))
+    Tables.events(s, dir, from = Some("2024-01-02"), until = Some("2024-01-03"))
       .join(ledger, Seq("user_id", "event_type"), "left_anti")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_new"), countDistinct(col("user_id")).as("n_users"))
@@ -1328,7 +1329,55 @@ object EventsQueries extends QueryPack {
       |WHERE r.rk <= 5
       |ORDER BY r.grp, r.item""".stripMargin
 
+  /** Day-partitioned serving copy of the events fact — the WRITE side
+    * of the fact-sink layout (SURVEY §2.8): [[graft.etl.CorpusLayout
+    * .writePartitioned]] routes each business day to its own
+    * directory (in-file sorted by ts_ns), so calendar filters become
+    * PARTITION PRUNING — at 100 TB the dashboard's Today query reads
+    * one directory of a 3-year table, not the table. Written once per
+    * (session, corpus) to scratch, overwritten per build. */
+  private object ServingLayout {
+    private val reg =
+      scala.collection.mutable.Map.empty[(SparkSession, String), String]
+    def apply(s: SparkSession, dir: String): String = synchronized {
+      reg.getOrElseUpdate((s, dir), {
+        val path = sys.props("java.io.tmpdir") + "/graft-serving-" +
+          java.lang.Integer.toHexString(dir.hashCode) + "/facts"
+        graft.etl.CorpusLayout.writePartitioned(
+          Tables(s, dir, "events").withColumn("day",
+            date_trunc("DAY", col("ts")).cast("date")),
+          path, Seq("day"), Seq("ts_ns"), maxRecordsPerFile = 1 << 20)
+        path
+      })
+    }
+  }
+
+  /** e31 — fact serving off the day-partitioned layout: a Today-style
+    * calendar filter hits the PARTITION COLUMN, so the scan plans
+    * non-empty `PartitionFilters` and touches exactly one directory
+    * (PlanAuditSpec locks the pruned-scan shape; this driver gate
+    * locks that the served numbers equal the source of truth). */
+  private def e31(s: SparkSession, dir: String): DataFrame = {
+    val served = s.read.parquet(ServingLayout(s, dir))
+    served.filter(col("day") === lit(java.sql.Date.valueOf("2024-01-10")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        money(sum(dec(col("value")))).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  private val e31Sql =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE CAST(ts AS DATE) = DATE '2024-01-10'
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e31_day_serving"    -> e31,
     "e30_topk_exact"     -> e30,
     "e29_multitouch"     -> e29,
     "e28_pattern_match"  -> e28,
@@ -1361,6 +1410,7 @@ object EventsQueries extends QueryPack {
     "e17_trailing_window" -> e17)
 
   override def oracle: Map[String, String] = Map(
+    "e31_day_serving"    -> e31Sql,
     "e30_topk_exact"     -> e30Sql,
     "e29_multitouch"     -> e29Sql,
     "e28_pattern_match"  -> e28Sql,
