@@ -98,7 +98,24 @@ object CorpusLayout {
     * bucketing requires the table catalog (`saveAsTable`). */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
       bucketCols: Seq[String], sortCols: Seq[String]): Unit = {
-    df.write
+    // True overwrite across JVM restarts: the in-memory catalog
+    // forgets the table between sessions but its managed LOCATION
+    // survives on disk, and CREATE then fails with
+    // LOCATION_ALREADY_EXISTS — drop the stale entry AND the orphaned
+    // directory before writing.
+    val s = df.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    // Route each bucket's rows to one task before the write: Spark's
+    // repartition hash IS the bucket hash (Murmur3), so this yields
+    // ONE file per bucket instead of tasks × buckets small files —
+    // at 1000 executors the difference between a bounded table and a
+    // small-file storm.
+    df.repartition(buckets, bucketCols.map(col): _*)
+      .write
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(sortCols.head, sortCols.tail: _*)
       .mode("overwrite")

@@ -60,23 +60,19 @@ object DedupQueries extends QueryPack {
     * convention — parallel stages must not race the cache fill). */
   private object DocArtifacts {
     final case class Arts(shingles: DataFrame, sigs: DataFrame,
-        pairs3: DataFrame, pairs2: DataFrame)
-    private val reg =
-      scala.collection.mutable.Map.empty[(SparkSession, String), Arts]
+        pairs3: DataFrame, pairs2: DataFrame, sims: DataFrame)
+    // Bounded LRU residency + race-free release — see ArtifactRegistry
+    private val reg = new graft.ArtifactRegistry[Arts](a =>
+      Seq(a.shingles, a.sigs, a.pairs3, a.pairs2, a.sims))
 
-    def apply(s: SparkSession, dir: String): Arts = synchronized {
-      reg.getOrElseUpdate((s, dir), build(s, dir))
-    }
+    def apply(s: SparkSession, dir: String): Arts = reg(s, dir)(build)
 
     /** Drop one corpus's cached artifacts (the [[graft.Leased]]
       * lifecycle: one-shot driver runs rely on session teardown; a
-      * long-lived service releases snapshots it rotates past). */
-    def release(s: SparkSession, dir: String): Unit = synchronized {
-      reg.remove((s, dir)).foreach { a =>
-        Seq(a.shingles, a.sigs, a.pairs3, a.pairs2)
-          .foreach(_.unpersist(blocking = false))
-      }
-    }
+      * long-lived service releases snapshots it rotates past — and the
+      * registry's LRU bound releases them unprompted past
+      * [[graft.ArtifactRegistry.defaultMaxCorpora]] corpora). */
+    def release(s: SparkSession, dir: String): Unit = reg.release(s, dir)
 
     private def persistEager(df: DataFrame): DataFrame = {
       val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -97,7 +93,16 @@ object DedupQueries extends QueryPack {
       val pairs2 = persistEager(graft.operators.TextDedup
         .jaccardPairs(shingles, "doc_id", "xs",
           threshold = 0.8, maxDf = d2MaxDf))
-      Arts(shingles, sigs, pairs3, pairs2)
+      // SimHash signature table (d4): the per-doc word explode +
+      // 32-bit-sum aggregation dominates every d4 run — train once
+      // like the MinHash sigs; the warm path starts at the (small)
+      // block index over #docs rows instead of the corpus text.
+      val sims = persistEager(graft.operators.TextDedup.simhash(
+        docs(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("__w"))
+          .groupBy(col("doc_id"), col("__w")).agg(count(lit(1)).as("__cnt")),
+        "doc_id"))
+      Arts(shingles, sigs, pairs3, pairs2, sims)
     }
   }
 
@@ -233,15 +238,11 @@ object DedupQueries extends QueryPack {
     * near-dups have hamming distance ≤ 3. Pair generation via the
     * pigeonhole blocks (4 × 8-bit blocks; hd ≤ 3 ⇒ ≥1 equal block) —
     * the bucketed join that makes SimHash linear at scale. */
-  private def d4(s: SparkSession, dir: String): DataFrame = {
-    val wordCounts = docs(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("__w"))
-      .groupBy(col("doc_id"), col("__w")).agg(count(lit(1)).as("__cnt"))
-    val sims = graft.operators.TextDedup.simhash(wordCounts, "doc_id")
+  private def d4(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextDedup
-      .simhashPairs(sims, "doc_id", maxHamming = 3, nBlocks = 4)
+      .simhashPairs(DocArtifacts(s, dir).sims, "doc_id",
+        maxHamming = 3, nBlocks = 4)
       .orderBy(col("d1"), col("d2"))
-  }
 
   private val d4Sql = {
     val bitSums = (0 until 32).map(b =>

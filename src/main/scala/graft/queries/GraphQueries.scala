@@ -43,26 +43,16 @@ object GraphQueries extends QueryPack {
     final case class Arts(deg: DataFrame, edgesDeg: DataFrame,
         partDeg: DataFrame, oriented: DataFrame)
 
-    /** Per-key memo cell: the registry lock covers MAP ACCESS only
-      * (ConcurrentHashMap.computeIfAbsent); the eager persist+count
-      * Spark jobs run under the cell's own lazy-val lock, so two
-      * concurrent queries over DIFFERENT corpus dirs build in
-      * parallel while same-key callers still build exactly once. */
-    private final class Cell(s: SparkSession, dir: String) {
-      @volatile private var materialized = false
-      lazy val arts: Arts = { val a = build(s, dir); materialized = true; a }
-      def releaseIfBuilt(): Unit = if (materialized)
-        Seq(arts.deg, arts.edgesDeg, arts.partDeg, arts.oriented)
-          .foreach(_.unpersist(blocking = false))
-    }
-    private val reg = new java.util.concurrent.ConcurrentHashMap[
-      (SparkSession, String), Cell]()
+    // Bounded LRU residency, parallel per-dir builds, race-free
+    // release — see ArtifactRegistry (a release racing an in-flight
+    // build waits for it and then unpersists; a @volatile-flag design
+    // no-ops in that window and leaks all four persisted frames).
+    private val reg = new graft.ArtifactRegistry[Arts](a =>
+      Seq(a.deg, a.edgesDeg, a.partDeg, a.oriented))
 
-    def apply(s: SparkSession, dir: String): Arts =
-      reg.computeIfAbsent((s, dir), _ => new Cell(s, dir)).arts
+    def apply(s: SparkSession, dir: String): Arts = reg(s, dir)(build)
 
-    def release(s: SparkSession, dir: String): Unit =
-      Option(reg.remove((s, dir))).foreach(_.releaseIfBuilt())
+    def release(s: SparkSession, dir: String): Unit = reg.release(s, dir)
 
     private def persistEager(df: DataFrame): DataFrame = {
       val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -109,9 +99,22 @@ object GraphQueries extends QueryPack {
         .join(partDeg.select(col("node").as("v"), col("deg").as("dv")), "v")
       val uFirst = col("du") < col("dv") ||
         (col("du") === col("dv") && col("u") < col("v"))
-      val oriented = persistEager(withU.select(
+      // The oriented edge table is WRITTEN BUCKETED on src (the join/
+      // agg key of every closure pass) — the "pre-bucketed edge
+      // artifact" shape: g2's adjacency groupBy(src) and its src-keyed
+      // closure join then plan with NO exchange on the edge side
+      // (PlanAuditSpec locks this), and at 100 TB the bucket layout
+      // survives job restarts where an in-memory partitioning doesn't.
+      // The read-back is persisted too (bucketed scans report
+      // HashPartitioning(src), which the cache preserves).
+      val nb = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val tbl = "graft_g_oriented_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      graft.etl.CorpusLayout.writeBucketed(withU.select(
         when(uFirst, col("u")).otherwise(col("v")).as("src"),
-        when(uFirst, col("v")).otherwise(col("u")).as("dst")))
+        when(uFirst, col("v")).otherwise(col("u")).as("dst")),
+        tbl, nb, Seq("src"), Seq("src", "dst"))
+      val oriented = persistEager(s.table(tbl))
       pEdges.unpersist(blocking = false) // folded into oriented
       Arts(deg, edgesDeg, partDeg, oriented)
     }

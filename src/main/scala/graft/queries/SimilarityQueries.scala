@@ -663,22 +663,15 @@ object SimilarityQueries extends QueryPack {
   private object PqArtifacts {
     final case class Arts(cells: DataFrame, cents: DataFrame,
         subs: Seq[(DataFrame, DataFrame)], recon: DataFrame)
-    private val reg =
-      scala.collection.mutable.Map.empty[(SparkSession, String), Arts]
+    // Bounded LRU residency + race-free release — see ArtifactRegistry
+    private val reg = new graft.ArtifactRegistry[Arts](a =>
+      a.cells +: a.cents +: a.recon +: a.subs.flatMap(t => Seq(t._1, t._2)))
 
-    def apply(s: SparkSession, dir: String): Arts = synchronized {
-      reg.getOrElseUpdate((s, dir), build(s, dir))
-    }
+    def apply(s: SparkSession, dir: String): Arts = reg(s, dir)(build)
 
     /** Drop one corpus's cached artifacts (the [[graft.Leased]]
       * lifecycle — see DocArtifacts.release). */
-    def release(s: SparkSession, dir: String): Unit = synchronized {
-      reg.remove((s, dir)).foreach { a =>
-        (a.cells +: a.cents +: a.recon +:
-            a.subs.flatMap(t => Seq(t._1, t._2)))
-          .foreach(_.unpersist(blocking = false))
-      }
-    }
+    def release(s: SparkSession, dir: String): Unit = reg.release(s, dir)
 
     private def persistEager(df: DataFrame): DataFrame = {
       val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -526,8 +526,18 @@ object TextQueries extends QueryPack {
   private def benchProbe(probes: DataFrame, bench: DataFrame,
       bloomPath: Boolean): DataFrame =
     if (bloomPath) {
-      val bloom = bench.select(col("gram")).distinct()
-        .stat.bloomFilter("gram", 500000L, 0.01)
+      val benchGrams = bench.select(col("gram")).distinct()
+      // Size the sketch from the MEASURED cardinality, not a constant:
+      // a fixed 500k expectedNumItems drove FPP → 1 exactly in the
+      // oversized regime this path exists for. ~9.6 bits/item ≈ 1%
+      // FPP; the byte cap keeps the sketch task-shippable at any
+      // suite size — past it FPP degrades gracefully and the exact
+      // shuffled join below still removes every false positive, so
+      // correctness never depends on the sketch, only prune rate.
+      val n = math.max(benchGrams.count(), 1L)
+      val maxBits = 8L * 64 * 1024 * 1024 // 64 MB cap
+      val bloom = benchGrams.stat.bloomFilter("gram", n,
+        math.min(maxBits, math.max((n * 9.6).toLong, 64L)))
       val bos = new java.io.ByteArrayOutputStream()
       bloom.writeTo(bos)
       probes

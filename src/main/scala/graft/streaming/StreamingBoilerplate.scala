@@ -21,12 +21,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * that evicts quiet keys (boilerplate profiles are per-snapshot;
   * the StreamingNearDup TTL contract).
   *
-  * Determinism: batch observations fold in (docId) order; a key
-  * crossing the threshold inside one batch emits exactly once with
-  * the distinct-doc count at the crossing batch's end. Emission is
-  * append-mode (each key at most once per state lifetime), so
-  * downstream `foreachBatch` strippers can union the emitted keys
-  * into their block-list idempotently.
+  * Determinism contract (stated precisely — the WHICH and the WHEN
+  * are invariant, the reported count is not): the set of flagged
+  * keys and the at-most-once emission per key are independent of how
+  * the input is split into batches (a set union is order- and
+  * batching-insensitive). The emitted `df` is NOT a pure function of
+  * the data: it is the distinct-doc count as of the END of the batch
+  * in which the key crossed, so finer batching reports values closer
+  * to `threshold` while one mega-batch reports that batch's full
+  * count. Consumers must treat `df` as a lower-bounded observation
+  * (`threshold ≤ df ≤ true df`), never as the total document
+  * frequency — the batch t24 profile is the exact-count source.
+  * Emission is append-mode, so downstream `foreachBatch` strippers
+  * can union the emitted keys into their block-list idempotently.
   */
 object StreamingBoilerplate {
 

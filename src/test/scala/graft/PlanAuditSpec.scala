@@ -18,6 +18,14 @@ class PlanAuditSpec extends SparkSpec {
     p should include("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,")
   }
 
+  test("e31: the calendar filter is PARTITION pruning on the serving layout") {
+    // the Today-style filter must reach the scan as a PartitionFilter
+    // (whole directories skipped), not a post-scan Filter node
+    val p = plan("e31_day_serving")
+    p should include("PartitionFilters: [isnotnull(day")
+    p should include("(day")
+  }
+
   test("q2/e1: dimension joins broadcast, fact side never builds") {
     plan("q2_star_join") should include("BroadcastHashJoin")
     plan("e1_scoreboard") should include("BroadcastHashJoin")
@@ -265,6 +273,25 @@ class PlanAuditSpec extends SparkSpec {
     val joinLines = p.linesIterator.filter(l =>
       l.contains("Join") && l.contains("t_day")).toList
     joinLines should not be empty
+  }
+
+  test("g2: the bucketed edge artifact kills the edge-side exchanges") {
+    // the oriented edge table is WRITTEN bucketed on src, so the
+    // adjacency groupBy(src) and the src-keyed closure join must read
+    // it with no exchange; the only shuffles left in the whole plan
+    // are the dst-keyed repartition and the per-node rollup. AQE off
+    // for the count: query stages hide exchanges from tree traversal.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val qe = SparkEntry.queries("g2_triangles")(spark, dir).queryExecution
+      val shuffles = qe.executedPlan.collect { case e: ShuffleExchangeExec => e }
+      withClue(qe.executedPlan.toString) {
+        qe.executedPlan.toString should include("graft_g_oriented")
+        shuffles.size should be <= 2
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   test("q33: no global sort anywhere (sorted zones come from bucketed ranks)") {

@@ -214,6 +214,48 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpoint restart: all three state stores resume from a real " +
+      "checkpoint dir — near-dups of pre-restart docs stay rejected") {
+    // the deepest-state operator must survive the production lifecycle:
+    // stop mid-stream, start a NEW query from the same checkpointLocation,
+    // and the exact-dedup ledger + band buckets + admit markers must all
+    // come back — if any were lost, goodNear/goodDup would be admitted
+    // after the restart (their only rejection evidence is doc 1's
+    // pre-restart state).
+    val in = tmp("graft-cur-rst-in")
+    val chk = tmp("graft-cur-rst-chk")
+    val out = tmp("graft-cur-rst-out")
+    def start() = {
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .json(in.toString)
+      StreamingCuration.ingest(stream)
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", chk.toString)
+        .outputMode("append").start()
+    }
+    val q1 = start()
+    try {
+      Files.writeString(in.resolve("a.json"), json(1L, good) + "\n")
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // restart: a fresh query object, same checkpoint — state restored
+    val q2 = start()
+    try {
+      val fresh = "a completely different story about the sea and the " +
+        "ships that sail far away to the north in winter when it is cold"
+      Files.writeString(in.resolve("b.json"),
+        json(7L, goodDup) + "\n" + json(9L, goodNear) + "\n" +
+          json(12L, fresh) + "\n")
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    spark.read.parquet(out.toString).select("id")
+      .as[Long].collect().toSet shouldBe Set(1L, 12L)
+  }
+
   test("redelivered and cross-batch near-dup content stays rejected") {
     val in = tmp("graft-cur-in2")
     val stream = spark.readStream
