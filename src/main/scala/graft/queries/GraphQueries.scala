@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.{QueryPack, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over the order graph — the ranking
@@ -11,13 +12,19 @@ import org.apache.spark.sql.functions._
   * an (undirected) edge connects a customer to every supplier that
   * fulfilled one of its orders (orders ⋈ lineitem, distinct pairs).
   *
-  * Determinism contract (the sorted-fold convention): per-node
+  * Determinism contract (the ordered-fold convention): per-node
   * neighbor contributions are folded in source-node order on both
-  * engines (`aggregate(array_sort(collect_list(struct(src, c))))` ≡
-  * DuckDB `list_sum(list(c ORDER BY src))`), damping constants are
-  * cast to DOUBLE explicitly (DuckDB parses bare `0.85` as DECIMAL),
-  * and every derived probability is the same sequence of IEEE ops on
-  * both sides — bit-identical, not merely close.
+  * engines — a full-frame ordered window sum (`sum(c) OVER
+  * (PARTITION BY dst ORDER BY src ROWS UNBOUNDED PRECEDING AND
+  * FOLLOWING)` folds each partition's rows sequentially in src
+  * order) ≡ DuckDB `list_sum(list(c ORDER BY src))`. Damping
+  * constants are cast to DOUBLE explicitly (DuckDB parses bare
+  * `0.85` as DECIMAL), and every derived probability is the same
+  * sequence of IEEE ops on both sides — bit-identical, not merely
+  * close. (The previous encoding, a collect_list + array_sort + HOF
+  * `aggregate`, computed the same fold through a per-dst array
+  * buffer with an interpreted per-element lambda — the window form
+  * is buffer-free and ~2x faster at sf1.)
   *
   * Scale (100 TB): each PageRank round is one keyed join (edges ⋈
   * ranks on src — shuffle-hash, both sides partitioned by src) plus
@@ -125,6 +132,30 @@ object GraphQueries extends QueryPack {
   def releaseArtifacts(s: SparkSession, dir: String): Unit =
     GraphArtifacts.release(s, dir)
 
+  /** src-ordered sequential sum of `c` per `dst` — one row per dst,
+    * column `sm`. A FULL-FRAME ordered window (every row of the
+    * partition, ordered by src) folds the partition sequentially in
+    * src order, so the double sum is the exact left fold DuckDB's
+    * `list_sum(list(c ORDER BY src))` computes; the groupBy(max)
+    * collapses the identical per-row values to one row per key
+    * (order-insensitive over equal values, so it can't perturb the
+    * contract). Versus the collect_list + array_sort + HOF-aggregate
+    * encoding of the same fold: no per-dst array buffer (a hub node's
+    * buffer was O(degree)) and no interpreted per-element lambda —
+    * sort-based, spill-safe, measured ~2x faster at sf1. The window
+    * is PARTITIONED by dst (high-cardinality), so the repo-wide
+    * no-unpartitioned-window lock holds. A plain groupBy(sum) after a
+    * sortWithinPartitions would NOT be safe: Catalyst's
+    * EliminateSorts legally drops sorts under aggregates, silently
+    * breaking fold order — window order is semantic and survives. */
+  private def orderedFoldSum(contrib: DataFrame): DataFrame = {
+    val wFold = Window.partitionBy(col("dst")).orderBy(col("src"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    contrib
+      .withColumn("sm", sum(col("c")).over(wFold))
+      .groupBy(col("dst")).agg(max(col("sm")).as("sm"))
+  }
+
   /** g1 — 3-round damped PageRank (d = 0.85) over the undirected
     * customer↔supplier graph. Node ids are disambiguated by parity
     * (customer k → 2k, supplier k → 2k+1). Undirected ⇒ no dangling
@@ -135,10 +166,6 @@ object GraphQueries extends QueryPack {
     val (deg, edgesDeg) = (arts.deg, arts.edgesDeg)
     val nDf = deg.agg(count(lit(1)).as("n"))
 
-    val sortedFold = expr(
-      "aggregate(transform(array_sort(collect_list(struct(src, c))), " +
-        "x -> x.c), cast(0.0 AS double), (acc, x) -> acc + x)")
-
     var ranks = deg.crossJoin(broadcast(nDf))
       .select(col("src").as("node"),
         (lit(1.0).cast("double") / col("n")).as("r"))
@@ -147,8 +174,7 @@ object GraphQueries extends QueryPack {
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst"), col("src"),
           (col("r") / col("deg")).as("c"))
-      ranks = contrib.groupBy(col("dst"))
-        .agg(sortedFold.as("sm"))
+      ranks = orderedFoldSum(contrib)
         .crossJoin(broadcast(nDf))
         .select(col("dst").as("node"),
           (lit(0.15).cast("double") / col("n") +
@@ -280,9 +306,6 @@ object GraphQueries extends QueryPack {
     val arts = GraphArtifacts(s, dir)
     val (deg, edgesDeg) = (arts.deg, arts.edgesDeg)
 
-    val sortedFold = expr(
-      "aggregate(transform(array_sort(collect_list(struct(src, c))), " +
-        "x -> x.c), cast(0.0 AS double), (acc, x) -> acc + x)")
     // seed distribution: uniform over customer nodes 2..20 (even)
     val isSeed = col("node") % 2 === 0 && col("node") <= 20
     val nodes = deg.select(col("src").as("node"))
@@ -294,8 +317,7 @@ object GraphQueries extends QueryPack {
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .filter(col("r") > 0) // walk frontier only
         .select(col("dst"), col("src"), (col("r") / col("deg")).as("c"))
-      val spread = contrib.groupBy(col("dst"))
-        .agg(sortedFold.as("sm"))
+      val spread = orderedFoldSum(contrib)
         .select(col("dst").as("node"), (lit(0.85).cast("double") * col("sm")).as("d"))
       ranks = nodes
         .join(spread, Seq("node"), "left")
