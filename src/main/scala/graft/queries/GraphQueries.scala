@@ -68,20 +68,33 @@ object GraphQueries extends QueryPack {
     }
 
     private def build(s: SparkSession, dir: String): Arts = {
-      // bipartite graph (g1/g3): the edge/degree subtree (fact join +
-      // distinct) is STATIC across rounds — persist both or every
-      // round recomputes it (measured: 7.8 s → ~2 s at sf0.1). Eager
-      // count ends the cache-fill race (the jaccardPairsLeased
-      // convention).
+      // Both edge tables are WRITTEN BUCKETED on src (the join/agg key
+      // of every round and closure pass) and every derived frame is
+      // RE-ROOTED on the bucketed scan. Two scale properties fall out:
+      //  (1) no-exchange plans — groupBy(src)/join-on-src read the
+      //      bucket layout co-partitioned (PlanAuditSpec locks g2's);
+      //  (2) cheap recompute lineage — persisted frames evicted under
+      //      storage pressure (measured: a full 140-query soak evicted
+      //      partDeg and its recompute re-ran the lineitem self-join,
+      //      4.7 s -> 39 s warm g2) now rebuild from a bucketed SCAN,
+      //      never from the fact joins; on a cluster the table also
+      //      survives job restarts where cache partitioning doesn't.
+      val nb = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val sfx = java.lang.Integer.toHexString(dir.hashCode)
+
+      // bipartite customer<->supplier graph (g1/g3)
       val pairs = Tables(s, dir, "orders")
         .join(Tables(s, dir, "lineitem"),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
         .distinct()
-      val edges = pairs
-        .select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
-        .unionAll(pairs.select((col("sk") * 2 + 1).as("src"),
-          (col("ck") * 2).as("dst")))
+      graft.etl.CorpusLayout.writeBucketed(
+        pairs
+          .select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+          .unionAll(pairs.select((col("sk") * 2 + 1).as("src"),
+            (col("ck") * 2).as("dst"))),
+        s"graft_g_bip_$sfx", nb, Seq("src"), Seq("src", "dst"))
+      val edges = s.table(s"graft_g_bip_$sfx")
       val deg = persistEager(
         edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
       val edgesDeg = persistEager(edges.join(deg, "src"))
@@ -98,31 +111,29 @@ object GraphQueries extends QueryPack {
           col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .select(col("a.pk").as("u"), col("b.pk").as("v"))
         .distinct())
-      val partDeg = persistEager(pEdges.select(col("u").as("node"))
+      val partDeg0 = persistEager(pEdges.select(col("u").as("node"))
         .unionAll(pEdges.select(col("v").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg")))
       val withU = pEdges
-        .join(partDeg.select(col("node").as("u"), col("deg").as("du")), "u")
-        .join(partDeg.select(col("node").as("v"), col("deg").as("dv")), "v")
+        .join(partDeg0.select(col("node").as("u"), col("deg").as("du")), "u")
+        .join(partDeg0.select(col("node").as("v"), col("deg").as("dv")), "v")
       val uFirst = col("du") < col("dv") ||
         (col("du") === col("dv") && col("u") < col("v"))
-      // The oriented edge table is WRITTEN BUCKETED on src (the join/
-      // agg key of every closure pass) — the "pre-bucketed edge
-      // artifact" shape: g2's adjacency groupBy(src) and its src-keyed
-      // closure join then plan with NO exchange on the edge side
-      // (PlanAuditSpec locks this), and at 100 TB the bucket layout
-      // survives job restarts where an in-memory partitioning doesn't.
-      // The read-back is persisted too (bucketed scans report
-      // HashPartitioning(src), which the cache preserves).
-      val nb = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-      val tbl = "graft_g_oriented_" +
-        java.lang.Integer.toHexString(dir.hashCode)
       graft.etl.CorpusLayout.writeBucketed(withU.select(
         when(uFirst, col("u")).otherwise(col("v")).as("src"),
         when(uFirst, col("v")).otherwise(col("u")).as("dst")),
-        tbl, nb, Seq("src"), Seq("src", "dst"))
-      val oriented = persistEager(s.table(tbl))
-      pEdges.unpersist(blocking = false) // folded into oriented
+        s"graft_g_oriented_$sfx", nb, Seq("src"), Seq("src", "dst"))
+      val oriented = persistEager(s.table(s"graft_g_oriented_$sfx"))
+      // final partDeg re-rooted on the durable oriented table: the
+      // oriented rows ARE the undirected edge set (one row per edge),
+      // so endpoint counts equal the pEdges-derived degrees — but the
+      // recompute path is now a bucketed scan + agg, not a self-join
+      val partDeg = persistEager(
+        oriented.select(col("src").as("node"))
+          .unionAll(oriented.select(col("dst").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("deg")))
+      partDeg0.unpersist(blocking = false) // folded into partDeg
+      pEdges.unpersist(blocking = false)   // folded into oriented
       Arts(deg, edgesDeg, partDeg, oriented)
     }
   }
