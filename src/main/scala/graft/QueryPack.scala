@@ -15,9 +15,11 @@ import org.apache.spark.sql.types.DecimalType
   *    representation;
   *  - averages/ratios are derived from the exact decimal sum via double
   *    division + round (identical IEEE ops on identical inputs);
-  *  - never emit a raw nanosecond timestamp (Spark truncates parquet
-  *    NANOS to micros, DuckDB keeps ns) — cast to DATE or derive from
-  *    `ts_ns div 1000` on both sides;
+  *  - never emit a raw nanosecond timestamp (the events `ts` physical
+  *    encoding varies by testdata generation; graft.Tables normalizes
+  *    to µs) — cast to DATE or derive from `ts_ns div 1000` on the
+  *    Spark side and `epoch_ns(ts)//1000` in DuckDB, both
+  *    encoding-agnostic;
   *  - every result has a total deterministic ORDER BY (unique sort key)
   *    in both engines.
   */
