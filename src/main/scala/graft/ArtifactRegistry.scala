@@ -23,9 +23,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (a @volatile-flag design no-ops in that window and leaks the
   * frames), and a get racing a completed release observes the
   * retired cell and re-resolves a fresh one.
+  *
+  * Build contract: a build that THROWS must first unpersist whatever
+  * frames it already materialized (use a tracked persist — see
+  * GraphArtifacts.build) — the registry cannot know a failed build's
+  * partial frames, and without cleanup every retry would persist
+  * fresh copies. `onRetire` runs after the frames are unpersisted on
+  * release/eviction — the hook for durable side-artifacts (bucketed
+  * tables, serving directories) that must not outlive the bundle.
   */
 final class ArtifactRegistry[A](frames: A => Seq[DataFrame],
-    maxCorpora: Int = ArtifactRegistry.defaultMaxCorpora) {
+    maxCorpora: Int = ArtifactRegistry.defaultMaxCorpora,
+    onRetire: A => Unit = (_: A) => ()) {
   require(maxCorpora >= 1, "registry must admit at least one corpus")
 
   private final class Cell(s: SparkSession, dir: String,
@@ -38,7 +47,10 @@ final class ArtifactRegistry[A](frames: A => Seq[DataFrame],
       else Some(built.getOrElse { val a = build(s, dir); built = Some(a); a })
     }
     def retire(): Unit = synchronized {
-      built.foreach(a => frames(a).foreach(_.unpersist(blocking = false)))
+      built.foreach { a =>
+        frames(a).foreach(_.unpersist(blocking = false))
+        onRetire(a)
+      }
       built = None
       retired = true
     }
@@ -85,4 +97,12 @@ object ArtifactRegistry {
   /** Default residency bound per registry, env-tunable. */
   val defaultMaxCorpora: Int =
     sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_CORPORA", "4").toInt
+
+  /** Collision-safe on-disk tag for a corpus dir. `String.hashCode`
+    * collides easily (32 bits, trivial constructions), and a collision
+    * in a table/directory name silently crossed two corpora's durable
+    * artifacts — md5 makes that probability cryptographically nil. */
+  def dirTag(dir: String): String = java.security.MessageDigest
+    .getInstance("MD5").digest(dir.getBytes("UTF-8"))
+    .take(8).map("%02x".format(_)).mkString
 }

@@ -43,8 +43,12 @@ object Soak {
             System.err.println(s"SOAK ERROR $name: $e"); failed += name; None
         }
       }
-      once() // cold: artifacts + JIT
-      once().map(name -> _)
+      // a cold failure marks the query failed AND skips the warm run:
+      // its "warm" time would silently absorb the artifact build the
+      // cold run was supposed to amortize, and a query must never
+      // appear in both the timings and the failed list
+      if (once().isEmpty) None
+      else once().map(name -> _)
     }
     val body = warm.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -60,10 +60,10 @@ object DedupQueries extends QueryPack {
     * convention — parallel stages must not race the cache fill). */
   private object DocArtifacts {
     final case class Arts(shingles: DataFrame, sigs: DataFrame,
-        pairs3: DataFrame, pairs2: DataFrame, sims: DataFrame)
+        pairs3: DataFrame, pairs2: DataFrame)
     // Bounded LRU residency + race-free release — see ArtifactRegistry
     private val reg = new graft.ArtifactRegistry[Arts](a =>
-      Seq(a.shingles, a.sigs, a.pairs3, a.pairs2, a.sims))
+      Seq(a.shingles, a.sigs, a.pairs3, a.pairs2))
 
     def apply(s: SparkSession, dir: String): Arts = reg(s, dir)(build)
 
@@ -74,43 +74,68 @@ object DedupQueries extends QueryPack {
       * [[graft.ArtifactRegistry.defaultMaxCorpora]] corpora). */
     def release(s: SparkSession, dir: String): Unit = reg.release(s, dir)
 
-    private def persistEager(df: DataFrame): DataFrame = {
-      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      p.count()
-      p
-    }
-
     private def build(s: SparkSession, dir: String): Arts = {
-      val shingles = persistEager(withShinglesRaw(s, dir))
-      val sigs = persistEager(shingles.select(col("doc_id"),
-        graft.operators.TextDedup.minhashSig("xs", 16).as("sig")))
-      val pairs3 = persistEager(graft.operators.TextDedup
-        .lshCandidates(sigs, "doc_id", k = 16, bands = bands)
-        .withColumn("sig_matches",
-          call_function("graft_sig_matches", col("sig1"), col("sig2")))
-        .filter(col("sig_matches") >= 12)
-        .select(col("d1"), col("d2"), col("sig_matches")))
-      val pairs2 = persistEager(graft.operators.TextDedup
-        .jaccardPairs(shingles, "doc_id", "xs",
-          threshold = 0.8, maxDf = d2MaxDf))
-      // SimHash signature table (d4): the per-doc word explode +
-      // 32-bit-sum aggregation dominates every d4 run — train once
-      // like the MinHash sigs; the warm path starts at the (small)
-      // block index over #docs rows instead of the corpus text.
-      val sims = persistEager(graft.operators.TextDedup.simhash(
-        docs(s, dir)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("__w"))
-          .groupBy(col("doc_id"), col("__w")).agg(count(lit(1)).as("__cnt")),
-        "doc_id"))
-      Arts(shingles, sigs, pairs3, pairs2, sims)
+      // registry build contract: track persists, release on failure
+      val tracked = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      def persistEager(df: DataFrame): DataFrame = {
+        val p = df.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        tracked += p
+        p.count()
+        p
+      }
+      try {
+        val shingles = persistEager(withShinglesRaw(s, dir))
+        val sigs = persistEager(shingles.select(col("doc_id"),
+          graft.operators.TextDedup.minhashSig("xs", 16).as("sig")))
+        val pairs3 = persistEager(graft.operators.TextDedup
+          .lshCandidates(sigs, "doc_id", k = 16, bands = bands)
+          .withColumn("sig_matches",
+            call_function("graft_sig_matches", col("sig1"), col("sig2")))
+          .filter(col("sig_matches") >= 12)
+          .select(col("d1"), col("d2"), col("sig_matches")))
+        val pairs2 = persistEager(graft.operators.TextDedup
+          .jaccardPairs(shingles, "doc_id", "xs",
+            threshold = 0.8, maxDf = d2MaxDf))
+        Arts(shingles, sigs, pairs3, pairs2)
+      } catch { case t: Throwable =>
+        tracked.foreach(_.unpersist(blocking = false)); throw t }
     }
+  }
+
+  /** SimHash signature table (d4's train-once index) — its OWN
+    * registry, not a DocArtifacts field: a d4-only run must not build
+    * the MinHash/jaccard pair tables, and d1-d3 runs must not pay the
+    * per-doc word explode + 32-bit-sum simhash aggregation they never
+    * read. Bundle granularity = what a query family actually shares. */
+  private object SimArtifacts {
+    private val reg = new graft.ArtifactRegistry[DataFrame](f => Seq(f))
+
+    def apply(s: SparkSession, dir: String): DataFrame =
+      reg(s, dir) { (s2, d) =>
+        val p = graft.operators.TextDedup.simhash(
+          docs(s2, d)
+            .select(col("doc_id"), explode(split(col("text"), " ")).as("__w"))
+            .groupBy(col("doc_id"), col("__w")).agg(count(lit(1)).as("__cnt")),
+          "doc_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // single persist: a failure before count() leaves an un-iterated
+        // cache entry; unpersist defensively on failure
+        try { p.count(); p }
+        catch { case t: Throwable =>
+          p.unpersist(blocking = false); throw t }
+      }
+
+    def release(s: SparkSession, dir: String): Unit = reg.release(s, dir)
   }
 
   /** Release the shared dedup index artifacts for one corpus dir —
     * the [[graft.Leased]] lifecycle hook for long-lived services
     * rotating corpus snapshots; queries lazily rebuild on next use. */
-  def releaseArtifacts(s: SparkSession, dir: String): Unit =
+  def releaseArtifacts(s: SparkSession, dir: String): Unit = {
     DocArtifacts.release(s, dir)
+    SimArtifacts.release(s, dir)
+  }
 
   private def withShingles(s: SparkSession, dir: String): DataFrame =
     DocArtifacts(s, dir).shingles
@@ -240,7 +265,7 @@ object DedupQueries extends QueryPack {
     * the bucketed join that makes SimHash linear at scale. */
   private def d4(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextDedup
-      .simhashPairs(DocArtifacts(s, dir).sims, "doc_id",
+      .simhashPairs(SimArtifacts(s, dir), "doc_id",
         maxHamming = 3, nBlocks = 4)
       .orderBy(col("d1"), col("d2"))
 

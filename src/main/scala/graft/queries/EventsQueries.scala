@@ -1337,19 +1337,30 @@ object EventsQueries extends QueryPack {
     * one directory of a 3-year table, not the table. Written once per
     * (session, corpus) to scratch, overwritten per build. */
   private object ServingLayout {
-    private val reg =
-      scala.collection.mutable.Map.empty[(SparkSession, String), String]
-    def apply(s: SparkSession, dir: String): String = synchronized {
-      reg.getOrElseUpdate((s, dir), {
+    // ArtifactRegistry lifecycle (LRU-bounded, race-free, builds for
+    // different corpora in parallel — the old coarse-locked memo held
+    // one global lock across the full Spark write); onRetire deletes
+    // the serving copy, so rotating snapshots can't leak one full
+    // events copy per corpus. Path tag is md5 (dirTag): a hashCode
+    // collision would silently serve the other corpus's facts.
+    private val reg = new graft.ArtifactRegistry[String](_ => Seq.empty,
+      onRetire = path => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(path).getParentFile)
+      })
+    def apply(s: SparkSession, dir: String): String =
+      reg(s, dir) { (s2, d) =>
         val path = sys.props("java.io.tmpdir") + "/graft-serving-" +
-          java.lang.Integer.toHexString(dir.hashCode) + "/facts"
+          graft.ArtifactRegistry.dirTag(d) + "/facts"
         graft.etl.CorpusLayout.writePartitioned(
-          Tables(s, dir, "events").withColumn("day",
+          Tables(s2, d, "events").withColumn("day",
             date_trunc("DAY", col("ts")).cast("date")),
           path, Seq("day"), Seq("ts_ns"), maxRecordsPerFile = 1 << 20)
         path
-      })
-    }
+      }
+    def release(s: SparkSession, dir: String): Unit = reg.release(s, dir)
   }
 
   /** e31 — fact serving off the day-partitioned layout: a Today-style

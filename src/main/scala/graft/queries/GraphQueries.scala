@@ -48,26 +48,44 @@ object GraphQueries extends QueryPack {
     * materialized frames with an explicit release hook. */
   private object GraphArtifacts {
     final case class Arts(deg: DataFrame, edgesDeg: DataFrame,
-        partDeg: DataFrame, oriented: DataFrame)
+        partDeg: DataFrame, oriented: DataFrame, tables: Seq[String])
 
     // Bounded LRU residency, parallel per-dir builds, race-free
     // release — see ArtifactRegistry (a release racing an in-flight
     // build waits for it and then unpersists; a @volatile-flag design
     // no-ops in that window and leaks all four persisted frames).
-    private val reg = new graft.ArtifactRegistry[Arts](a =>
-      Seq(a.deg, a.edgesDeg, a.partDeg, a.oriented))
+    // onRetire drops the durable bucketed tables too (DROP TABLE on a
+    // managed table removes its warehouse location), so a service
+    // rotating snapshots past the LRU bound doesn't accrete two edge
+    // tables of disk per snapshot.
+    private val reg = new graft.ArtifactRegistry[Arts](
+      a => Seq(a.deg, a.edgesDeg, a.partDeg, a.oriented),
+      onRetire = a => a.tables.foreach(t =>
+        a.deg.sparkSession.sql(s"DROP TABLE IF EXISTS `$t`")))
 
     def apply(s: SparkSession, dir: String): Arts = reg(s, dir)(build)
 
     def release(s: SparkSession, dir: String): Unit = reg.release(s, dir)
 
-    private def persistEager(df: DataFrame): DataFrame = {
-      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      p.count()
-      p
+    private def build(s: SparkSession, dir: String): Arts = {
+      // the ArtifactRegistry build contract: track every persist so a
+      // mid-build failure (OOM in the self-join, say) releases what
+      // was already materialized instead of leaking it on every retry
+      val tracked = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      def persistEager(df: DataFrame): DataFrame = {
+        val p = df.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        tracked += p
+        p.count()
+        p
+      }
+      try buildInner(s, dir, persistEager)
+      catch { case t: Throwable =>
+        tracked.foreach(_.unpersist(blocking = false)); throw t }
     }
 
-    private def build(s: SparkSession, dir: String): Arts = {
+    private def buildInner(s: SparkSession, dir: String,
+        persistEager: DataFrame => DataFrame): Arts = {
       // Both edge tables are WRITTEN BUCKETED on src (the join/agg key
       // of every round and closure pass) and every derived frame is
       // RE-ROOTED on the bucketed scan. Two scale properties fall out:
@@ -80,7 +98,7 @@ object GraphQueries extends QueryPack {
       //      never from the fact joins; on a cluster the table also
       //      survives job restarts where cache partitioning doesn't.
       val nb = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-      val sfx = java.lang.Integer.toHexString(dir.hashCode)
+      val sfx = graft.ArtifactRegistry.dirTag(dir)
 
       // bipartite customer<->supplier graph (g1/g3)
       val pairs = Tables(s, dir, "orders")
@@ -134,7 +152,8 @@ object GraphQueries extends QueryPack {
           .groupBy(col("node")).agg(count(lit(1)).as("deg")))
       partDeg0.unpersist(blocking = false) // folded into partDeg
       pEdges.unpersist(blocking = false)   // folded into oriented
-      Arts(deg, edgesDeg, partDeg, oriented)
+      Arts(deg, edgesDeg, partDeg, oriented,
+        Seq(s"graft_g_bip_$sfx", s"graft_g_oriented_$sfx"))
     }
   }
 

@@ -673,13 +673,23 @@ object SimilarityQueries extends QueryPack {
       * lifecycle — see DocArtifacts.release). */
     def release(s: SparkSession, dir: String): Unit = reg.release(s, dir)
 
-    private def persistEager(df: DataFrame): DataFrame = {
-      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      p.count()
-      p
+    private def build(s: SparkSession, dir: String): Arts = {
+      // registry build contract: track persists, release on failure
+      val tracked = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      def persistEager(df: DataFrame): DataFrame = {
+        val p = df.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        tracked += p
+        p.count()
+        p
+      }
+      try buildInner(s, dir, persistEager)
+      catch { case t: Throwable =>
+        tracked.foreach(_.unpersist(blocking = false)); throw t }
     }
 
-    private def build(s: SparkSession, dir: String): Arts = {
+    private def buildInner(s: SparkSession, dir: String,
+        persistEager: DataFrame => DataFrame): Arts = {
       val base = evec(s, dir)
       // coarse quantizer: centroids AND assignments both persist (the
       // multi-probe sweep ranks cells by centroid distance per query)

@@ -23,7 +23,11 @@ class PlanAuditSpec extends SparkSpec {
     // (whole directories skipped), not a post-scan Filter node
     val p = plan("e31_day_serving")
     p should include("PartitionFilters: [isnotnull(day")
-    p should include("(day")
+    // the EQUALITY itself must be a PartitionFilter — isnotnull alone
+    // (with the day predicate demoted to a post-scan Filter) would
+    // still read every directory
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).get
+    pf should include regex """\(day#\d+ = """
   }
 
   test("q2/e1: dimension joins broadcast, fact side never builds") {

@@ -70,10 +70,14 @@ gen("lineitem", "SELECT l_orderkey + {off8} AS l_orderkey, "
     "l_returnflag, l_linestatus, l_shipdate FROM {src}")
 gen("events", "SELECT event_id + {off8} AS event_id, ts, "
     "user_id + {off7} AS user_id, event_type, value, props FROM {src}")
-# every 7 words, splice a replica token: no 8-gram crosses replicas
-gen("documents", "SELECT doc_id + {off7} AS doc_id, "
-    "regexp_replace(text, '(([^ ]+ ){{7}})', '\\1zq{r}x ', 'g') AS text, "
-    "lang, source, n_chars FROM {src}")
+# every 7 words, splice a replica token: no 8-gram crosses replicas.
+# n_chars is RECOMPUTED from the spliced text — copying the source
+# value would silently break the n_chars = len(text) invariant that
+# t1/t2's mean-word-length features rely on.
+gen("documents", "SELECT doc_id + {off7} AS doc_id, spliced AS text, "
+    "lang, source, length(spliced) AS n_chars FROM ("
+    "SELECT *, regexp_replace(text, '(([^ ]+ ){{7}})', '\\1zq{r}x ', 'g') "
+    "AS spliced FROM {src})")
 
 # embeddings: replica r>0 gets a seeded signed permutation of dims
 tbl = pq.read_table(f"{SRC}/embeddings.parquet")

@@ -73,7 +73,7 @@ def main():
             rc = 1
     for r, q, s, b, verdict in sorted(rows, reverse=True):
         print(f"{q:28s} {s:8.2f}s -> {b:8.2f}s  x{r:6.2f}  {verdict}")
-    n_bad = sum(1 for row in rows if row[4] != "OK")
+    n_bad = sum(1 for row in rows if not row[4].startswith("OK"))
     print(f"== {len(rows) - n_bad}/{len(rows)} within {max_super}x-of-linear "
           f"at {ratio}x data ==")
     return rc
