@@ -49,4 +49,47 @@ class StatefulLedgerSpec extends SparkSpec {
       k1._3 shouldBe Timestamp.valueOf("2024-01-01 10:00:00") // seenAt = first arrival
     } finally q.stop()
   }
+
+  test("checkpoint restart: the ledger state store resumes — an in-TTL " +
+      "duplicate arriving after the restart is still dropped") {
+    // the production lifecycle of the reference's DynamoDB ledger:
+    // the consumer restarts, the ledger (here: the state store under
+    // checkpointLocation) persists. If state were lost, K1's post-
+    // restart duplicate would be re-admitted.
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("graft-ledger-in")
+    val chk = Files.createTempDirectory("graft-ledger-chk")
+    val out = Files.createTempDirectory("graft-ledger-out")
+    def json(key: String, id: String, at: String) =
+      s"""{"dedupKey":"$key","eventId":"$id","receivedAt":"$at"}"""
+    def start() = {
+      val stream = spark.readStream
+        .schema("dedupKey STRING, eventId STRING, receivedAt TIMESTAMP")
+        .json(in.toString)
+      StatefulLedger.admitFirst(stream, ttlDays = 14)
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", chk.toString)
+        .outputMode("append").start()
+    }
+    val q1 = start()
+    try {
+      Files.writeString(in.resolve("a.json"),
+        json("K1", "e1", "2024-01-01T10:00:00") + "\n" +
+          json("K2", "e2", "2024-01-01T10:00:01") + "\n")
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    val q2 = start()
+    try {
+      Files.writeString(in.resolve("b.json"),
+        json("K1", "e3", "2024-01-05T09:00:00") + "\n" + // in-TTL dup
+          json("K3", "e4", "2024-01-05T09:00:01") + "\n") // fresh key
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    spark.read.parquet(out.toString).select("eventId")
+      .as[String].collect().toSet shouldBe Set("e1", "e2", "e4")
+  }
 }
