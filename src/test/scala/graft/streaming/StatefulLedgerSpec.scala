@@ -92,4 +92,39 @@ class StatefulLedgerSpec extends SparkSpec {
     spark.read.parquet(out.toString).select("eventId")
       .as[String].collect().toSet shouldBe Set("e1", "e2", "e4")
   }
+
+  test("ledger runs on the RocksDB state store provider (the beyond-memory scale path)") {
+    // SCALING.md prescribes RocksDB state stores once ledger keys
+    // outgrow executor memory — prove the operator actually runs on
+    // that provider (spilling state off-heap to local disk), not just
+    // the default in-memory HDFSBackedStateStore
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(String, String, Timestamp)]
+      val events = input.toDF().toDF("dedupKey", "eventId", "receivedAt")
+      val q = StatefulLedger.admitFirst(events, ttlDays = 14)
+        .writeStream.format("memory").queryName("ledger_rocks")
+        .outputMode("append").start()
+      try {
+        input.addData(
+          ev("K1", "e1", "2024-01-01 10:00:00"),
+          ev("K2", "e2", "2024-01-01 10:00:01"))
+        q.processAllAvailable()
+        input.addData(ev("K1", "e3", "2024-01-05 09:00:00")) // in-TTL dup
+        q.processAllAvailable()
+        spark.table("ledger_rocks").select("eventId")
+          .as[String].collect().toSet shouldBe Set("e1", "e2")
+        q.lastProgress.stateOperators.head
+          .customMetrics.keySet.toString should include("rocksdb")
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
