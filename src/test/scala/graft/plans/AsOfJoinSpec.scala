@@ -15,6 +15,55 @@ class AsOfJoinSpec extends SparkSpec {
     (2L, 151L, "q151")
   ).toDF("q_user", "q_t", "quote")
 
+  test("randomized differential: both directions match a pure-Scala reference model") {
+    // the custom physical operator vs an in-memory oracle over 25
+    // seeded random datasets — key skew, empty keys, boundary ties
+    // (right.time == left.time) all arise naturally. Right (key, time)
+    // pairs are unique per dataset: the operator's tiebreak between
+    // equal-time right rows is sort-order-dependent, which is fine in
+    // production (any of the equal-time states is "the state as of t")
+    // but would make a differential test flaky.
+    val rnd = new scala.util.Random(20260814L)
+    for (case_ <- 1 to 25) {
+      val nL = 1 + rnd.nextInt(40)
+      val nR = rnd.nextInt(40)
+      val lefts = (1 to nL).map(i =>
+        (rnd.nextInt(5).toLong, rnd.nextInt(50).toLong, s"L$i"))
+      val rights = rnd.shuffle(
+        (0 until 5).flatMap(k =>
+          (0 until 50).map(t => (k.toLong, t.toLong))).toVector)
+        .take(nR).map { case (k, t) => (k, t, s"R$k-$t") }
+      val lDf = lefts.toDF("user", "t", "lid")
+      val rDf = rights.toDF("q_user", "q_t", "rv")
+
+      def reference(forward: Boolean): Map[String, Option[String]] =
+        lefts.map { case (k, t, id) =>
+          val cands = rights.filter(r => r._1 == k &&
+            (if (forward) r._2 >= t else r._2 <= t))
+          id -> (if (cands.isEmpty) None
+                 else if (forward) Some(cands.minBy(_._2)._3)
+                 else Some(cands.maxBy(_._2)._3))
+        }.toMap
+
+      def run(forward: Boolean): Map[String, Option[String]] = {
+        val joined =
+          if (forward) AsOfJoin.forward(lDf, rDf,
+            keys = Seq("user" -> "q_user"), leftTime = "t", rightTime = "q_t")
+          else AsOfJoin.backward(lDf, rDf,
+            keys = Seq("user" -> "q_user"), leftTime = "t", rightTime = "q_t")
+        joined.select($"lid", $"rv").collect()
+          .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+      }
+
+      withClue(s"case $case_ backward (nL=$nL nR=$nR): ") {
+        run(forward = false) shouldBe reference(forward = false)
+      }
+      withClue(s"case $case_ forward (nL=$nL nR=$nR): ") {
+        run(forward = true) shouldBe reference(forward = true)
+      }
+    }
+  }
+
   test("backward as-of attaches the latest right row at or before left time") {
     val out = AsOfJoin.backward(trades, quotes,
       keys = Seq("user" -> "q_user"), leftTime = "t", rightTime = "q_t")
