@@ -28,9 +28,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * frames it already materialized (use a tracked persist — see
   * GraphArtifacts.build) — the registry cannot know a failed build's
   * partial frames, and without cleanup every retry would persist
-  * fresh copies. `onRetire` runs after the frames are unpersisted on
-  * release/eviction — the hook for durable side-artifacts (bucketed
-  * tables, serving directories) that must not outlive the bundle.
+  * fresh copies.
+  *
+  * Durable side-artifacts (bucketed tables, serving directories):
+  * `onRetire` runs after the frames are unpersisted on EXPLICIT
+  * `release` only — the caller of release asserts no query is still
+  * reading the bundle. LRU EVICTION deliberately does NOT run
+  * `onRetire`: an evicted bundle may still back an in-flight query's
+  * frame, and unpersist degrades that frame to lazy recompute from
+  * its lineage ROOTS — which are exactly the durable tables/files
+  * onRetire would delete. Keeping them preserves the safety property
+  * ("degrades to recompute, never to wrong results or read errors");
+  * the disk cost is bounded by the corpus dirs a process touches and
+  * is reclaimed at JVM exit (artifact names are process-unique — see
+  * [[ArtifactRegistry.dirTag]] — and builders register their durable
+  * paths with [[ArtifactRegistry.deleteDirOnExit]]). One residual,
+  * pre-existing window: REBUILDING an evicted corpus drops and
+  * rewrites its durable tables, so a reader still draining a frame
+  * from before the eviction can race the rewrite — callers that keep
+  * results across eviction horizons should materialize them.
   */
 final class ArtifactRegistry[A](frames: A => Seq[DataFrame],
     maxCorpora: Int = ArtifactRegistry.defaultMaxCorpora,
@@ -46,10 +62,13 @@ final class ArtifactRegistry[A](frames: A => Seq[DataFrame],
       if (retired) None
       else Some(built.getOrElse { val a = build(s, dir); built = Some(a); a })
     }
-    def retire(): Unit = synchronized {
+    /** `dropDurable = true` (explicit release — caller asserts no
+      * in-flight readers) also runs `onRetire`; eviction passes false
+      * so an in-flight reader's recompute keeps its durable roots. */
+    def retire(dropDurable: Boolean): Unit = synchronized {
       built.foreach { a =>
         frames(a).foreach(_.unpersist(blocking = false))
-        onRetire(a)
+        if (dropDurable) onRetire(a)
       }
       built = None
       retired = true
@@ -74,7 +93,8 @@ final class ArtifactRegistry[A](frames: A => Seq[DataFrame],
       }
       (c, ev.result())
     }
-    evicted.foreach(_.retire()) // outside the map lock: retire may wait
+    evicted.foreach(_.retire(dropDurable = false)) // outside the map
+    // lock: retire may wait for an in-flight build
     cell.get() match {
       case Some(a) => a
       case None => // lost the race to a release/eviction: drop ONLY
@@ -86,7 +106,7 @@ final class ArtifactRegistry[A](frames: A => Seq[DataFrame],
 
   def release(s: SparkSession, dir: String): Unit = {
     val c = synchronized { reg.remove((s, dir)) }
-    c.foreach(_.retire())
+    c.foreach(_.retire(dropDurable = true))
   }
 
   /** Resident corpus count (for specs/monitoring). */
@@ -94,15 +114,59 @@ final class ArtifactRegistry[A](frames: A => Seq[DataFrame],
 }
 
 object ArtifactRegistry {
-  /** Default residency bound per registry, env-tunable. */
+  /** Default residency bound per registry, env-tunable. Malformed or
+    * non-positive values fall back to 4 instead of crashing the first
+    * registry use with an ExceptionInInitializerError. */
   val defaultMaxCorpora: Int =
-    sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_CORPORA", "4").toInt
+    scala.util.Try(sys.env("SPARK_GRAFT_ARTIFACT_CORPORA").trim.toInt)
+      .toOption.filter(_ >= 1).getOrElse(4)
+
+  /** JVM-unique component baked into every durable artifact name so
+    * two processes sharing a warehouse/tmp over the SAME corpus dir
+    * (e.g. Bench and Soak on one machine) never DROP/rewrite each
+    * other's tables or serving files mid-query. The cost is that
+    * durable artifacts are process-scoped: a crashed process leaves
+    * its dirs behind (normal exit reclaims them via the
+    * [[deleteDirOnExit]] hook), and two SparkSessions in ONE JVM still
+    * share names — which matches reality, since they share the
+    * underlying catalog and warehouse anyway. */
+  val processTag: String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(8)
 
   /** Collision-safe on-disk tag for a corpus dir. `String.hashCode`
     * collides easily (32 bits, trivial constructions), and a collision
     * in a table/directory name silently crossed two corpora's durable
-    * artifacts — md5 makes that probability cryptographically nil. */
+    * artifacts — md5 makes that probability cryptographically nil.
+    * The [[processTag]] suffix keeps concurrent JVMs disjoint. */
   def dirTag(dir: String): String = java.security.MessageDigest
     .getInstance("MD5").digest(dir.getBytes("UTF-8"))
-    .take(8).map("%02x".format(_)).mkString
+    .take(8).map("%02x".format(_)).mkString + "p" + processTag
+
+  // Best-effort deletion of process-scoped durable artifacts at JVM
+  // exit. Plain Hadoop FS (no Spark dependency — the session is
+  // usually stopped by the time the hook runs); failures are ignored,
+  // a crashed process leaves its dirs for manual/periodic cleanup.
+  private val exitPaths = scala.collection.mutable.LinkedHashSet.empty[String]
+  private lazy val hookArmed: Boolean = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      exitPaths.synchronized(exitPaths.toSeq).foreach { p =>
+        try {
+          val path = new org.apache.hadoop.fs.Path(p)
+          path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            .delete(path, true)
+          ()
+        } catch { case _: Throwable => () }
+      }))
+    true
+  }
+
+  /** Register a durable artifact path (managed-table location, serving
+    * directory) for best-effort recursive deletion at JVM exit —
+    * artifact names are process-unique (see [[dirTag]]), so nothing
+    * else can be reading them once this process ends. */
+  def deleteDirOnExit(path: String): Unit = {
+    hookArmed
+    exitPaths.synchronized { exitPaths += path }
+    ()
+  }
 }

@@ -92,7 +92,24 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","method":"median_of_${Reps}_full_materialize"}""")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","method":"median_of_${Reps}_full_materialize"}"""
+    println(fullJson)
+    // The stdout line above travels through sbt (which prefixes every
+    // line with "[info] ") and a driver-side tail capture that has
+    // historically truncated it — every BENCH_rNN.json to date carries
+    // "parsed": null, and only ~60 of 140 per-query medians survive in
+    // the tail. Persist the complete payload to a well-known file so
+    // all medians + the failed list are always recoverable.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outPath),
+        (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"BENCH WROTE $outPath")
+    } catch {
+      case e: Throwable => System.err.println(s"BENCH OUT WRITE FAILED $outPath: $e")
+    }
     // compact trailer AFTER the big line: the driver captures the tail
     // of stdout, and the per-query line can outgrow that capture — the
     // total, n_queries, and any breakage must always land inside it

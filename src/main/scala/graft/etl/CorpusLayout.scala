@@ -96,6 +96,17 @@ object CorpusLayout {
     * time so every later equi-join or aggregation on them plans
     * without an exchange (and sort-merge joins without a sort). Spark
     * bucketing requires the table catalog (`saveAsTable`). */
+  /** Catalog-resolved location of managed table `table` in the
+    * session's CURRENT database — where `saveAsTable(table)` will
+    * write. A `<warehouse>/<table>` guess is only right for the
+    * default database at its default location; under a non-default
+    * database it misses the real path (or hits an unrelated
+    * same-named one). */
+  def managedTablePath(s: org.apache.spark.sql.SparkSession,
+      table: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s.sessionState.catalog
+      .defaultTablePath(org.apache.spark.sql.catalyst.TableIdentifier(table)))
+
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
       bucketCols: Seq[String], sortCols: Seq[String]): Unit = {
     // True overwrite across JVM restarts: the in-memory catalog
@@ -105,8 +116,7 @@ object CorpusLayout {
     // directory before writing.
     val s = df.sparkSession
     s.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val loc = managedTablePath(s, table)
     val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     // Route each bucket's rows to one task before the write: Spark's

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AHash, BloomMightContain, CountIn, DotProduct, MinHashSig, PairMerge, SafeDateKey, ShingleHash, ShingleSeq, SigMatches, WinnowMin}
+import graft.functions.{AHash, BloomMightContain, CountIn, DotProduct, LevBound, MinHashSig, PairMerge, SafeDateKey, ShingleHash, ShingleSeq, SigMatches, WinnowMin}
 
 /** Session extension wiring for graft's native expressions. Use via
   * `.withExtensions(new GraftExtensions)` or
@@ -56,7 +56,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => PairMerge(args(0), args(1), args(2))),
     (new FunctionIdentifier("graft_count_in"),
       new ExpressionInfo(classOf[CountIn].getName, "graft_count_in"),
-      (args: Seq[Expression]) => CountIn(args(0), args(1))))
+      (args: Seq[Expression]) => CountIn(args(0), args(1))),
+    (new FunctionIdentifier("graft_lev_bound"),
+      new ExpressionInfo(classOf[LevBound].getName, "graft_lev_bound"),
+      (args: Seq[Expression]) => LevBound(args(0), args(1), args(2))))
 
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit = {

@@ -3,6 +3,7 @@ package graft.queries
 import graft.{QueryPack, Tables}
 import graft.QueryPack.dot
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection for a training-data pipeline, over
@@ -421,7 +422,15 @@ object DedupQueries extends QueryPack {
   /** d5 — embedding-cosine near-dup: all pairs with cosine ≥ 0.45
     * over `embeddings` (float[64] → double before any arithmetic).
     * The exact-baseline pair join; the blocked/ANN path is
-    * SimilarityQueries.s2. */
+    * SimilarityQueries.s2.
+    *
+    * AUDIT-ONLY — declared O(n²). This is the ground-truth baseline
+    * the blocked/ANN paths (s2/s4/s9) measure recall against, and the
+    * one query exempted from the soak's 2×-linear gate. It is NOT a
+    * production operator: nothing in [[graft.etl.Curation]] (or any
+    * pipeline entry point) reaches it, and Round9InvariantsSpec locks
+    * the curation flow to plans with no nested-loop/cartesian pair
+    * join. At corpus scale, run s2 (IVF) or s4 (LSH) instead. */
   private def d5(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
       .withColumn("v", col("embedding").cast("array<double>"))
@@ -822,33 +831,85 @@ object DedupQueries extends QueryPack {
     * re-join is two keyed shuffle joins against the corpus by doc id
     * (no index blowup — one row per candidate side); verification is
     * O(len²) per pair but only on the LSH-surviving sliver — and the
-    * DP is CAPPED: `edit_sim ≥ 0.8 ⟺ lev ≤ 0.2·maxlen`, so the
-    * 3-arg `levenshtein(l, r, maxDist)` early-exits above
-    * `floor(0.2·maxlen)` (banded O(len·cap) instead of O(len²), −1
-    * for rejects). The cap is a strict SUPERSET of the keep set
+    * DP is CAPPED AND BIT-PARALLEL: `edit_sim ≥ 0.8 ⟺ lev ≤
+    * 0.2·maxlen`, so `graft_lev_bound(l, r, maxDist)` returns −1
+    * above `floor(0.2·maxlen)`, and computes the distance with
+    * Myers' bit-vector recurrence ([[graft.functions.LevBound]]:
+    * O(len·len/64) word ops vs the built-in's banded O(len·cap)
+    * cells — ~25× less work at d14's cap). The cap is a strict
+    * SUPERSET of the keep set
     * (double 0.2 rounds up, so the floor never under-caps), and
     * surviving pairs carry the exact distance — so the uncapped
     * DuckDB oracle (no capped variant exists there) still matches
-    * bit-for-bit. Measured at sf1: 14.8 s → ~3 s. */
+    * bit-for-bit. Measured at sf1: 14.8 s → ~3 s. On top of the cap,
+    * an identical-text pre-collapse (see the body comment) makes the
+    * candidate + DP cost scale with DISTINCT texts instead of doc
+    * copies — the r8 sf1 soak showed candidate density growing ~2×
+    * faster than the corpus precisely because duplicated short docs
+    * pair quadratically. */
   private def d14(s: SparkSession, dir: String): DataFrame = {
+    // Identical-text pre-collapse (the d4 hd=0 trick at the character
+    // tier): corpora with mass-duplicated docs — boilerplate pages,
+    // replicated shards — grow candidate PAIRS quadratically in the
+    // copy count, and every copy collides in every LSH band (identical
+    // text ⇒ identical signature). Collapse each identical-text group
+    // to its min-id representative BEFORE the LSH + DP path: the
+    // signature is a function of the text alone, so two docs
+    // band-collide iff their reps do, and lev(a, b) = lev(rep_a,
+    // rep_b) — the result set is IDENTICAL by construction (md5
+    // collision cryptographically nil), while candidate generation
+    // and the capped DP run once per distinct text, not per copy.
+    // Intra-group pairs are exactly the lev = 0 tier and are emitted
+    // directly. The collapse is restricted to the signature universe
+    // (docs that shingle, len(w) >= 3): a doc outside it never enters
+    // the oracle's banded frame, so it must not enter the expansion.
+    val t = docs(s, dir)
+    val universe = withShingles(s, dir).select(col("doc_id"))
+    val wFp = Window.partitionBy(col("fp"))
+    val members = t.join(universe, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .withColumn("rep", min(col("doc_id")).over(wFp))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    members.count() // eager: 4 consumers (reps, intra ×2, expansion ×2)
+
+    val repIds = members.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"))
     val sigs = withShingles(s, dir)
+      .join(repIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         graft.operators.TextDedup.minhashSig("xs", 16).as("sig"))
     val cands = graft.operators.TextDedup
       .lshCandidates(sigs, "doc_id", k = 16, bands = bands)
       .select(col("d1"), col("d2"))
-    val t = docs(s, dir)
     val maxl = greatest(length(col("t1")), length(col("t2")))
-    cands
+    val verified = cands
       .join(t.select(col("doc_id").as("d1"), col("text").as("t1")), "d1")
       .join(t.select(col("doc_id").as("d2"), col("text").as("t2")), "d2")
       .withColumn("lev",
-        call_function("levenshtein", col("t1"), col("t2"),
+        call_function("graft_lev_bound", col("t1"), col("t2"),
           floor(maxl * lit(0.2)).cast("int")).cast("long"))
       .filter(col("lev") >= 0) // −1 = above cap = edit_sim < 0.8
       .withColumn("edit_sim",
         lit(1.0) - col("lev").cast("double") / maxl)
       .filter(col("edit_sim") >= 0.8) // the ORIGINAL double predicate
+      .select(col("d1").as("r1"), col("d2").as("r2"),
+        col("lev"), col("edit_sim"))
+
+    // expansion back to doc pairs: same-text pairs are lev = 0 /
+    // sim = 1 by definition (and always band-collide — every band key
+    // equal); cross-group pairs inherit their reps' exact verdict
+    val m = members.select(col("fp"), col("doc_id"), col("rep"))
+    val intra = m.as("a").join(m.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        lit(0L).as("lev"), lit(1.0).as("edit_sim"))
+    val inter = verified
+      .join(m.select(col("rep").as("r1"), col("doc_id").as("a")), "r1")
+      .join(m.select(col("rep").as("r2"), col("doc_id").as("b")), "r2")
+      .select(least(col("a"), col("b")).as("d1"),
+        greatest(col("a"), col("b")).as("d2"),
+        col("lev"), col("edit_sim"))
+    intra.unionAll(inter)
       .select(col("d1"), col("d2"), col("lev"),
         round(col("edit_sim"), 6).as("edit_sim"))
       .orderBy(col("d1"), col("d2"))

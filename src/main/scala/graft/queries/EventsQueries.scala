@@ -1340,9 +1340,12 @@ object EventsQueries extends QueryPack {
     // ArtifactRegistry lifecycle (LRU-bounded, race-free, builds for
     // different corpora in parallel — the old coarse-locked memo held
     // one global lock across the full Spark write); onRetire deletes
-    // the serving copy, so rotating snapshots can't leak one full
-    // events copy per corpus. Path tag is md5 (dirTag): a hashCode
-    // collision would silently serve the other corpus's facts.
+    // the serving copy on EXPLICIT release (eviction keeps it so an
+    // in-flight reader's recompute still finds the files; process
+    // exit reclaims it — the path is process-unique via dirTag and
+    // registered with deleteDirOnExit). Path tag is md5 (dirTag): a
+    // hashCode collision would silently serve the other corpus's
+    // facts.
     private val reg = new graft.ArtifactRegistry[String](_ => Seq.empty,
       onRetire = path => {
         def rm(f: java.io.File): Unit = {
@@ -1354,6 +1357,8 @@ object EventsQueries extends QueryPack {
       reg(s, dir) { (s2, d) =>
         val path = sys.props("java.io.tmpdir") + "/graft-serving-" +
           graft.ArtifactRegistry.dirTag(d) + "/facts"
+        graft.ArtifactRegistry.deleteDirOnExit(
+          new java.io.File(path).getParent)
         graft.etl.CorpusLayout.writePartitioned(
           Tables(s2, d, "events").withColumn("day",
             date_trunc("DAY", col("ts")).cast("date")),

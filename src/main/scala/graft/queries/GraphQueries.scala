@@ -26,17 +26,48 @@ import org.apache.spark.sql.functions._
   * buffer with an interpreted per-element lambda — the window form
   * is buffer-free and ~2x faster at sf1.)
   *
-  * Scale (100 TB): each PageRank round is one keyed join (edges ⋈
-  * ranks on src — shuffle-hash, both sides partitioned by src) plus
-  * one partial+final agg keyed by dst; the node-count frame is a
-  * 1-row broadcast. Lineage is cut per round (localCheckpoint — the
-  * ConnectedComponents lesson: without it the plan doubles per
-  * round and Catalyst analysis becomes the bottleneck). The
+  * Scale (100 TB): ranks are NODE-count rows while edges are
+  * EDGE-count rows, so up to [[maxBroadcastNodes]] nodes each
+  * PageRank round broadcasts the rank frame into the dst-bucketed,
+  * (dst, src)-sorted edge table — the round plans with ZERO
+  * exchanges and ZERO sorts (the fold order IS the file order; see
+  * GraphArtifacts). Past that bound (billion-node graphs) the round
+  * falls back to the r6 shape: one keyed join (edges ⋈ ranks on
+  * src — shuffle-hash, both sides partitioned by src) plus one
+  * partial+final agg keyed by dst. Lineage is cut per round
+  * (the ConnectedComponents lesson: without it the plan doubles per
+  * round and Catalyst analysis becomes the bottleneck); set
+  * `SPARK_GRAFT_CHECKPOINT_DIR` (or [[checkpointDirOverride]]) to
+  * make the cuts RELIABLE `df.checkpoint()`s that survive executor
+  * loss — `localCheckpoint` blocks die with their executor. The
   * sorted-fold is the oracle-parity artifact; a production run swaps
   * it for a plain `sum` (partial+final, no collect_list) once
   * bit-equality across engines stops being the gate.
   */
 object GraphQueries extends QueryPack {
+
+  /** Rank/label frames broadcast into the bucketed edge table up to
+    * this many nodes (~24 B/row ⇒ ~200 MB at the default); larger
+    * graphs use the shuffle-join round shape instead. */
+  private val maxBroadcastNodes: Long =
+    scala.util.Try(sys.env("SPARK_GRAFT_GRAPH_BC_NODES").trim.toLong)
+      .toOption.filter(_ >= 0).getOrElse(8L * 1000 * 1000)
+
+  /** When set (tests), per-round lineage cuts use RELIABLE
+    * `df.checkpoint()` into this directory instead of
+    * `localCheckpoint` — replayable after executor loss, the
+    * [[graft.operators.ConnectedComponents]] `checkpointDir` contract.
+    * Production sets `SPARK_GRAFT_CHECKPOINT_DIR` instead. */
+  @volatile private[graft] var checkpointDirOverride: Option[String] = None
+
+  private def cutLineage(df: DataFrame): DataFrame =
+    checkpointDirOverride.orElse(sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")) match {
+      case Some(d) =>
+        val sc = df.sparkSession.sparkContext
+        if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
+        df.checkpoint()
+      case None => df.localCheckpoint(true)
+    }
 
   /** Shared graph index artifacts, keyed by (session, dir) — the
     * DocArtifacts/PqArtifacts lifecycle applied to the derived
@@ -48,6 +79,7 @@ object GraphQueries extends QueryPack {
     * materialized frames with an explicit release hook. */
   private object GraphArtifacts {
     final case class Arts(deg: DataFrame, edgesDeg: DataFrame,
+        edgesDst: DataFrame, nNodes: Long,
         partDeg: DataFrame, oriented: DataFrame, tables: Seq[String])
 
     // Bounded LRU residency, parallel per-dir builds, race-free
@@ -55,9 +87,10 @@ object GraphQueries extends QueryPack {
     // build waits for it and then unpersists; a @volatile-flag design
     // no-ops in that window and leaks all four persisted frames).
     // onRetire drops the durable bucketed tables too (DROP TABLE on a
-    // managed table removes its warehouse location), so a service
-    // rotating snapshots past the LRU bound doesn't accrete two edge
-    // tables of disk per snapshot.
+    // managed table removes its warehouse location) — on EXPLICIT
+    // release only; LRU eviction keeps the tables so an in-flight
+    // reader's recompute still finds its lineage roots, and process
+    // exit reclaims them (deleteDirOnExit — names are process-unique).
     private val reg = new graft.ArtifactRegistry[Arts](
       a => Seq(a.deg, a.edgesDeg, a.partDeg, a.oriented),
       onRetire = a => a.tables.foreach(t =>
@@ -116,6 +149,19 @@ object GraphQueries extends QueryPack {
       val deg = persistEager(
         edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
       val edgesDeg = persistEager(edges.join(deg, "src"))
+      val nNodes = deg.count() // cached — one cheap job
+      // dst-keyed serving copy for the g1/g3 broadcast-rank rounds:
+      // bucketed AND sorted on (dst, src) with deg(src) attached, so
+      // a round is scan ⋈ broadcast(ranks) → ordered-window fold →
+      // agg-by-dst with zero exchanges and zero sorts — the fold
+      // order is the FILE order the table was written in. Read
+      // straight from the bucketed files (not persisted): an
+      // edge-sized cache would fight the query caches for memory,
+      // and the scan already carries the partitioning+ordering.
+      graft.etl.CorpusLayout.writeBucketed(
+        edges.join(deg, "src").select(col("dst"), col("src"), col("deg")),
+        s"graft_g_bipdst_$sfx", nb, Seq("dst"), Seq("dst", "src"))
+      val edgesDst = s.table(s"graft_g_bipdst_$sfx")
 
       // part co-occurrence graph (g2): edges + degree-ordered
       // orientation — lexicographic (deg, id), an explicit
@@ -152,8 +198,11 @@ object GraphQueries extends QueryPack {
           .groupBy(col("node")).agg(count(lit(1)).as("deg")))
       partDeg0.unpersist(blocking = false) // folded into partDeg
       pEdges.unpersist(blocking = false)   // folded into oriented
-      Arts(deg, edgesDeg, partDeg, oriented,
-        Seq(s"graft_g_bip_$sfx", s"graft_g_oriented_$sfx"))
+      val tables = Seq(s"graft_g_bip_$sfx", s"graft_g_bipdst_$sfx",
+        s"graft_g_oriented_$sfx")
+      tables.foreach(t => graft.ArtifactRegistry.deleteDirOnExit(
+        graft.etl.CorpusLayout.managedTablePath(s, t).toString))
+      Arts(deg, edgesDeg, edgesDst, nNodes, partDeg, oriented, tables)
     }
   }
 
@@ -186,6 +235,39 @@ object GraphQueries extends QueryPack {
       .groupBy(col("dst")).agg(max(col("sm")).as("sm"))
   }
 
+  /** One PageRank/PPR round's contribution frame (dst, src,
+    * c = r/deg). Small-rank path (≤ [[maxBroadcastNodes]]): ranks
+    * BROADCAST into the dst-bucketed (dst, src)-sorted edge table, so
+    * the fold above plans with no exchange and no sort — the stream
+    * side of a broadcast join keeps the scan's bucketed partitioning
+    * and file sort order, which is exactly the window's requirement.
+    * The fold ORDER is unchanged (src within dst), so results stay
+    * bit-identical to the shuffle path, which giant graphs (ranks too
+    * big to broadcast) fall back to. */
+  private def roundContrib(arts: GraphArtifacts.Arts,
+      ranks: DataFrame): DataFrame =
+    if (arts.nNodes <= maxBroadcastNodes)
+      arts.edgesDst
+        .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
+        .select(col("dst"), col("src"), (col("r") / col("deg")).as("c"))
+    else
+      arts.edgesDeg
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), col("src"), (col("r") / col("deg")).as("c"))
+
+  /** One un-cut g1 round for plan audits (PlanAuditSpec /
+    * Round9InvariantsSpec): the fold over the broadcast-joined
+    * dst-bucketed edge table must plan with no shuffle exchange —
+    * the scale property every round of g1/g3 rides on. */
+  private[graft] def auditRound(s: SparkSession, dir: String): DataFrame = {
+    val arts = GraphArtifacts(s, dir)
+    // uniform r (no nDf crossJoin): the audit isolates the ROUND's
+    // plan — g1's real init adds only a 1-row broadcast to this
+    val r0 = arts.deg.select(col("src").as("node"),
+      lit(1.0).cast("double").as("r"))
+    orderedFoldSum(roundContrib(arts, r0))
+  }
+
   /** g1 — 3-round damped PageRank (d = 0.85) over the undirected
     * customer↔supplier graph. Node ids are disambiguated by parity
     * (customer k → 2k, supplier k → 2k+1). Undirected ⇒ no dangling
@@ -193,23 +275,18 @@ object GraphQueries extends QueryPack {
     * redistribution term is needed. */
   private def g1(s: SparkSession, dir: String): DataFrame = {
     val arts = GraphArtifacts(s, dir)
-    val (deg, edgesDeg) = (arts.deg, arts.edgesDeg)
+    val deg = arts.deg
     val nDf = deg.agg(count(lit(1)).as("n"))
 
     var ranks = deg.crossJoin(broadcast(nDf))
       .select(col("src").as("node"),
         (lit(1.0).cast("double") / col("n")).as("r"))
     for (_ <- 1 to 3) {
-      val contrib = edgesDeg
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .select(col("dst"), col("src"),
-          (col("r") / col("deg")).as("c"))
-      ranks = orderedFoldSum(contrib)
+      ranks = cutLineage(orderedFoldSum(roundContrib(arts, ranks))
         .crossJoin(broadcast(nDf))
         .select(col("dst").as("node"),
           (lit(0.15).cast("double") / col("n") +
-            lit(0.85).cast("double") * col("sm")).as("r"))
-        .localCheckpoint(true)
+            lit(0.85).cast("double") * col("sm")).as("r")))
     }
     ranks
       .join(deg.withColumnRenamed("src", "node"), "node")
@@ -334,7 +411,7 @@ object GraphQueries extends QueryPack {
     * simply keep rank 0 via the left join against the full node set. */
   private def g3(s: SparkSession, dir: String): DataFrame = {
     val arts = GraphArtifacts(s, dir)
-    val (deg, edgesDeg) = (arts.deg, arts.edgesDeg)
+    val deg = arts.deg
 
     // seed distribution: uniform over customer nodes 2..20 (even)
     val isSeed = col("node") % 2 === 0 && col("node") <= 20
@@ -343,19 +420,17 @@ object GraphQueries extends QueryPack {
       when(isSeed, lit(0.1).cast("double")).otherwise(lit(0.0).cast("double"))
         .as("r"))
     for (_ <- 1 to 3) {
-      val contrib = edgesDeg
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .filter(col("r") > 0) // walk frontier only
-        .select(col("dst"), col("src"), (col("r") / col("deg")).as("c"))
+      // walk frontier only (r > 0) — filtered BEFORE the round's join,
+      // so the broadcast ships the frontier, not the full node set
+      val contrib = roundContrib(arts, ranks.filter(col("r") > 0))
       val spread = orderedFoldSum(contrib)
         .select(col("dst").as("node"), (lit(0.85).cast("double") * col("sm")).as("d"))
-      ranks = nodes
+      ranks = cutLineage(nodes
         .join(spread, Seq("node"), "left")
         .select(col("node"),
           (when(isSeed, lit(0.15).cast("double") * lit(0.1).cast("double"))
             .otherwise(lit(0.0).cast("double")) +
-            coalesce(col("d"), lit(0.0).cast("double"))).as("r"))
-        .localCheckpoint(true)
+            coalesce(col("d"), lit(0.0).cast("double"))).as("r")))
     }
     ranks.filter(!isSeed && col("r") > 0)
       .select(col("node"), (col("node") % 2).as("is_supplier"),
@@ -428,7 +503,7 @@ object GraphQueries extends QueryPack {
         .groupBy(col("dst"))
         .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
         .select(col("dst").as("node"), (-col("m.nl")).as("lbl"))
-        .localCheckpoint(true)
+      labels = cutLineage(labels)
     }
     labels.groupBy(col("lbl")).agg(count(lit(1)).as("size"))
       .groupBy(col("size")).agg(count(lit(1)).as("n_communities"))

@@ -29,7 +29,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * cleared (the bulk of the state), the timeout is not re-armed, and
   * the few-bytes (version, live) marker lives on to swallow any
   * pre-expiry version forever — the compact watermark ledger a real
-  * CDC consumer persists beside its store.
+  * CDC consumer persists beside its store. The residue still lives
+  * IN the state store, though; for monotonicity that survives
+  * checkpoint resets / state retention sweeps too, pair the output
+  * with the DURABLE ledger in [[CdcHighWater]] (a `foreachBatch`
+  * filter-then-advance against a per-key high-water table).
   */
 object StreamingCdc {
 

@@ -33,8 +33,14 @@ object StreamingIngest {
     *      .load().selectExpr("CAST(value AS STRING) AS value")`
     *      then `lineEnvelopes(_, "ALOWARE")` — the connector jar is a
     *      deploy-time dependency, the engine contract is just this
-    *      value column (record headers, if wanted for P5 delivery-id
-    *      dedup, map into `headers` the same way)
+    *      value column. Record headers, if wanted for P5 delivery-id
+    *      dedup, ride along as a pre-mapped `headers` column (kafka
+    *      emits array<struct<key,value:binary>>; add
+    *      `.option("includeHeaders", "true")` and select
+    *      `map_from_entries(transform(coalesce(headers, array()),
+    *      h -> struct(h.key, CAST(h.value AS STRING)))) AS headers`
+    *      beside the value cast — KafkaContractSpec pins the full
+    *      wiring against the connector's documented schema)
     *  - Kinesis/PubSub → same: cast the data blob to string, adapt.
     *
     * Keeping the seam at "a string column" means the whole ingest
@@ -43,7 +49,8 @@ object StreamingIngest {
   def lineEnvelopes(lines: DataFrame, source: String): DataFrame =
     lines.select(
       lit(source).as("source"),
-      map().cast("map<string,string>").as("headers"),
+      (if (lines.columns.contains("headers")) col("headers")
+       else map()).cast("map<string,string>").as("headers"),
       col("value").as("body"),
       current_timestamp().as("receivedAt"))
 

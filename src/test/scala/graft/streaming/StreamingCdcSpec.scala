@@ -125,4 +125,87 @@ class StreamingCdcSpec extends SparkSpec {
     residue.get shouldBe ((11L, true, "v11"))
     residue.getTimeoutTimestampMs.get() shouldBe 6000L
   }
+
+  test("CdcHighWater: durable ledger swallows a stale re-seed after " +
+      "total state loss, and survives replayed batches") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cdc-hw").toString
+    val applied = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+    def applyBatch(updates: Seq[StreamingCdc.Update]): Unit =
+      CdcHighWater.applyWithHighWater(updates.toDF(), dir) { fresh =>
+        applied ++= fresh.select(col("key"), col("version"))
+          .as[(Long, Long)].collect()
+        ()
+      }
+
+    // batch 1: key 1 reaches version 5, key 2 reaches 2
+    applyBatch(Seq(StreamingCdc.Update(1L, 5L, live = true, "a"),
+      StreamingCdc.Update(2L, 2L, live = true, "b")))
+    applied.toSet shouldBe Set((1L, 5L), (2L, 2L))
+
+    // state expires (nothing to do here — the ledger is EXTERNAL to
+    // the state store). batch 2: a stale redelivery of key 1 that the
+    // reset state would emit — the ledger suppresses it; key 2
+    // genuinely advances
+    applied.clear()
+    applyBatch(Seq(StreamingCdc.Update(1L, 3L, live = true, "stale"),
+      StreamingCdc.Update(2L, 7L, live = false, "tomb")))
+    applied.toSet shouldBe Set((2L, 7L))
+
+    // equal version is stale too (strictly-newer contract); a newer
+    // one passes and advances the ledger
+    applied.clear()
+    applyBatch(Seq(StreamingCdc.Update(1L, 5L, live = true, "dup"),
+      StreamingCdc.Update(1L, 6L, live = true, "v6")))
+    applied.toSet shouldBe Set((1L, 6L))
+
+    // foreachBatch at-least-once replay: re-applying the same batch
+    // re-applies the survivor (idempotent last-writer-wins sink) and
+    // leaves the ledger max unchanged
+    applied.clear()
+    applyBatch(Seq(StreamingCdc.Update(1L, 6L, live = true, "v6")))
+    applied.toSet shouldBe empty
+    CdcHighWater.read(spark, dir).as[(Long, Long)].collect().toSet shouldBe
+      Set((1L, 6L), (2L, 7L))
+  }
+
+  test("CdcHighWater e2e: checkpoint reset between two streaming " +
+      "queries (state loss) cannot regress the served table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cdc-hw-e2e").toString
+    val served = scala.collection.mutable.Map.empty[Long, (Long, String)]
+    def sink(fresh: org.apache.spark.sql.DataFrame): Unit =
+      fresh.as[StreamingCdc.Update].collect()
+        .groupBy(_.key).foreach { case (k, us) =>
+          val u = us.maxBy(_.version)
+          // last-writer-wins guard mirrors a real upsert sink
+          if (served.get(k).forall(_._1 < u.version))
+            served(k) = (u.version, u.payload)
+        }
+
+    def runQuery(changes: Seq[StreamingCdc.Change]): Unit = {
+      val input = MemoryStream[StreamingCdc.Change]
+      val q = StreamingCdc.upserts(input.toDS())
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamingCdc.Update],
+            _: Long) =>
+          CdcHighWater.applyWithHighWater(b.toDF(), dir)(sink)
+        }
+        .start() // no checkpointLocation: each call = fresh state
+      try { input.addData(changes); q.processAllAvailable() }
+      finally q.stop()
+    }
+
+    runQuery(Seq(StreamingCdc.Change(1L, 10L, "U", "v10")))
+    served(1L) shouldBe ((10L, "v10"))
+    // second query: brand-new state store (the expiry/reset analog) —
+    // upserts() itself would accept version 4 as a re-seed, but the
+    // durable ledger suppresses it before the sink
+    runQuery(Seq(StreamingCdc.Change(1L, 4L, "U", "stale")))
+    served(1L) shouldBe ((10L, "v10"))
+    runQuery(Seq(StreamingCdc.Change(1L, 12L, "U", "v12")))
+    served(1L) shouldBe ((12L, "v12"))
+  }
 }
