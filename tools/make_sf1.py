@@ -18,8 +18,29 @@ The honest "same structure, 10x corpus" shape (SCALING.md sf1 soak):
     a 10-way cross-replica dup: a data artifact that reads as
     super-linear pair growth and invalidates the scaling gate.
 
-Usage: make_sf1.py [src_dir] [out_dir] [replicas]
+Usage: make_sf1.py [src_dir] [out_dir] [replicas] [doc_mode]
+
+doc_mode (default `splice`) picks the document-replication recipe:
+  - splice: the sf1 recipe above (per-replica token every 7 words).
+    Defeats >=8-gram sharing, but word-3-GRAM shingles between splice
+    points ARE shared across replicas (5 of 8 per window -> minhash
+    sim ~0.45 -> LSH collision prob ~0.15 per cross-replica pair) and
+    cross-replica edit similarity stays ~0.86 >= d14's 0.8. At R=10
+    that is a documented ~2x candidate-density artifact; at R=30/100
+    the cross-replica pair count grows ~R^2 and would fail any linear
+    scaling gate REGARDLESS of plan quality — a data artifact, not a
+    plan property (the embeddings lesson at the text tier).
+  - wordtag: replica r>0 appends a 4-hex-char per-replica tag to
+    EVERY word (replica 0 verbatim). Within-replica word identity,
+    shingle structure, frequency profile and near-dup clusters are
+    preserved exactly (isomorphic under w -> w+tag); across replicas
+    NO word — hence no shingle of any width — is shared, and edit
+    distance between corresponding docs is >= n_words*~3.75 chars
+    (~0.37 of length >> the 0.2 near-dup band). Dup FRACTION is
+    preserved instead of manufacturing R-way cross-replica near-dup
+    cliques. Use for the sf3/sf10 scaling probes.
 """
+import hashlib
 import sys
 
 import duckdb
@@ -30,6 +51,8 @@ import pyarrow.parquet as pq
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/soak/sf1"
 R = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+DOC_MODE = sys.argv[4] if len(sys.argv) > 4 else "splice"
+assert DOC_MODE in ("splice", "wordtag"), DOC_MODE
 K7, K8 = 10_000_000, 100_000_000
 
 con = duckdb.connect()
@@ -70,14 +93,37 @@ gen("lineitem", "SELECT l_orderkey + {off8} AS l_orderkey, "
     "l_returnflag, l_linestatus, l_shipdate FROM {src}")
 gen("events", "SELECT event_id + {off8} AS event_id, ts, "
     "user_id + {off7} AS user_id, event_type, value, props FROM {src}")
-# every 7 words, splice a replica token: no 8-gram crosses replicas.
-# n_chars is RECOMPUTED from the spliced text — copying the source
+# n_chars is RECOMPUTED from the rewritten text — copying the source
 # value would silently break the n_chars = len(text) invariant that
 # t1/t2's mean-word-length features rely on.
-gen("documents", "SELECT doc_id + {off7} AS doc_id, spliced AS text, "
-    "lang, source, length(spliced) AS n_chars FROM ("
-    "SELECT *, regexp_replace(text, '(([^ ]+ ){{7}})', '\\1zq{r}x ', 'g') "
-    "AS spliced FROM {src})")
+if DOC_MODE == "splice":
+    # every 7 words, splice a replica token: no 8-gram crosses replicas
+    gen("documents", "SELECT doc_id + {off7} AS doc_id, spliced AS text, "
+        "lang, source, length(spliced) AS n_chars FROM ("
+        "SELECT *, regexp_replace(text, '(([^ ]+ ){{7}})', '\\1zq{r}x ', 'g') "
+        "AS spliced FROM {src})")
+else:
+    # wordtag: replica 0 verbatim; r>0 suffixes every word with a
+    # per-replica 4-hex tag — no word (so no n-gram of ANY width)
+    # crosses replicas, within-replica structure isomorphic.
+    def tag(r):
+        return hashlib.md5(f"graft-rep-{r}".encode()).hexdigest()[:4]
+    parts = []
+    for r in range(R):
+        src = f"'{SRC}/documents.parquet'"
+        if r == 0:
+            parts.append(f"SELECT doc_id, text, lang, source, n_chars FROM {src}")
+        else:
+            parts.append(
+                f"SELECT doc_id + {r * K7} AS doc_id, tagged AS text, lang, "
+                f"source, length(tagged) AS n_chars FROM (SELECT *, "
+                f"regexp_replace(text, '([^ ]+)', '\\1{tag(r)}', 'g') AS tagged "
+                f"FROM {src})")
+    q = " UNION ALL ".join(parts)
+    con.execute(f"COPY ({q}) TO '{OUT}/documents.parquet' (FORMAT PARQUET)")
+    n = con.execute(
+        f"SELECT COUNT(*) FROM '{OUT}/documents.parquet'").fetchone()[0]
+    print(f"documents: {n} rows (wordtag)")
 
 # embeddings: replica r>0 gets a seeded signed permutation of dims
 tbl = pq.read_table(f"{SRC}/embeddings.parquet")
