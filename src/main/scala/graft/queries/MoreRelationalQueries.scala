@@ -1248,7 +1248,61 @@ object MoreRelationalQueries extends QueryPack {
       |    - COALESCE(r1, CAST(0 AS DECIMAL(18,2)))), 2) AS DOUBLE) AS net_revenue_delta
       |FROM d GROUP BY status ORDER BY status""".stripMargin
 
+  /** q36 — two-pass equi-width histogram of `l_extendedprice` (20
+    * buckets): pass 1 computes exact decimal min/max (order-free,
+    * broadcast as one row), pass 2 buckets map-side and aggregates
+    * count + exact decimal mass per bucket — the profiling primitive
+    * behind every column-statistics page and optimizer NDV/range
+    * estimate. At 100 TB: two scans, no shuffle beyond a 20-row
+    * partial+final agg; the alternative single-pass streaming
+    * histogram trades exact edges for one scan — this is the exact
+    * variant (the zone-map audit q33 covers the skipping side).
+    *
+    * Determinism: bucket ids and edges derive from the exact decimal
+    * min/max through the IDENTICAL IEEE double sequence in both
+    * engines (`(x−mn)/(mx−mn)·20`, floored, clamped to 19 so x = max
+    * lands in the last bucket); sums are exact decimals rounded at
+    * the end (the pack's money convention). */
+  private def q36(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .select(dec(col("l_extendedprice")).as("p"))
+    val mm = li.agg(min(col("p")).as("mn"), max(col("p")).as("mx"))
+    li.crossJoin(broadcast(mm))
+      .select(col("p"), col("p").cast("double").as("x"),
+        col("mn").cast("double").as("mnd"), col("mx").cast("double").as("mxd"))
+      .withColumn("bucket",
+        least(floor((col("x") - col("mnd")) / (col("mxd") - col("mnd"))
+          * lit(20)), lit(19L)).cast("long"))
+      .groupBy(col("bucket"), col("mnd"), col("mxd"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("sump"))
+      .select(col("bucket"),
+        round(col("mnd") + col("bucket") * ((col("mxd") - col("mnd")) / lit(20)), 2)
+          .as("lo"),
+        round(col("mnd") + (col("bucket") + lit(1L)) * ((col("mxd") - col("mnd")) / lit(20)), 2)
+          .as("hi"),
+        col("n"), money(col("sump")).as("sum_price"))
+      .orderBy(col("bucket"))
+  }
+
+  private val q36Sql =
+    """WITH p AS (SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS p FROM lineitem),
+      |mm AS (SELECT MIN(p) AS mn, MAX(p) AS mx FROM p),
+      |b AS (SELECT p, CAST(p AS DOUBLE) AS x,
+      |        CAST(mn AS DOUBLE) AS mnd, CAST(mx AS DOUBLE) AS mxd
+      |      FROM p, mm),
+      |h AS (SELECT CAST(LEAST(FLOOR((x - mnd) / (mxd - mnd) * 20), 19) AS BIGINT)
+      |        AS bucket, p, mnd, mxd FROM b)
+      |SELECT bucket,
+      |  ROUND(mnd + bucket * ((mxd - mnd) / 20), 2) AS lo,
+      |  ROUND(mnd + (bucket + 1) * ((mxd - mnd) / 20), 2) AS hi,
+      |  COUNT(*) AS n,
+      |  CAST(ROUND(SUM(p), 2) AS DOUBLE) AS sum_price
+      |FROM h
+      |GROUP BY bucket, mnd, mxd
+      |ORDER BY bucket""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_histogram"       -> q36,
     "q35_snapshot_diff"   -> q35,
     "q34_kmv_setalgebra"  -> q34,
     "q33_zonemap_skip"    -> q33,
@@ -1277,6 +1331,7 @@ object MoreRelationalQueries extends QueryPack {
     "q21_bloom_prefilter" -> q21)
 
   override def oracle: Map[String, String] = Map(
+    "q36_histogram"      -> q36Sql,
     "q35_snapshot_diff"  -> q35Sql,
     "q34_kmv_setalgebra" -> q34Sql,
     "q33_zonemap_skip" -> q33Sql,

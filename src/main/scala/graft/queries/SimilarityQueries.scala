@@ -1396,7 +1396,137 @@ object SimilarityQueries extends QueryPack {
       |WHERE d2 > 0
       |ORDER BY id1, id2""".stripMargin
 
+  /** s19 — MMR (maximal-marginal-relevance) diversity re-rank, the
+    * serving-side step after ANN retrieval: from each query's top-12
+    * cosine candidates, greedily pick 4 results maximizing
+    * `λ·sim(q,d) − (1−λ)·max_{s∈picked} sim(d,s)` (λ = 0.5) — high
+    * relevance, low redundancy (Carbonell & Goldstein '98). Dup-heavy
+    * corpora (exactly what the d-family measures) make raw top-k
+    * nearly useless for RAG; MMR is the standard fix.
+    *
+    * Determinism: candidate and candidate-pair cosines snap to 1e-6
+    * (`round(·,6)`, the s1 convention) before any comparison; each
+    * greedy round's argmax orders by (mmr DESC, nid) — a total order
+    * — and `max` over the picked-set sims is order-free. Both engines
+    * run the identical 4 unrolled rounds.
+    *
+    * Scale: the greedy loop is per-QUERY work over k·candidates rows
+    * (12 candidates, 132 pair sims per query) — embarrassingly
+    * parallel across queries, partitioned by qid throughout; the
+    * corpus-sized part is only the upstream candidate retrieval
+    * (s1/s2/s11's problem, not MMR's). The 4 rounds are Spark-side
+    * joins on query-count-sized frames: no collect, no driver loop
+    * over data. */
+  private def s19(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("v"), col("norm"))
+    val q = e.filter(col("vec_id") < 8)
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    val cand = q.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6)
+          .as("cos"))
+      .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= 12)
+      .select(col("qid"), col("nid"), col("cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cv = cand.select(col("qid"), col("nid"))
+      .join(e.select(col("vec_id").as("nid"), col("v"), col("norm")), "nid")
+    val pair = cv.as("x").join(cv.as("y"),
+        col("x.qid") === col("y.qid") && col("x.nid") =!= col("y.nid"))
+      .select(col("x.qid").as("qid"), col("x.nid").as("n1"),
+        col("y.nid").as("n2"),
+        round(dot(col("x.v"), col("y.v")) / (col("x.norm") * col("y.norm")), 6)
+          .as("pcos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wSel = Window.partitionBy(col("qid")).orderBy(col("mmr").desc, col("nid"))
+    var picked = cand
+      .withColumn("mmr", round(lit(0.5) * col("cos"), 6))
+      .withColumn("rk", row_number().over(wSel)).filter(col("rk") === 1)
+      .select(col("qid"), lit(1L).as("pick"), col("nid"), col("mmr"))
+    for (p <- 2 to 4) {
+      val rem = cand.join(picked.select(col("qid"), col("nid")),
+        Seq("qid", "nid"), "left_anti")
+      val redScore = pair
+        .join(picked.select(col("qid"), col("nid").as("n2")), Seq("qid", "n2"))
+        .groupBy(col("qid"), col("n1").as("nid"))
+        .agg(max(col("pcos")).as("maxsim"))
+      val next = rem.join(redScore, Seq("qid", "nid"))
+        .withColumn("mmr",
+          round(lit(0.5) * col("cos") - lit(0.5) * col("maxsim"), 6))
+        .withColumn("rk", row_number().over(wSel)).filter(col("rk") === 1)
+        .select(col("qid"), lit(p.toLong).as("pick"), col("nid"), col("mmr"))
+      picked = picked.unionAll(next)
+    }
+    val out = picked.orderBy(col("qid"), col("pick"))
+    val materialized = out.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    materialized.count()
+    cand.unpersist(blocking = false)
+    pair.unpersist(blocking = false)
+    materialized
+  }
+
+  private val s19Sql = {
+    def pickedUnion(upto: Int): String =
+      (1 to upto).map(i => s"SELECT qid, nid FROM p$i").mkString(" UNION ALL ")
+    def roundCte(r: Int): String = {
+      val pk = s"(${pickedUnion(r - 1)})"
+      s"""m$r AS (
+         |  SELECT c.qid, c.nid,
+         |    ROUND(0.5*c.cos - 0.5*MAX(p.pcos), 6) AS mmr
+         |  FROM cand c
+         |  JOIN pair p ON p.qid = c.qid AND p.n1 = c.nid
+         |  JOIN $pk s ON s.qid = p.qid AND s.nid = p.n2
+         |  WHERE NOT EXISTS (SELECT 1 FROM $pk z
+         |                    WHERE z.qid = c.qid AND z.nid = c.nid)
+         |  GROUP BY c.qid, c.nid, c.cos),
+         |p$r AS (
+         |  SELECT qid, CAST($r AS BIGINT) AS pick, nid, mmr
+         |  FROM (SELECT qid, nid, mmr,
+         |          ROW_NUMBER() OVER (PARTITION BY qid
+         |            ORDER BY mmr DESC, nid) AS rk FROM m$r)
+         |  WHERE rk = 1)""".stripMargin
+    }
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, v,
+       |        sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),
+       |scored AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+       |    ROUND(list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]))
+       |          / (a.norm * b.norm), 6) AS cos
+       |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < 8),
+       |cand AS (
+       |  SELECT qid, nid, cos
+       |  FROM (SELECT qid, nid, cos,
+       |          ROW_NUMBER() OVER (PARTITION BY qid
+       |            ORDER BY cos DESC, nid) AS rk FROM scored)
+       |  WHERE rk <= 12),
+       |pair AS (
+       |  SELECT x.qid, x.nid AS n1, y.nid AS n2,
+       |    ROUND(list_sum(list_transform(list_zip(nx.v, ny.v), t -> t[1]*t[2]))
+       |          / (nx.norm * ny.norm), 6) AS pcos
+       |  FROM cand x JOIN cand y ON x.qid = y.qid AND x.nid <> y.nid
+       |  JOIN n nx ON nx.vec_id = x.nid
+       |  JOIN n ny ON ny.vec_id = y.nid),
+       |p1 AS (
+       |  SELECT qid, CAST(1 AS BIGINT) AS pick, nid, mmr
+       |  FROM (SELECT qid, nid, ROUND(0.5*cos, 6) AS mmr,
+       |          ROW_NUMBER() OVER (PARTITION BY qid
+       |            ORDER BY ROUND(0.5*cos, 6) DESC, nid) AS rk FROM cand)
+       |  WHERE rk = 1),
+       |${roundCte(2)},
+       |${roundCte(3)},
+       |${roundCte(4)}
+       |SELECT qid, pick, nid, mmr
+       |FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+       |      UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4)
+       |ORDER BY qid, pick""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s19_mmr_rerank" -> s19,
     "s18_random_projection" -> s18,
     "s17_embed_profile" -> s17,
     "s16_hard_negatives" -> s16,
@@ -1418,6 +1548,7 @@ object SimilarityQueries extends QueryPack {
     "d8_semdedup"  -> d8)
 
   override def oracle: Map[String, String] = Map(
+    "s19_mmr_rerank" -> s19Sql,
     "s18_random_projection" -> s18Sql,
     "s17_embed_profile" -> s17Sql,
     "s16_hard_negatives" -> s16Sql,

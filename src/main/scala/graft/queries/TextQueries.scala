@@ -444,7 +444,18 @@ object TextQueries extends QueryPack {
     * over 8 reducers instead of pinning one straggler. The salted
     * join is pair-for-pair identical to the plain join (e16's gate),
     * so the oracle is untouched. */
-  private def t10(s: SparkSession, dir: String): DataFrame = {
+  private def t10(s: SparkSession, dir: String): DataFrame =
+    docLmFixedPoint(s, dir)
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sumpf").cast("double") / 1e9 / col("n_bigrams"), 6)
+          .as("avg_p"))
+      .orderBy(col("doc_id"))
+
+  /** t10's per-doc LM core, shared with t25: (doc_id, n_bigrams,
+    * sumpf) where sumpf is the EXACT 1e-9 fixed-point sum of the
+    * doc's conditional bigram probabilities (see t10's scaladoc for
+    * the determinism + salted-join scale story). */
+  private def docLmFixedPoint(s: SparkSession, dir: String): DataFrame = {
     val bi = docs(s, dir)
       .withColumn("w", words)
       .filter(size(col("w")) >= 2)
@@ -462,10 +473,6 @@ object TextQueries extends QueryPack {
       .withColumn("pf", floor(col("p") * 1e9 + 0.5).cast("long"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("pf")).as("sumpf"))
-      .select(col("doc_id"), col("n_bigrams"),
-        round(col("sumpf").cast("double") / 1e9 / col("n_bigrams"), 6)
-          .as("avg_p"))
-      .orderBy(col("doc_id"))
   }
 
   private val t10Sql =
@@ -485,6 +492,79 @@ object TextQueries extends QueryPack {
       |FROM sp
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
+
+  /** t25 — CCNet-style perplexity bucketing: t10's corpus-LM score
+    * routes every doc into head/middle/tail quality tiers by FIXED
+    * thresholds, then reports the per-(source, bucket) doc count,
+    * token mass and mean score — the mixture table a pretraining run
+    * samples from (CCNet splits CommonCrawl exactly this way). Fixed
+    * cutoffs are the production shape: thresholds come from a held-out
+    * calibration, not a corpus-wide quantile, so the op adds NO global
+    * sort/quantile pass on top of the scoring core.
+    *
+    * Determinism: the bucket key is integer arithmetic on t10's exact
+    * fixed-point sums — `score_fp = (sumpf·1000) div n_bigrams`, floor
+    * division of nonnegative longs, identical in both engines — and
+    * the group mean derives from the exact long sum of score_fp (one
+    * double division + round at the end). Docs with no bigram (< 2
+    * words) carry zero LM evidence but a pipeline must still account
+    * for their token mass: they land in an `unscored` bucket (left
+    * join, null score).
+    *
+    * Scale: everything past the t10 scoring core (see its scaladoc
+    * for the salted-join story) is one partial+final agg keyed on
+    * (source, bucket) — a handful of result rows. */
+  private def t25(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(words).cast("long").as("n_words"))
+    val scored = docLmFixedPoint(s, dir)
+      .select(col("doc_id"), expr("sumpf * 1000 div n_bigrams").as("score_fp"))
+    d.join(scored, Seq("doc_id"), "left")
+      .withColumn("bucket",
+        when(col("score_fp").isNull, lit("unscored"))
+          .when(col("score_fp") >= 35000000000L, lit("head"))
+          .when(col("score_fp") >= 34000000000L, lit("middle"))
+          .otherwise(lit("tail")))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_tokens"),
+        sum(col("score_fp")).as("sum_fp"))
+      .select(col("source"), col("bucket"), col("n_docs"), col("n_tokens"),
+        round(col("sum_fp").cast("double") / 1e12 / col("n_docs"), 6)
+          .as("avg_score"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
+  private val t25Sql =
+    """WITH g AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |bi AS (
+      |  SELECT doc_id, i AS pos, w[i] AS a, w[i+1] AS b
+      |  FROM g, unnest(range(1, len(w))) AS t(i)
+      |  WHERE len(w) >= 2),
+      |cab AS (SELECT a, b, COUNT(*) AS cab FROM bi GROUP BY a, b),
+      |ca AS (SELECT a, COUNT(*) AS ca FROM bi GROUP BY a),
+      |sp AS (
+      |  SELECT bi.doc_id,
+      |    CAST(FLOOR(CAST(cab.cab AS DOUBLE) / ca.ca * 1e9 + 0.5) AS BIGINT) AS pf
+      |  FROM bi JOIN cab USING (a, b) JOIN ca USING (a)),
+      |sc AS (
+      |  SELECT doc_id,
+      |    CAST((SUM(pf) * 1000) // COUNT(*) AS BIGINT) AS score_fp
+      |  FROM sp GROUP BY doc_id),
+      |d AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_words
+      |      FROM documents)
+      |SELECT source,
+      |  CASE WHEN score_fp IS NULL THEN 'unscored'
+      |       WHEN score_fp >= 35000000000 THEN 'head'
+      |       WHEN score_fp >= 34000000000 THEN 'middle'
+      |       ELSE 'tail' END AS bucket,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+      |  ROUND(CAST(SUM(score_fp) AS DOUBLE) / 1e12 / COUNT(*), 6) AS avg_score
+      |FROM d LEFT JOIN sc USING (doc_id)
+      |GROUP BY source, bucket
+      |ORDER BY source, bucket""".stripMargin
 
   /** t11 — benchmark decontamination, the train/test-overlap audit
     * every LLM data pipeline runs before training (the 8-word-gram
@@ -1436,7 +1516,8 @@ object TextQueries extends QueryPack {
     "t9_pii_redact"   -> t9,
     "t10_bigram_lm"   -> t10,
     "t11_decontam"    -> t11,
-    "t12_mix_weights" -> t12)
+    "t12_mix_weights" -> t12,
+    "t25_ppl_buckets" -> t25)
 
   override def oracle: Map[String, String] = Map(
     "t24_boilerplate"    -> t24Sql,
@@ -1462,5 +1543,6 @@ object TextQueries extends QueryPack {
     "t9_pii_redact"   -> t9Sql,
     "t10_bigram_lm"   -> t10Sql,
     "t11_decontam"    -> t11Sql,
-    "t12_mix_weights" -> t12Sql)
+    "t12_mix_weights" -> t12Sql,
+    "t25_ppl_buckets" -> t25Sql)
 }
