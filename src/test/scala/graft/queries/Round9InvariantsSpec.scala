@@ -46,6 +46,61 @@ class Round9InvariantsSpec extends SparkSpec {
     } finally GraphQueries.checkpointDirOverride = None
   }
 
+  test("s19 MMR: picks are distinct members of the candidate pool and " +
+      "penalized round values are non-increasing per query") {
+    // From round 2 on, every candidate's score is non-increasing as
+    // the picked set grows (max-sim penalty only grows) and the
+    // remaining set shrinks, so round r+1's argmax value cannot
+    // exceed round r's (rounding is monotone, ties allowed). Round 1
+    // is excluded: it carries NO redundancy penalty, and a negative
+    // max-sim (anti-correlated picks) makes round 2's penalty term a
+    // bonus that can exceed it — observed on this very corpus (qid 6).
+    val rows = SparkEntry.queries("s19_mmr_rerank")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val byQ = rows.groupBy(_._1)
+    byQ should have size 8
+    byQ.foreach { case (q, picks) =>
+      withClue(s"qid $q: ") {
+        picks.map(_._2).sorted shouldBe Seq(1L, 2L, 3L, 4L)
+        picks.map(_._3).distinct should have length 4
+        val vals = picks.sortBy(_._2).map(_._4).drop(1)
+        vals.zip(vals.tail).foreach { case (a, b) => b should be <= a }
+      }
+    }
+  }
+
+  test("t25 perplexity buckets: per-source doc and token masses " +
+      "reconcile with the raw documents table") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("t25_ppl_buckets")(spark, dir)
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("d"), sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = graft.Tables(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("d"),
+        sum(expr("size(split(text, ' '))").cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    got shouldBe want
+  }
+
+  test("q36 histogram: buckets tile [min, max] and masses reconcile " +
+      "with the scanned table") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val h = SparkEntry.queries("q36_histogram")(spark, dir).collect()
+    h.map(_.getLong(0)).toSeq shouldBe (0L to 19L)
+    h.map(r => r.getLong(3)).sum shouldBe
+      graft.Tables(spark, dir, "lineitem").count()
+    val li = graft.Tables(spark, dir, "lineitem")
+      .agg(min(col("l_extendedprice")).as("mn"), max(col("l_extendedprice")).as("mx"))
+      .collect().head
+    h.head.getDouble(1) shouldBe (math.floor(li.getDouble(0) * 100 + 0.5) / 100) +- 0.01
+    h.last.getDouble(2) shouldBe (math.floor(li.getDouble(1) * 100 + 0.5) / 100) +- 0.01
+  }
+
   test("d5 stays an audit baseline: the production curation flow never " +
       "plans a quadratic pair join") {
     // d5 (exact all-pairs cosine) is the DECLARED O(n²) baseline the
