@@ -268,6 +268,21 @@ object GraphQueries extends QueryPack {
     orderedFoldSum(roundContrib(arts, r0))
   }
 
+  /** One un-cut g4 label round for plan audits: labels broadcast into
+    * the dst-bucketed edge table, then label-count and argmax aggs
+    * both keyed on (a superset of) dst — the whole round must plan
+    * with zero shuffle exchanges (see g4's Scaladoc). */
+  private[graft] def auditLabelRound(s: SparkSession, dir: String): DataFrame = {
+    val arts = GraphArtifacts(s, dir)
+    val l0 = arts.deg.select(col("src").as("node"), col("src").as("lbl"))
+    arts.edgesDst
+      .join(broadcast(l0.withColumnRenamed("node", "src")), "src")
+      .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("dst"))
+      .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+      .select(col("dst").as("node"), (-col("m.nl")).as("lbl"))
+  }
+
   /** g1 — 3-round damped PageRank (d = 0.85) over the undirected
     * customer↔supplier graph. Node ids are disambiguated by parity
     * (customer k → 2k, supplier k → 2k+1). Undirected ⇒ no dangling
@@ -484,19 +499,32 @@ object GraphQueries extends QueryPack {
     * bit-replayable in any engine — the oracle unrolls the same
     * three rounds as CTE stages.
     *
-    * Scale: a round is one keyed join (edges ⋈ labels on src — the
-    * g1 shuffle-hash shape) + two hash aggs (label counts, then
-    * per-node argmax as a max-of-struct partial agg, never a rank
-    * window); lineage is cut per round (the ConnectedComponents
+    * Scale: a round rides the g1/g3 broadcast shape — the node-sized
+    * label frame broadcasts into the dst-bucketed edge table, and
+    * BOTH hash aggs (label counts keyed (dst, lbl), then the per-node
+    * argmax keyed dst — a max-of-struct partial agg, never a rank
+    * window) run exchange-free: the broadcast join preserves the
+    * scan's bucketing on dst, and HashPartitioning(dst) satisfies the
+    * clustered distribution of any grouping whose keys include dst.
+    * Past [[maxBroadcastNodes]] the round falls back to one keyed
+    * join (edges ⋈ labels on src) + the same two aggs; label counts
+    * are integer and the argmax a total order, so both paths are
+    * bit-identical. Lineage is cut per round (the ConnectedComponents
     * localCheckpoint lesson). Rounds are O(diameter) in general;
     * fixed at 3 here so the gate is static. */
   private def g4(s: SparkSession, dir: String): DataFrame = {
-    val edges = GraphArtifacts(s, dir).edgesDeg.select(col("src"), col("dst"))
-    var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
+    val arts = GraphArtifacts(s, dir)
+    val edges =
+      if (arts.nNodes <= maxBroadcastNodes) arts.edgesDst
+      else arts.edgesDeg.select(col("src"), col("dst"))
+    def joinLabels(lbls: DataFrame): DataFrame =
+      if (arts.nNodes <= maxBroadcastNodes)
+        edges.join(broadcast(lbls.withColumnRenamed("node", "src")), "src")
+      else edges.join(lbls.withColumnRenamed("node", "src"), "src")
+    var labels = arts.deg
+      .select(col("src").as("node"), col("src").as("lbl"))
     for (_ <- 1 to 3) {
-      labels = edges
-        .join(labels.withColumnRenamed("node", "src"), "src")
+      labels = joinLabels(labels)
         .groupBy(col("dst"), col("lbl"))
         .agg(count(lit(1)).as("cnt"))
         // argmax by (cnt desc, lbl asc) as a struct max — partial+final

@@ -1416,7 +1416,14 @@ object SimilarityQueries extends QueryPack {
     * corpus-sized part is only the upstream candidate retrieval
     * (s1/s2/s11's problem, not MMR's). The 4 rounds are Spark-side
     * joins on query-count-sized frames: no collect, no driver loop
-    * over data. */
+    * over data. Each round's `picked` frame is lineage-CUT (the
+    * ConnectedComponents/GraphQueries iterative-operator rule):
+    * round p references picked three times (anti-join, redundancy
+    * join, union), so without the cut the plan tree grows 3^p and —
+    * measured under full-soak cache pressure — an eviction of the
+    * persisted candidate frame recomputes the brute-force candidate
+    * stage once PER COPY (13.8 s vs 1.7 s at sf0.1). The cut frames
+    * are picked-set-sized (#queries × round), trivially small. */
   private def s19(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"), col("v"), col("norm"))
     val q = e.filter(col("vec_id") < 8)
@@ -1442,6 +1449,7 @@ object SimilarityQueries extends QueryPack {
       .withColumn("mmr", round(lit(0.5) * col("cos"), 6))
       .withColumn("rk", row_number().over(wSel)).filter(col("rk") === 1)
       .select(col("qid"), lit(1L).as("pick"), col("nid"), col("mmr"))
+      .localCheckpoint(true)
     for (p <- 2 to 4) {
       val rem = cand.join(picked.select(col("qid"), col("nid")),
         Seq("qid", "nid"), "left_anti")
@@ -1454,7 +1462,7 @@ object SimilarityQueries extends QueryPack {
           round(lit(0.5) * col("cos") - lit(0.5) * col("maxsim"), 6))
         .withColumn("rk", row_number().over(wSel)).filter(col("rk") === 1)
         .select(col("qid"), lit(p.toLong).as("pick"), col("nid"), col("mmr"))
-      picked = picked.unionAll(next)
+      picked = picked.unionAll(next).localCheckpoint(true)
     }
     val out = picked.orderBy(col("qid"), col("pick"))
     val materialized = out.persist(

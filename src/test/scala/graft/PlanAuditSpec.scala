@@ -307,9 +307,12 @@ class PlanAuditSpec extends SparkSpec {
       .filter(_.contains("l_orderkey")) shouldBe empty
   }
 
-  test("g4: label rounds join shuffled (labels never broadcast at scale)") {
+  test("g4: argmax is an aggregate, not a rank window") {
+    // the per-node mode label is a max-of-struct partial+final agg;
+    // a row_number window would funnel each dst-partition through a
+    // sort. (The round's broadcast/no-exchange shape is locked in
+    // Round9InvariantsSpec.auditLabelRound.)
     val p = plan("g4_label_prop")
-    // argmax is an aggregate, not a rank window
     p should not include "row_number"
   }
 

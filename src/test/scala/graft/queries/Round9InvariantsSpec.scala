@@ -27,6 +27,22 @@ class Round9InvariantsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("g4 round: labels broadcast into the dst-bucketed edge table — " +
+      "both aggs keyed on dst, no shuffle exchange in the round") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val qe = GraphQueries.auditLabelRound(spark, sfDir).queryExecution
+      withClue(qe.executedPlan.toString) {
+        qe.executedPlan.toString should include("graft_g_bipdst")
+        qe.executedPlan.toString should include("BroadcastHashJoin")
+        qe.executedPlan.collect {
+          case e: ShuffleExchangeExec => e } shouldBe empty
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("graph rounds accept a reliable checkpoint dir: same results, " +
       "checkpoint files on disk (executor-loss parity)") {
     val base = Seq("g1_pagerank", "g3_seeded_ppr", "g4_label_prop")
