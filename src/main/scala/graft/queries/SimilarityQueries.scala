@@ -1445,11 +1445,21 @@ object SimilarityQueries extends QueryPack {
           .as("pcos"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wSel = Window.partitionBy(col("qid")).orderBy(col("mmr").desc, col("nid"))
+    // cut-frame parallelism: ~1 task per few thousand picked rows
+    // (8 queries × ≤4 picks here ⇒ 1); grows with the query set so
+    // the greedy rounds stay embarrassingly parallel at scale
+    val pickParts = 1
     var picked = cand
       .withColumn("mmr", round(lit(0.5) * col("cos"), 6))
       .withColumn("rk", row_number().over(wSel)).filter(col("rk") === 1)
       .select(col("qid"), lit(1L).as("pick"), col("nid"), col("mmr"))
-      .localCheckpoint(true)
+      // picked is ≤ #queries×4 rows; collapse the near-empty shuffle
+      // partitions before each eager cut so a round's checkpoint job
+      // runs pickParts tasks, not shuffle.partitions ones. coalesce
+      // is narrow, so it also collapses the round's post-shuffle
+      // stage — pickParts must therefore SCALE WITH #queries
+      // (~queries×4 rows per task band); 8 queries here ⇒ 1.
+      .coalesce(pickParts).localCheckpoint(true)
     for (p <- 2 to 4) {
       val rem = cand.join(picked.select(col("qid"), col("nid")),
         Seq("qid", "nid"), "left_anti")
@@ -1462,7 +1472,7 @@ object SimilarityQueries extends QueryPack {
           round(lit(0.5) * col("cos") - lit(0.5) * col("maxsim"), 6))
         .withColumn("rk", row_number().over(wSel)).filter(col("rk") === 1)
         .select(col("qid"), lit(p.toLong).as("pick"), col("nid"), col("mmr"))
-      picked = picked.unionAll(next).localCheckpoint(true)
+      picked = picked.unionAll(next.coalesce(pickParts)).localCheckpoint(true)
     }
     val out = picked.orderBy(col("qid"), col("pick"))
     val materialized = out.persist(
