@@ -1543,7 +1543,161 @@ object SimilarityQueries extends QueryPack {
        |ORDER BY qid, pick""".stripMargin
   }
 
+  /** s20 — FILTERED ANN audit: vector search under a metadata
+    * predicate (here `nid % 2 = 0`, a stand-in for any attribute
+    * filter — source, license, date), the interplay every production
+    * vector store has to get right. Three legs, one result row per
+    * query:
+    *
+    *  - EXACT: brute-force filtered top-3 (the ground truth — one
+    *    corpus scan per query batch, the s1/s9 declared-audit shape);
+    *  - POST-filter: the naive serving shape — unfiltered IVF top-12
+    *    from the query's nearest cell, predicate applied AFTER
+    *    retrieval. Counts how many survive (`post_returned`) and the
+    *    recall of exact top-3 (`post_recall`) — selective predicates
+    *    hollow this out, the classic filtered-ANN failure;
+    *  - PRE-filter: the production shape — predicate pushed INTO the
+    *    probed cells' scan (nprobe = 2), top-3 of the filtered
+    *    candidates (`pre_recall`). On a partitioned/bucketed index
+    *    layout the predicate prunes files before any distance math.
+    *
+    * Determinism: cosines snap to 1e-6 before every comparison; all
+    * ranks order by (cos DESC, nid); recalls are exact small-int
+    * ratios rounded to 1e-6. Scale: centroids broadcast (k rows);
+    * cell membership is an equi-join on label; the exact leg is the
+    * audit baseline, linear per query in corpus size, and the serving
+    * answer at 100 TB is the pre-filter leg (cells + pushdown). */
+  private def s20(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("label"), col("v"), col("norm"))
+    val cents = centroids(e)
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
+    val pred = col("nid") % 2 === 0
+
+    def cosTo(b: DataFrame): DataFrame =
+      b.select(col("qid"), col("vec_id").as("nid"),
+        round(dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 6)
+          .as("cos"))
+    val wRank = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+
+    // EXACT: filtered brute force, top-3 per query
+    val exact = cosTo(q.crossJoin(e))
+      .filter(col("qid") =!= col("nid") && pred)
+      .withColumn("rk", row_number().over(wRank)).filter(col("rk") <= 3)
+      .select(col("qid"), col("nid"))
+
+    // cell assignment: rank centroids per query, keep top-2
+    val wCell = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("label"))
+    val cells = q.crossJoin(broadcast(cents))
+      .withColumn("ccos", dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
+      .withColumn("crk", row_number().over(wCell)).filter(col("crk") <= 2)
+      .select(col("qid"), col("qv"), col("qnorm"), col("label"), col("crk"))
+
+    // POST-filter: top-12 of the NEAREST cell, unfiltered, then pred
+    val post = cosTo(cells.filter(col("crk") === 1).join(e, Seq("label")))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("rk", row_number().over(wRank)).filter(col("rk") <= 12)
+      .filter(pred)
+      .select(col("qid"), col("nid"))
+
+    // PRE-filter: pred inside the 2 probed cells' scan, top-3
+    val pre = cosTo(cells.join(e, Seq("label")))
+      .filter(col("qid") =!= col("nid") && pred)
+      .withColumn("rk", row_number().over(wRank)).filter(col("rk") <= 3)
+      .select(col("qid"), col("nid"))
+
+    val top1 = cells.filter(col("crk") === 1)
+      .select(col("qid"), col("label").cast("long").as("cell"))
+    exact
+      .join(post.withColumn("hit_post", lit(1)), Seq("qid", "nid"), "left")
+      .join(pre.withColumn("hit_pre", lit(1)), Seq("qid", "nid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit_post"), lit(0))).as("post_hits"),
+        sum(coalesce(col("hit_pre"), lit(0))).as("pre_hits"))
+      .join(post.groupBy(col("qid"))
+        .agg(count(lit(1)).as("post_returned")), Seq("qid"), "left")
+      .join(top1, Seq("qid"))
+      .select(col("qid"), col("cell"), col("n_exact"),
+        coalesce(col("post_returned"), lit(0L)).as("post_returned"),
+        round(col("post_hits").cast("double") / col("n_exact"), 6)
+          .as("post_recall"),
+        round(col("pre_hits").cast("double") / col("n_exact"), 6)
+          .as("pre_recall"))
+      .orderBy(col("qid"))
+  }
+
+  private val s20Sql =
+    """WITH e0 AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |e AS (SELECT vec_id, label, v,
+      |      sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e0),
+      |cents0 AS (
+      |  SELECT label, pos, AVG(x) AS m
+      |  FROM (SELECT label, unnest(v) AS x,
+      |          generate_subscripts(v, 1) AS pos FROM e0) u
+      |  GROUP BY label, pos),
+      |cents AS (
+      |  SELECT label, list(m ORDER BY pos) AS cv,
+      |    sqrt(list_sum(list_transform(list(m ORDER BY pos), x -> x*x))) AS cnorm
+      |  FROM cents0 GROUP BY label),
+      |q AS (SELECT vec_id AS qid, v AS qv, norm AS qnorm FROM e WHERE vec_id < 8),
+      |exact AS (
+      |  SELECT qid, nid FROM (
+      |    SELECT q.qid, b.vec_id AS nid,
+      |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+      |        ROUND(list_sum(list_transform(list_zip(q.qv, b.v), x -> x[1]*x[2]))
+      |              / (q.qnorm * b.norm), 6) DESC, b.vec_id) AS rk
+      |    FROM q JOIN e b ON q.qid <> b.vec_id AND b.vec_id % 2 = 0) t
+      |  WHERE rk <= 3),
+      |cells AS (
+      |  SELECT qid, qv, qnorm, label, crk FROM (
+      |    SELECT q.qid, q.qv, q.qnorm, c.label,
+      |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+      |        list_sum(list_transform(list_zip(q.qv, c.cv), x -> x[1]*x[2]))
+      |          / (q.qnorm * c.cnorm) DESC, c.label) AS crk
+      |    FROM q CROSS JOIN cents c) t
+      |  WHERE crk <= 2),
+      |post AS (
+      |  SELECT qid, nid FROM (
+      |    SELECT a.qid, b.vec_id AS nid,
+      |      ROW_NUMBER() OVER (PARTITION BY a.qid ORDER BY
+      |        ROUND(list_sum(list_transform(list_zip(a.qv, b.v), x -> x[1]*x[2]))
+      |              / (a.qnorm * b.norm), 6) DESC, b.vec_id) AS rk
+      |    FROM cells a JOIN e b ON a.label = b.label AND a.qid <> b.vec_id
+      |    WHERE a.crk = 1) t
+      |  WHERE rk <= 12 AND nid % 2 = 0),
+      |pre AS (
+      |  SELECT qid, nid FROM (
+      |    SELECT a.qid, b.vec_id AS nid,
+      |      ROW_NUMBER() OVER (PARTITION BY a.qid ORDER BY
+      |        ROUND(list_sum(list_transform(list_zip(a.qv, b.v), x -> x[1]*x[2]))
+      |              / (a.qnorm * b.norm), 6) DESC, b.vec_id) AS rk
+      |    FROM cells a JOIN e b ON a.label = b.label AND a.qid <> b.vec_id
+      |      AND b.vec_id % 2 = 0) t
+      |  WHERE rk <= 3),
+      |agg AS (
+      |  SELECT x.qid, COUNT(*) AS n_exact,
+      |    SUM(CASE WHEN p.nid IS NOT NULL THEN 1 ELSE 0 END) AS post_hits,
+      |    SUM(CASE WHEN r.nid IS NOT NULL THEN 1 ELSE 0 END) AS pre_hits
+      |  FROM exact x
+      |  LEFT JOIN post p ON x.qid = p.qid AND x.nid = p.nid
+      |  LEFT JOIN pre r ON x.qid = r.qid AND x.nid = r.nid
+      |  GROUP BY x.qid),
+      |pr AS (SELECT qid, COUNT(*) AS post_returned FROM post GROUP BY qid)
+      |SELECT a.qid, CAST(c.label AS BIGINT) AS cell,
+      |  CAST(a.n_exact AS BIGINT) AS n_exact,
+      |  CAST(COALESCE(pr.post_returned, 0) AS BIGINT) AS post_returned,
+      |  ROUND(CAST(a.post_hits AS DOUBLE) / a.n_exact, 6) AS post_recall,
+      |  ROUND(CAST(a.pre_hits AS DOUBLE) / a.n_exact, 6) AS pre_recall
+      |FROM agg a
+      |JOIN (SELECT qid, label FROM cells WHERE crk = 1) c ON a.qid = c.qid
+      |LEFT JOIN pr ON a.qid = pr.qid
+      |ORDER BY a.qid""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s20_filtered_ann" -> s20,
     "s19_mmr_rerank" -> s19,
     "s18_random_projection" -> s18,
     "s17_embed_profile" -> s17,
@@ -1566,6 +1720,7 @@ object SimilarityQueries extends QueryPack {
     "d8_semdedup"  -> d8)
 
   override def oracle: Map[String, String] = Map(
+    "s20_filtered_ann" -> s20Sql,
     "s19_mmr_rerank" -> s19Sql,
     "s18_random_projection" -> s18Sql,
     "s17_embed_profile" -> s17Sql,

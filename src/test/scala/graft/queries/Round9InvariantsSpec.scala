@@ -86,6 +86,24 @@ class Round9InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("s20 filtered ANN: exact leg is always full-k, counts bounded, " +
+      "recalls are exact thirds in [0,1]") {
+    val rows = SparkEntry.queries("s20_filtered_ann")(
+      spark, "/root/testdata/sf0.01").collect()
+    rows should have length 8
+    rows.foreach { r =>
+      withClue(s"qid ${r.getLong(0)}: ") {
+        r.getLong(2) shouldBe 3L            // n_exact
+        r.getLong(3) should be <= 12L       // post_returned
+        Seq(r.getDouble(4), r.getDouble(5)).foreach { rec =>
+          rec should (be >= 0.0 and be <= 1.0)
+          // recall of a 3-element truth set is k/3 snapped to 1e-6
+          (math.floor(rec * 3 + 0.5) / 3 - rec).abs should be < 1e-5
+        }
+      }
+    }
+  }
+
   test("t25 perplexity buckets: per-source doc and token masses " +
       "reconcile with the raw documents table") {
     import org.apache.spark.sql.functions._
