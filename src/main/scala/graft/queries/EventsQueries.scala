@@ -1392,7 +1392,91 @@ object EventsQueries extends QueryPack {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** e32 — 7-day ROLLING DISTINCT users per day, exact + sketch.
+    * COUNT(DISTINCT) does not decompose over sliding windows (unlike
+    * the sums in e17), which forces one of two scale shapes — this
+    * query runs BOTH and reports the sketch's realized error:
+    *
+    *  - EXACT via contribute-to-window: each distinct (day, user)
+    *    row is exploded to the 7 target days it contributes to
+    *    (map-side ×7 on the DISTINCT day-user frame — events-sized
+    *    input never re-scans per window), then one distinct agg per
+    *    target day. Linear, no range join, no window-state blowup.
+    *  - KMV bottom-k (k = 256, the q23 sketch) over the same
+    *    contributed frame, fed DISTINCT HASHES so the sketch is
+    *    duplicate-insensitive identically on both engines. At scale
+    *    the per-day sketches are tiny and mergeable — the rolling
+    *    union IS a sketch merge, the shape a serving layer keeps
+    *    incrementally (q27's HLL lesson applied to windows).
+    *
+    * Determinism: md5-derived 52-bit hashes, ties in the bottom-k
+    * are by hash value (duplicates pre-collapsed), estimates rounded
+    * to 1e-4, rel_err to 1e-6. Partial leading windows are reported
+    * (standard rolling semantics); only days present in the data are
+    * emitted. */
+  private def e32(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.udaf
+    val k = 256
+    val bottomk = udaf(new graft.functions.TopKAgg(k))
+    val du = ev(s, dir)
+      .select(date_trunc("DAY", col("ts")).cast("date").as("day"), col("user_id"))
+      .distinct()
+    val days = du.select(col("day")).distinct()
+    val contrib = du
+      .select(col("day"), col("user_id"), explode(expr("sequence(0, 6)")).as("off"))
+      .select(date_add(col("day"), col("off")).as("tday"), col("user_id"))
+      .join(broadcast(days.withColumnRenamed("day", "tday")), Seq("tday"), "left_semi")
+    val exact = contrib.groupBy(col("tday"))
+      .agg(countDistinct(col("user_id")).as("exact_rolling_users"))
+    val hashed = contrib
+      .select(col("tday"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 13), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+    val sk = hashed.groupBy(col("tday"))
+      .agg(bottomk((-col("h")).cast("double"), col("h")).as("mins"))
+      .select(col("tday"),
+        (-get(col("mins"), lit(k - 1)).getField("score")).as("hk"),
+        expr("size(mins)").cast("double").as("kk"))
+    exact.join(sk, "tday")
+      .withColumn("est",
+        when(col("hk").isNull, col("kk"))
+          .otherwise(lit((k - 1).toDouble) /
+            (col("hk") / lit(4503599627370496.0)))) // 2^52
+      .select(col("tday").as("day"), col("exact_rolling_users"),
+        round(col("est"), 4).as("kmv_est"),
+        round(abs(col("est") - col("exact_rolling_users")) /
+          col("exact_rolling_users"), 6).as("rel_err"))
+      .orderBy(col("day"))
+  }
+
+  private val e32Sql =
+    """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |days AS (SELECT DISTINCT day FROM du),
+      |contrib AS (
+      |  SELECT du.day + CAST(o.off AS INTEGER) AS tday, du.user_id
+      |  FROM du CROSS JOIN (SELECT UNNEST(range(0, 7)) AS off) o
+      |  JOIN days d2 ON du.day + CAST(o.off AS INTEGER) = d2.day),
+      |ex AS (SELECT tday, COUNT(DISTINCT user_id) AS exact_rolling_users
+      |       FROM contrib GROUP BY tday),
+      |hh AS (SELECT DISTINCT tday,
+      |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+      |  FROM contrib),
+      |r AS (SELECT tday, h,
+      |        ROW_NUMBER() OVER (PARTITION BY tday ORDER BY h) AS rn FROM hh),
+      |kth AS (SELECT tday, MAX(h) AS hk, COUNT(*) AS kk
+      |        FROM r WHERE rn <= 256 GROUP BY tday),
+      |est AS (SELECT ex.tday, ex.exact_rolling_users,
+      |  CASE WHEN kth.kk < 256 THEN CAST(kth.kk AS DOUBLE)
+      |       ELSE CAST(255 AS DOUBLE) /
+      |            (CAST(kth.hk AS DOUBLE) / CAST(4503599627370496 AS DOUBLE)) END AS e
+      |  FROM ex JOIN kth ON ex.tday = kth.tday)
+      |SELECT tday AS day, exact_rolling_users, ROUND(e, 4) AS kmv_est,
+      |  ROUND(ABS(e - exact_rolling_users) / exact_rolling_users, 6) AS rel_err
+      |FROM est ORDER BY day""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e32_rolling_distinct" -> e32,
     "e31_day_serving"    -> e31,
     "e30_topk_exact"     -> e30,
     "e29_multitouch"     -> e29,
@@ -1426,6 +1510,7 @@ object EventsQueries extends QueryPack {
     "e17_trailing_window" -> e17)
 
   override def oracle: Map[String, String] = Map(
+    "e32_rolling_distinct" -> e32Sql,
     "e31_day_serving"    -> e31Sql,
     "e30_topk_exact"     -> e30Sql,
     "e29_multitouch"     -> e29Sql,

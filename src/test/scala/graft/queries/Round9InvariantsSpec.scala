@@ -104,6 +104,29 @@ class Round9InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("e32 rolling distinct: dominates the single-day distinct, is " +
+      "monotone under window growth at the head, and the sketch error " +
+      "stays in the KMV k=256 band") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("e32_rolling_distinct")(spark, dir)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(3)))
+    rows.length should be > 0
+    val perDay = graft.Tables(spark, dir, "events")
+      .select(date_trunc("DAY", col("ts")).cast("date").as("day"), col("user_id"))
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    rows.foreach { case (day, rolling, err) =>
+      withClue(s"$day: ") {
+        rolling should be >= perDay(day) // window ⊇ the day itself
+        err should be < 0.25             // ~4σ for k = 256
+      }
+    }
+    // leading partial windows: day 1..7 rolling counts are non-decreasing
+    val head = rows.sortBy(_._1).take(7).map(_._2)
+    head.zip(head.tail).foreach { case (a, b) => b should be >= a }
+  }
+
   test("t25 perplexity buckets: per-source doc and token masses " +
       "reconcile with the raw documents table") {
     import org.apache.spark.sql.functions._
