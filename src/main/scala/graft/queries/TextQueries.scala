@@ -1492,7 +1492,74 @@ object TextQueries extends QueryPack {
       |FROM k GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** t26 — Heaps-law VOCABULARY GROWTH: per source, distinct-word
+    * (vocabulary) and token counts at nested 10% / 50% / 100% corpus
+    * prefixes, plus the fitted Heaps exponent β (V ≈ K·T^β, so
+    * β = ln(V₁₀₀/V₁₀)/ln(T₁₀₀/T₁₀)) — the standard diagnostic for
+    * tokenizer/vocab sizing and for spotting template-heavy sources
+    * (β near 0: vocabulary saturates; natural text sits ~0.4-0.6).
+    *
+    * Prefixes are VALUE-based on doc_id (min + frac·(max−min) per
+    * source, a broadcast min/max agg) rather than rank-based — same
+    * curve on dense ids, but no per-source rank window (a rank
+    * prefix needs a window partitioned by source, a hot partition
+    * when one source holds billions of docs). One explode pass, the
+    * three nested prefixes as conditional aggregates (Spark plans
+    * multi-countDistinct via Expand — 3× rows shuffled once, still
+    * one pass over the corpus). β rounded to 1e-4 (ln on both
+    * engines; 1e-6 would gamble on libm ulps). */
+  private def t26(s: SparkSession, dir: String): DataFrame = {
+    val bounds = docs(s, dir).groupBy(col("source"))
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+    val w = docs(s, dir)
+      .join(broadcast(bounds), "source")
+      .select(col("source"), col("doc_id"), col("lo"), col("hi"),
+        explode(words).as("word"))
+    // integer division on both engines — a float threshold would
+    // gamble on cast semantics (DuckDB rounds double→int, Spark
+    // truncates)
+    val in10 = col("doc_id") <= col("lo") + expr("(hi - lo) div 10")
+    val in50 = col("doc_id") <= col("lo") + expr("(hi - lo) div 2")
+    w.groupBy(col("source"))
+      .agg(
+        sum(when(in10, 1L).otherwise(0L)).as("tokens_10"),
+        countDistinct(when(in10, col("word"))).as("vocab_10"),
+        sum(when(in50, 1L).otherwise(0L)).as("tokens_50"),
+        countDistinct(when(in50, col("word"))).as("vocab_50"),
+        count(lit(1)).as("tokens_full"),
+        countDistinct(col("word")).as("vocab_full"))
+      .withColumn("heaps_beta",
+        round(log(col("vocab_full").cast("double") / col("vocab_10")) /
+          log(col("tokens_full").cast("double") / col("tokens_10")), 4))
+      .orderBy(col("source"))
+  }
+
+  private val t26Sql =
+    """WITH b AS (SELECT source, MIN(doc_id) AS lo, MAX(doc_id) AS hi
+      |           FROM documents GROUP BY source),
+      |w AS (SELECT d.source, d.doc_id, b.lo, b.hi, u.word
+      |      FROM documents d JOIN b ON d.source = b.source,
+      |           UNNEST(string_split(d.text, ' ')) AS u(word)),
+      |agg AS (SELECT source,
+      |  CAST(SUM(CASE WHEN doc_id <= lo + (hi - lo) // 10
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS tokens_10,
+      |  COUNT(DISTINCT CASE WHEN doc_id <= lo + (hi - lo) // 10
+      |           THEN word END) AS vocab_10,
+      |  CAST(SUM(CASE WHEN doc_id <= lo + (hi - lo) // 2
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS tokens_50,
+      |  COUNT(DISTINCT CASE WHEN doc_id <= lo + (hi - lo) // 2
+      |           THEN word END) AS vocab_50,
+      |  COUNT(*) AS tokens_full,
+      |  COUNT(DISTINCT word) AS vocab_full
+      |  FROM w GROUP BY source)
+      |SELECT source, tokens_10, vocab_10, tokens_50, vocab_50,
+      |  tokens_full, vocab_full,
+      |  ROUND(ln(CAST(vocab_full AS DOUBLE) / vocab_10) /
+      |        ln(CAST(tokens_full AS DOUBLE) / tokens_10), 4) AS heaps_beta
+      |FROM agg ORDER BY source""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t26_vocab_growth" -> t26,
     "t24_boilerplate"    -> t24,
     "t23_token_budget"   -> t23,
     "t22_chunking"       -> t22,
@@ -1544,5 +1611,6 @@ object TextQueries extends QueryPack {
     "t10_bigram_lm"   -> t10Sql,
     "t11_decontam"    -> t11Sql,
     "t12_mix_weights" -> t12Sql,
-    "t25_ppl_buckets" -> t25Sql)
+    "t25_ppl_buckets" -> t25Sql,
+    "t26_vocab_growth" -> t26Sql)
 }

@@ -127,6 +127,24 @@ class Round9InvariantsSpec extends SparkSpec {
     head.zip(head.tail).foreach { case (a, b) => b should be >= a }
   }
 
+  test("t26 vocab growth: nested prefixes are monotone in tokens and " +
+      "vocabulary, and the Heaps exponent is non-negative") {
+    val rows = SparkEntry.queries("t26_vocab_growth")(
+      spark, "/root/testdata/sf0.01").collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      withClue(s"${r.getString(0)}: ") {
+        val (t10, v10) = (r.getLong(1), r.getLong(2))
+        val (t50, v50) = (r.getLong(3), r.getLong(4))
+        val (tf, vf) = (r.getLong(5), r.getLong(6))
+        t10 should be <= t50; t50 should be <= tf
+        v10 should be <= v50; v50 should be <= vf
+        v10 should be > 0L // the 10% prefix always holds ≥ 1 doc
+        r.getDouble(7) should be >= 0.0
+      }
+    }
+  }
+
   test("t25 perplexity buckets: per-source doc and token masses " +
       "reconcile with the raw documents table") {
     import org.apache.spark.sql.functions._
