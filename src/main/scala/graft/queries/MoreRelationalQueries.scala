@@ -1301,7 +1301,91 @@ object MoreRelationalQueries extends QueryPack {
       |GROUP BY bucket, mnd, mxd
       |ORDER BY bucket""".stripMargin
 
+  /** q37 — incremental view maintenance WITH DELETIONS (retractable
+    * IVM): q31 proves the insert-only delta-join identity; this is
+    * the harder leg a real snapshot pipeline needs when a batch
+    * carries retractions (CDC deletes, right-to-be-forgotten purges,
+    * late dedup). Simulated from lineitem: base = orderkey%10≠0,
+    * insert delta = orderkey%10=0, delete delta = base rows with
+    * orderkey%7=0. The maintained per-group aggregate is computed
+    * from base aggregates ± delta aggregates ONLY:
+    *
+    *  - count/sum retract additively (exact DECIMAL arithmetic, so
+    *    base−del+ins is bit-equal to a recompute);
+    *  - MIN is NOT retractable — a group whose current minimum was
+    *    deleted cannot be repaired from aggregates. Affected groups
+    *    (del_min = base_min) re-derive min from the new state
+    *    restricted to those groups (a semi-join-pruned scan — at
+    *    100 TB the affected set is the delete keys, not the corpus);
+    *    unaffected groups take least(base_min, ins_min) untouched.
+    *
+    * The driver's oracle recomputes the view DIRECTLY from the final
+    * state — the hash equality IS the maintenance-identity proof
+    * (the q31 convention). Groups emptied by deletion are dropped,
+    * as a recompute would. */
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    val rows = Tables(s, dir, "lineitem")
+      .select((col("l_suppkey") % 500).as("grp"), col("l_orderkey").as("ok"),
+        dec(col("l_quantity")).as("qty"), dec(col("l_extendedprice")).as("price"))
+    val base = rows.filter(col("ok") % 10 =!= 0)
+    val ins = rows.filter(col("ok") % 10 === 0)
+    val del = base.filter(col("ok") % 7 === 0)
+
+    val baseAgg = base.groupBy(col("grp")).agg(
+      count(lit(1)).as("b_cnt"), sum(col("qty")).as("b_sum"),
+      min(col("price")).as("b_min"))
+    val delAgg = del.groupBy(col("grp")).agg(
+      count(lit(1)).as("d_cnt"), sum(col("qty")).as("d_sum"),
+      min(col("price")).as("d_min"))
+    val insAgg = ins.groupBy(col("grp")).agg(
+      count(lit(1)).as("i_cnt"), sum(col("qty")).as("i_sum"),
+      min(col("price")).as("i_min"))
+
+    val merged = baseAgg
+      .join(delAgg, Seq("grp"), "left")
+      .join(insAgg, Seq("grp"), "full_outer")
+      .select(col("grp"),
+        (coalesce(col("b_cnt"), lit(0L)) - coalesce(col("d_cnt"), lit(0L)) +
+          coalesce(col("i_cnt"), lit(0L))).as("cnt"),
+        (coalesce(col("b_sum"), dec(lit(0))) - coalesce(col("d_sum"), dec(lit(0))) +
+          coalesce(col("i_sum"), dec(lit(0)))).as("sum_qty"),
+        col("b_min"), col("d_min"), col("i_min"))
+      .filter(col("cnt") > 0)
+
+    // non-retractable MIN: re-derive ONLY groups whose min was deleted
+    val affected = merged
+      .filter(col("d_min").isNotNull && col("d_min") === col("b_min"))
+      .select(col("grp"))
+    val newState = base.filter(col("ok") % 7 =!= 0).unionByName(ins)
+    val rederived = newState
+      .join(affected.hint("broadcast"), Seq("grp"), "left_semi")
+      .groupBy(col("grp")).agg(min(col("price")).as("r_min"))
+
+    merged.join(rederived, Seq("grp"), "left")
+      .select(col("grp"), col("cnt"),
+        money(col("sum_qty")).as("sum_qty"),
+        when(col("d_min").isNotNull && col("d_min") === col("b_min"),
+            col("r_min"))
+          .otherwise(least(col("b_min"), coalesce(col("i_min"), col("b_min"))))
+          .cast("double").as("min_price"))
+      .orderBy(col("grp"))
+  }
+
+  private val q37Sql =
+    """WITH f AS (
+      |  SELECT l_suppkey % 500 AS grp,
+      |    CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+      |  FROM lineitem
+      |  WHERE l_orderkey % 10 = 0
+      |     OR (l_orderkey % 10 <> 0 AND l_orderkey % 7 <> 0))
+      |SELECT grp, COUNT(*) AS cnt,
+      |  CAST(ROUND(SUM(qty), 2) AS DOUBLE) AS sum_qty,
+      |  CAST(MIN(price) AS DOUBLE) AS min_price
+      |FROM f GROUP BY grp ORDER BY grp""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_retract_ivm" -> q37,
     "q36_histogram"       -> q36,
     "q35_snapshot_diff"   -> q35,
     "q34_kmv_setalgebra"  -> q34,
@@ -1331,6 +1415,7 @@ object MoreRelationalQueries extends QueryPack {
     "q21_bloom_prefilter" -> q21)
 
   override def oracle: Map[String, String] = Map(
+    "q37_retract_ivm" -> q37Sql,
     "q36_histogram"      -> q36Sql,
     "q35_snapshot_diff"  -> q35Sql,
     "q34_kmv_setalgebra" -> q34Sql,

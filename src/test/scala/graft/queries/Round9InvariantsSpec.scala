@@ -145,6 +145,33 @@ class Round9InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("q37 retractable IVM: the deletion path is actually exercised " +
+      "on this data (some group's min is deleted and re-derived)") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val rows = graft.Tables(spark, dir, "lineitem")
+      .select((col("l_suppkey") % 500).as("grp"), col("l_orderkey").as("ok"),
+        col("l_extendedprice").cast("decimal(18,2)").as("price"))
+    val base = rows.filter(col("ok") % 10 =!= 0)
+    val del = base.filter(col("ok") % 7 === 0)
+    val affected = base.groupBy(col("grp")).agg(min(col("price")).as("bm"))
+      .join(del.groupBy(col("grp")).agg(min(col("price")).as("dm")), "grp")
+      .filter(col("dm") === col("bm")).count()
+    // the invariant the query's correctness proof depends on: the
+    // non-retractable-min branch must not be vacuously green
+    affected should be > 0L
+    // and the gate itself: maintained result == direct recompute
+    val got = SparkEntry.queries("q37_retract_ivm")(spark, dir)
+    val state = rows.filter(col("ok") % 10 === 0 ||
+        (col("ok") % 10 =!= 0 && col("ok") % 7 =!= 0))
+    val want = state.groupBy(col("grp"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("price")).cast("double").as("min_price"))
+    got.select(col("grp"), col("cnt"), col("min_price"))
+      .except(want.select(col("grp"), col("cnt"), col("min_price")))
+      .count() shouldBe 0L
+  }
+
   test("t25 perplexity buckets: per-source doc and token masses " +
       "reconcile with the raw documents table") {
     import org.apache.spark.sql.functions._
