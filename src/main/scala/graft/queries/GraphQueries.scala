@@ -37,7 +37,8 @@ import org.apache.spark.sql.functions._
   * partial+final agg keyed by dst. Lineage is cut per round
   * (the ConnectedComponents lesson: without it the plan doubles per
   * round and Catalyst analysis becomes the bottleneck); set
-  * `SPARK_GRAFT_CHECKPOINT_DIR` (or [[checkpointDirOverride]]) to
+  * `SPARK_GRAFT_CHECKPOINT_DIR` (or
+  * [[graft.operators.Lineage.checkpointDirOverride]]) to
   * make the cuts RELIABLE `df.checkpoint()`s that survive executor
   * loss — `localCheckpoint` blocks die with their executor. The
   * sorted-fold is the oracle-parity artifact; a production run swaps
@@ -48,26 +49,24 @@ object GraphQueries extends QueryPack {
 
   /** Rank/label frames broadcast into the bucketed edge table up to
     * this many nodes (~24 B/row ⇒ ~200 MB at the default); larger
-    * graphs use the shuffle-join round shape instead. */
-  private val maxBroadcastNodes: Long =
-    scala.util.Try(sys.env("SPARK_GRAFT_GRAPH_BC_NODES").trim.toLong)
-      .toOption.filter(_ >= 0).getOrElse(8L * 1000 * 1000)
+    * graphs use the shuffle-join round shape instead. Resolved per
+    * CALL (not frozen at object init) so the forced-fallback parity
+    * test can exercise the shuffle path in-process via
+    * [[maxBroadcastNodesOverride]] — without that hook the fallback
+    * is dead code under any test corpus and its "both paths are
+    * bit-identical" claim would be unverifiable. */
+  private def maxBroadcastNodes: Long =
+    maxBroadcastNodesOverride.getOrElse(
+      scala.util.Try(sys.env("SPARK_GRAFT_GRAPH_BC_NODES").trim.toLong)
+        .toOption.filter(_ >= 0).getOrElse(8L * 1000 * 1000))
 
-  /** When set (tests), per-round lineage cuts use RELIABLE
-    * `df.checkpoint()` into this directory instead of
-    * `localCheckpoint` — replayable after executor loss, the
-    * [[graft.operators.ConnectedComponents]] `checkpointDir` contract.
-    * Production sets `SPARK_GRAFT_CHECKPOINT_DIR` instead. */
-  @volatile private[graft] var checkpointDirOverride: Option[String] = None
+  /** Test hook: force the broadcast/shuffle round-shape decision
+    * (0 ⇒ always the shuffle fallback). Production tunes
+    * `SPARK_GRAFT_GRAPH_BC_NODES` instead. */
+  @volatile private[graft] var maxBroadcastNodesOverride: Option[Long] = None
 
   private def cutLineage(df: DataFrame): DataFrame =
-    checkpointDirOverride.orElse(sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")) match {
-      case Some(d) =>
-        val sc = df.sparkSession.sparkContext
-        if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
-        df.checkpoint()
-      case None => df.localCheckpoint(true)
-    }
+    graft.operators.Lineage.cut(df)
 
   /** Shared graph index artifacts, keyed by (session, dir) — the
     * DocArtifacts/PqArtifacts lifecycle applied to the derived

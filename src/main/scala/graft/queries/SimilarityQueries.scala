@@ -1445,21 +1445,27 @@ object SimilarityQueries extends QueryPack {
           .as("pcos"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wSel = Window.partitionBy(col("qid")).orderBy(col("mmr").desc, col("nid"))
-    // cut-frame parallelism: ~1 task per few thousand picked rows
-    // (8 queries × ≤4 picks here ⇒ 1); grows with the query set so
-    // the greedy rounds stay embarrassingly parallel at scale
-    val pickParts = 1
+    // cut-frame parallelism: ~1 task per few-thousand picked rows.
+    // coalesce is narrow, so it also collapses the round's
+    // post-shuffle stage — pickParts therefore SCALES WITH the query
+    // count (≤4 picks per query, ~4k rows per task band) instead of
+    // funneling a large query batch through one task. The count is a
+    // one-job probe over the already-persisted candidate frame.
+    val nQueries = cand.select(col("qid")).distinct().count()
+    val pickParts = math.max(1L, (nQueries * 4 + 3999) / 4000).toInt
     var picked = cand
       .withColumn("mmr", round(lit(0.5) * col("cos"), 6))
       .withColumn("rk", row_number().over(wSel)).filter(col("rk") === 1)
       .select(col("qid"), lit(1L).as("pick"), col("nid"), col("mmr"))
       // picked is ≤ #queries×4 rows; collapse the near-empty shuffle
       // partitions before each eager cut so a round's checkpoint job
-      // runs pickParts tasks, not shuffle.partitions ones. coalesce
-      // is narrow, so it also collapses the round's post-shuffle
-      // stage — pickParts must therefore SCALE WITH #queries
-      // (~queries×4 rows per task band); 8 queries here ⇒ 1.
-      .coalesce(pickParts).localCheckpoint(true)
+      // runs pickParts tasks, not shuffle.partitions ones. The cut
+      // rides the shared graft.operators.Lineage helper: reliable
+      // checkpoint under SPARK_GRAFT_CHECKPOINT_DIR (executor-loss
+      // safe), localCheckpoint otherwise — parity spec-locked
+      // alongside the graph rounds (Round9InvariantsSpec).
+      .coalesce(pickParts)
+    picked = graft.operators.Lineage.cut(picked)
     for (p <- 2 to 4) {
       val rem = cand.join(picked.select(col("qid"), col("nid")),
         Seq("qid", "nid"), "left_anti")
@@ -1472,7 +1478,8 @@ object SimilarityQueries extends QueryPack {
           round(lit(0.5) * col("cos") - lit(0.5) * col("maxsim"), 6))
         .withColumn("rk", row_number().over(wSel)).filter(col("rk") === 1)
         .select(col("qid"), lit(p.toLong).as("pick"), col("nid"), col("mmr"))
-      picked = picked.unionAll(next.coalesce(pickParts)).localCheckpoint(true)
+      picked = graft.operators.Lineage.cut(
+        picked.unionAll(next.coalesce(pickParts)))
     }
     val out = picked.orderBy(col("qid"), col("pick"))
     val materialized = out.persist(
@@ -1586,10 +1593,15 @@ object SimilarityQueries extends QueryPack {
       .withColumn("rk", row_number().over(wRank)).filter(col("rk") <= 3)
       .select(col("qid"), col("nid"))
 
-    // cell assignment: rank centroids per query, keep top-2
+    // cell assignment: rank centroids per query, keep top-2. ccos
+    // snaps to 1e-6 like every other cosine here — unrounded, the
+    // rank near equal centroids would hinge on bit-identical AVG
+    // accumulation order across engines (a latent cross-engine
+    // tie-flip the 1e-6 snap exists to prevent).
     val wCell = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("label"))
     val cells = q.crossJoin(broadcast(cents))
-      .withColumn("ccos", dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
+      .withColumn("ccos",
+        round(dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")), 6))
       .withColumn("crk", row_number().over(wCell)).filter(col("crk") <= 2)
       .select(col("qid"), col("qv"), col("qnorm"), col("label"), col("crk"))
 
@@ -1655,8 +1667,8 @@ object SimilarityQueries extends QueryPack {
       |  SELECT qid, qv, qnorm, label, crk FROM (
       |    SELECT q.qid, q.qv, q.qnorm, c.label,
       |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
-      |        list_sum(list_transform(list_zip(q.qv, c.cv), x -> x[1]*x[2]))
-      |          / (q.qnorm * c.cnorm) DESC, c.label) AS crk
+      |        ROUND(list_sum(list_transform(list_zip(q.qv, c.cv), x -> x[1]*x[2]))
+      |          / (q.qnorm * c.cnorm), 6) DESC, c.label) AS crk
       |    FROM q CROSS JOIN cents c) t
       |  WHERE crk <= 2),
       |post AS (

@@ -1528,9 +1528,15 @@ object TextQueries extends QueryPack {
         countDistinct(when(in50, col("word"))).as("vocab_50"),
         count(lit(1)).as("tokens_full"),
         countDistinct(col("word")).as("vocab_full"))
+      // guard the degenerate prefix (lo == hi ⇒ the 10% prefix IS the
+      // full corpus ⇒ ln(1)/ln(1) = 0/0): emit NULL explicitly in
+      // both engines instead of betting the hash on DuckDB's
+      // ieee_floating_point_ops default producing the same NaN
       .withColumn("heaps_beta",
-        round(log(col("vocab_full").cast("double") / col("vocab_10")) /
-          log(col("tokens_full").cast("double") / col("tokens_10")), 4))
+        when(col("tokens_full") === col("tokens_10"), lit(null))
+          .otherwise(round(
+            log(col("vocab_full").cast("double") / col("vocab_10")) /
+              log(col("tokens_full").cast("double") / col("tokens_10")), 4)))
       .orderBy(col("source"))
   }
 
@@ -1554,8 +1560,10 @@ object TextQueries extends QueryPack {
       |  FROM w GROUP BY source)
       |SELECT source, tokens_10, vocab_10, tokens_50, vocab_50,
       |  tokens_full, vocab_full,
-      |  ROUND(ln(CAST(vocab_full AS DOUBLE) / vocab_10) /
-      |        ln(CAST(tokens_full AS DOUBLE) / tokens_10), 4) AS heaps_beta
+      |  CASE WHEN tokens_full = tokens_10 THEN NULL
+      |       ELSE ROUND(ln(CAST(vocab_full AS DOUBLE) / vocab_10) /
+      |                  ln(CAST(tokens_full AS DOUBLE) / tokens_10), 4)
+      |  END AS heaps_beta
       |FROM agg ORDER BY source""".stripMargin
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -43,13 +43,14 @@ class Round9InvariantsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
-  test("graph rounds accept a reliable checkpoint dir: same results, " +
-      "checkpoint files on disk (executor-loss parity)") {
-    val base = Seq("g1_pagerank", "g3_seeded_ppr", "g4_label_prop")
-      .map(q => q -> SparkEntry.queries(q)(spark, sfDir)
+  test("iterative rounds accept a reliable checkpoint dir: same results, " +
+      "checkpoint files on disk (executor-loss parity — graph + s19 MMR)") {
+    val qs = Seq("g1_pagerank", "g3_seeded_ppr", "g4_label_prop",
+      "s19_mmr_rerank")
+    val base = qs.map(q => q -> SparkEntry.queries(q)(spark, sfDir)
         .collect().map(_.toString).toSeq).toMap
     val dir = java.nio.file.Files.createTempDirectory("graft-gq-chk")
-    GraphQueries.checkpointDirOverride = Some(dir.toString)
+    graft.operators.Lineage.checkpointDirOverride = Some(dir.toString)
     try {
       base.foreach { case (q, want) =>
         SparkEntry.queries(q)(spark, sfDir)
@@ -59,7 +60,21 @@ class Round9InvariantsSpec extends SparkSpec {
       val files = java.nio.file.Files.walk(dir).iterator().asScala
         .count(p => java.nio.file.Files.isRegularFile(p))
       files should be > 0L.toInt
-    } finally GraphQueries.checkpointDirOverride = None
+    } finally graft.operators.Lineage.checkpointDirOverride = None
+  }
+
+  test("g1/g3/g4 forced shuffle fallback (broadcast bound = 0) is " +
+      "bit-identical to the broadcast round shape") {
+    val qs = Seq("g1_pagerank", "g3_seeded_ppr", "g4_label_prop")
+    val base = qs.map(q => q -> SparkEntry.queries(q)(spark, sfDir)
+        .collect().map(_.toString).toSeq).toMap
+    GraphQueries.maxBroadcastNodesOverride = Some(0L)
+    try base.foreach { case (q, want) =>
+      withClue(s"$q under forced fallback: ") {
+        SparkEntry.queries(q)(spark, sfDir)
+          .collect().map(_.toString).toSeq shouldBe want
+      }
+    } finally GraphQueries.maxBroadcastNodesOverride = None
   }
 
   test("s19 MMR: picks are distinct members of the candidate pool and " +
