@@ -46,9 +46,8 @@ object DedupQueries extends QueryPack {
       |  s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % 2147483647)""".stripMargin
 
   private def withShinglesRaw(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .withColumn("w", split(col("text"), " "))
-      .filter(size(col("w")) >= 3)
+    TextArtifacts.toks(s, dir)
+      .filter(col("n_words") >= 3)
       .withColumn("xs", graft.operators.TextDedup.shingleHashes("w", 3))
 
   /** Shared dedup artifacts — the per-doc shingle frame, the minhash
@@ -115,8 +114,8 @@ object DedupQueries extends QueryPack {
     def apply(s: SparkSession, dir: String): DataFrame =
       reg(s, dir) { (s2, d) =>
         val p = graft.operators.TextDedup.simhash(
-          docs(s2, d)
-            .select(col("doc_id"), explode(split(col("text"), " ")).as("__w"))
+          TextArtifacts.toks(s2, d)
+            .select(col("doc_id"), explode(col("w")).as("__w"))
             .groupBy(col("doc_id"), col("__w")).agg(count(lit(1)).as("__cnt")),
           "doc_id")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -704,9 +703,7 @@ object DedupQueries extends QueryPack {
   private def d9(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextDedup
       .repeatedSpans(
-        docs(s, dir)
-          .withColumn("w", split(col("text"), " "))
-          .filter(size(col("w")) >= 8),
+        TextArtifacts.toks(s, dir).filter(col("n_words") >= 8),
         "doc_id", "w", n = 8, maxDf = d9MaxDf, minSpanWords = d9MinSpan)
       .orderBy(col("d1"), col("d2"), col("start1"), col("start2"))
 

@@ -165,15 +165,22 @@ object GraphQueries extends QueryPack {
       // part co-occurrence graph (g2): edges + degree-ordered
       // orientation — lexicographic (deg, id), an explicit
       // comparison, never a packed scalar key (deg·C + id breaks
-      // silently once ids reach C at larger corpora)
-      val li = Tables(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val pEdges = persistEager(li.as("a").hint("shuffle_hash")
-        .join(li.as("b").hint("shuffle_hash"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("u"), col("b.pk").as("v"))
-        .distinct())
+      // silently once ids reach C at larger corpora).
+      // The (order, part) incidence is written ONCE as a durable
+      // ok-bucketed (ok, pk)-sorted table; the co-occurrence
+      // self-join then reads the SAME bucketed scan on both sides
+      // and plans with ZERO edge-side exchanges (the g1/g3/g4
+      // bucketed-artifact treatment applied to g2's dominant cost —
+      // the only remaining exchange is the unavoidable pair
+      // distinct). Recompute lineage for every g2 frame re-roots on
+      // this scan, never on the lineitem fact scan.
+      graft.etl.CorpusLayout.writeBucketed(
+        Tables(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct(),
+        s"graft_g_inc_$sfx", nb, Seq("ok"), Seq("ok", "pk"))
+      val pEdges = persistEager(
+        incidenceSelfJoin(s.table(s"graft_g_inc_$sfx")).distinct())
       val partDeg0 = persistEager(pEdges.select(col("u").as("node"))
         .unionAll(pEdges.select(col("v").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg")))
@@ -197,7 +204,8 @@ object GraphQueries extends QueryPack {
           .groupBy(col("node")).agg(count(lit(1)).as("deg")))
       partDeg0.unpersist(blocking = false) // folded into partDeg
       pEdges.unpersist(blocking = false)   // folded into oriented
-      val tables = Seq(s"graft_g_bip_$sfx", s"graft_g_bipdst_$sfx",
+      val tables = Seq(s"graft_g_inc_$sfx",
+        s"graft_g_bip_$sfx", s"graft_g_bipdst_$sfx",
         s"graft_g_oriented_$sfx")
       tables.foreach(t => graft.ArtifactRegistry.deleteDirOnExit(
         graft.etl.CorpusLayout.managedTablePath(s, t).toString))
@@ -280,6 +288,27 @@ object GraphQueries extends QueryPack {
       .groupBy(col("dst"))
       .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
       .select(col("dst").as("node"), (-col("m.nl")).as("lbl"))
+  }
+
+  /** The g2 co-occurrence pair join over the ok-bucketed (order,
+    * part) incidence table: both join legs read the SAME bucketed
+    * scan, so the equi-join on ok plans with no exchange on either
+    * side (ShuffledHashJoin over two bucket-partitioned scans; the
+    * hint keeps AQE from broadcasting an index-sized side). */
+  private def incidenceSelfJoin(li: DataFrame): DataFrame =
+    li.as("a").hint("shuffle_hash")
+      .join(li.as("b").hint("shuffle_hash"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+
+  /** g2's edge-build join for plan audits: must read the durable
+    * bucketed incidence table on both sides with ZERO shuffle
+    * exchanges (the pair `distinct` downstream is the only exchange
+    * the edge build is allowed). */
+  private[graft] def auditEdgeBuild(s: SparkSession, dir: String): DataFrame = {
+    GraphArtifacts(s, dir) // materializes the durable incidence table
+    incidenceSelfJoin(s.table(
+      s"graft_g_inc_${graft.ArtifactRegistry.dirTag(dir)}"))
   }
 
   /** g1 — 3-round damped PageRank (d = 0.85) over the undirected
