@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** Streaming ingest throughput bench: sustained events/sec through
   * the full ingest dataflow (envelope adapter → route → gate →
   * stateful 14-day ledger → sink) on the RocksDB state store
-  * provider — the one number BENCH's batch medians don't capture.
+  * provider — the numbers BENCH's batch medians don't capture.
   *
   * Method: the sf events table is rewritten as raw webhook JSON
   * lines (the S1 envelope payload) across `SPARK_GRAFT_STREAM_FILES`
@@ -20,6 +20,25 @@ import org.apache.spark.sql.functions._
   * Bench's shuffle dirs (this VM's disk file-create path is the
   * documented noise source).
   *
+  * Three measurements per invocation (the SCALING.md StreamBench
+  * evidence set):
+  *
+  *  1. THROUGHPUT CURVE — one sustained run per `maxFilesPerTrigger`
+  *     load point (`SPARK_GRAFT_STREAM_FPT` = comma-separated list,
+  *     default "4,8,16"): smaller triggers = more micro-batches =
+  *     more per-batch state-commit overhead; the curve shows how
+  *     rate scales with batch size.
+  *  2. STATE SIZE — each point reports the ledger operator's
+  *     `numRowsTotal` and the RocksDB SST footprint from the final
+  *     `StreamingQueryProgress` (the state the 14-day TTL bounds).
+  *  3. CHECKPOINT-RESTART RECOVERY — after the last point, a second
+  *     small event wave (fresh ids) lands and a NEW query resumes
+  *     from the same checkpoint: elapsed start→drain includes the
+  *     RocksDB state reload + dedup of the wave against the restored
+  *     ledger — the executor-replacement / job-bounce story. The
+  *     wave's admitted count is asserted in-line (a wrong restore
+  *     would double-admit or drop).
+  *
   * One JSON line on stdout + `stream_bench_out.json` (the Bench
   * artifact convention).
   */
@@ -28,7 +47,9 @@ object StreamBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val nFiles = sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES", "64").toInt
-    val perTrigger = sys.env.getOrElse("SPARK_GRAFT_STREAM_FPT", "8").toInt
+    val fpts = sys.env.getOrElse("SPARK_GRAFT_STREAM_FPT", "4,8,16")
+      .split(',').toSeq.map(_.trim.toInt)
+    val restartWave = sys.env.getOrElse("SPARK_GRAFT_STREAM_WAVE", "20000").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -47,45 +68,84 @@ object StreamBench {
     }
     rmrf(new java.io.File(scratch))
     val inDir = s"$scratch/in"
-    val chkDir = s"$scratch/chk"
 
     // events → raw ALOWARE webhook JSON lines (S1 payload shape the
     // adapters parse); event ids are unique, so every line must
     // survive the ledger — admitted count is also a correctness check
     val events = Tables(spark, sfDir, "events")
     val nEvents = events.count()
-    events.select(to_json(struct(
+    val maxId = events.agg(max(col("event_id"))).head().getLong(0)
+    def toLines(df: DataFrame): DataFrame =
+      df.select(to_json(struct(
         when(col("event_id") % 2 === 0, lit("outbound_call"))
           .otherwise(lit("outbound_text")).as("event"),
         struct(col("event_id").as("id"), col("user_id").as("owner_id"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("created_at"))
           .as("body"))).as("value"))
-      .repartition(nFiles)
-      .write.mode("overwrite").text(inDir)
+    toLines(events).repartition(nFiles).write.mode("overwrite").text(inDir)
 
-    val admitted = new java.util.concurrent.atomic.AtomicLong(0)
-    val lines = spark.readStream
-      .option("maxFilesPerTrigger", perTrigger)
-      .schema("value STRING").text(inDir)
-    val facts = graft.streaming.StreamingIngest.transform(
-      graft.streaming.StreamingIngest.lineEnvelopes(lines, "ALOWARE"),
-      roster = None)
-    val t0 = System.nanoTime()
-    val q = facts.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", chkDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        admitted.addAndGet(batch.count()); ()
+    /** One sustained run: consume everything in `inDir` under `chkDir`,
+      * return (admitted, secs, microBatches, stateRows, stateBytes). */
+    def runOnce(chkDir: String, perTrigger: Int): (Long, Double, Long, Long, Long) = {
+      val admitted = new java.util.concurrent.atomic.AtomicLong(0)
+      val lines = spark.readStream
+        .option("maxFilesPerTrigger", perTrigger)
+        .schema("value STRING").text(inDir)
+      val facts = graft.streaming.StreamingIngest.transform(
+        graft.streaming.StreamingIngest.lineEnvelopes(lines, "ALOWARE"),
+        roster = None)
+      val t0 = System.nanoTime()
+      val q = facts.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", chkDir)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          admitted.addAndGet(batch.count()); ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val (batches, stateRows, stateBytes) = q.lastProgress match {
+        case null => (-1L, -1L, -1L)
+        case p =>
+          val so = p.stateOperators.headOption
+          val rows = so.map(_.numRowsTotal).getOrElse(-1L)
+          // RocksDB reports its footprint via custom metrics; fall
+          // back to memoryUsedBytes for the HDFS-backed provider
+          val bytes = so.map { s =>
+            val sst = Option(s.customMetrics)
+              .map(m => m.getOrDefault("rocksdbTotalSSTFilesBytes",
+                java.lang.Long.valueOf(0L)).longValue()).getOrElse(0L)
+            if (sst > 0) sst else s.memoryUsedBytes
+          }.getOrElse(-1L)
+          (p.batchId + 1, rows, bytes)
       }
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    val secs = (System.nanoTime() - t0) / 1e9
-    val batches = q.lastProgress match {
-      case null => -1L
-      case p => p.batchId + 1
+      (admitted.get(), secs, batches, stateRows, stateBytes)
     }
+
+    val points = fpts.map { fpt =>
+      val (adm, secs, batches, stateRows, stateBytes) =
+        runOnce(s"$scratch/chk-fpt$fpt", fpt)
+      val line =
+        s"""{"files_per_trigger":$fpt,"rows_per_sec":${adm / secs},"rows":$adm,"secs":$secs,"micro_batches":$batches,"state_rows":$stateRows,"state_bytes":$stateBytes}"""
+      System.err.println(s"STREAMBENCH POINT $line")
+      line
+    }
+
+    // checkpoint-restart recovery: a fresh-id wave lands; a NEW query
+    // resumes the LAST point's checkpoint (ledger already holds every
+    // original id). Elapsed includes RocksDB restore + wave dedup.
+    val lastChk = s"$scratch/chk-fpt${fpts.last}"
+    toLines(events.limit(restartWave)
+        .withColumn("event_id", col("event_id") + lit(maxId + 1)))
+      .repartition(4).write.mode("append").text(inDir)
+    val (admWave, recSecs, _, recRows, recBytes) = runOnce(lastChk, fpts.last)
+    val recoveryOk = admWave == math.min(restartWave, nEvents)
+    val restartJson =
+      s"""{"wave_rows":$admWave,"expected":${math.min(restartWave, nEvents)},"ok":$recoveryOk,"secs":$recSecs,"state_rows":$recRows,"state_bytes":$recBytes}"""
+    System.err.println(s"STREAMBENCH RESTART $restartJson")
+
     val out =
-      s"""{"metric":"ingest_rows_per_sec","value":${admitted.get() / secs},"unit":"rows/sec","rows":${admitted.get()},"n_events":$nEvents,"secs":$secs,"micro_batches":$batches,"files":$nFiles,"files_per_trigger":$perTrigger,"state_store":"rocksdb","sf":"$sfDir"}"""
+      s"""{"metric":"ingest_rows_per_sec","unit":"rows/sec","n_events":$nEvents,"files":$nFiles,"state_store":"rocksdb","sf":"$sfDir","points":[${points.mkString(",")}],"restart":$restartJson}"""
     println(out)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("stream_bench_out.json"),

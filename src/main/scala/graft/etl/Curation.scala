@@ -40,7 +40,13 @@ object Curation {
       array(stopList.map(lit): _*)).cast("double") /
       size(col("w")) >= minStopRatio
 
-  final case class StageCount(stage: String, docs: Long)
+  /** `secs` = wall-clock of THIS stage's materialization (its persist
+    * + count barrier — upstream stages are already cached, so the
+    * barrier charges only the stage's own increment). Excluded from
+    * c1's hash-gated output (timing is environment, not semantics);
+    * surfaced by [[graft.CurationBudget]] for the SCALING.md
+    * per-stage cost table. */
+  final case class StageCount(stage: String, docs: Long, secs: Double = 0.0)
 
   final case class Result(curated: DataFrame, report: Seq[StageCount]) {
     /** Drop the cached curated corpus once consumed (the upstream
@@ -69,7 +75,9 @@ object Curation {
     // pipeline, and nothing but the final corpus outlives the run.
     def stage(name: String, df: DataFrame, drop: DataFrame*): DataFrame = {
       val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      report += StageCount(name, p.count())
+      val t0 = System.nanoTime()
+      val n = p.count()
+      report += StageCount(name, n, (System.nanoTime() - t0) / 1e9)
       drop.foreach(_.unpersist(blocking = false))
       p
     }

@@ -30,7 +30,11 @@ object Lineage {
     checkpointDirOverride.orElse(sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")) match {
       case Some(d) =>
         val sc = df.sparkSession.sparkContext
-        if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
+        // setCheckpointDir qualifies the path and appends a random UUID
+        // subdirectory, so exact equality would never match and every
+        // cut() would mint a fresh subdir; substring-match the base dir
+        // so the directory is set exactly once.
+        if (!sc.getCheckpointDir.exists(_.contains(d))) sc.setCheckpointDir(d)
         df.checkpoint()
       case None => df.localCheckpoint(true)
     }

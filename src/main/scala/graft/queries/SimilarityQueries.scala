@@ -83,9 +83,12 @@ object SimilarityQueries extends QueryPack {
     // assign each query to nearest centroid (broadcast: k cells)
     val wAssign = Window.partitionBy(col("qid"))
       .orderBy(col("ccos").desc, col("label"))
+    // ccos snapped to 1e-6 on both engines (same rationale as s20):
+    // AVG accumulation order differs between Spark and DuckDB, and an
+    // unrounded near-tie between two centroids could flip the argmax.
     val assigned = q.crossJoin(broadcast(cents))
       .withColumn("ccos",
-        dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
+        round(dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")), 6))
       .withColumn("crk", row_number().over(wAssign))
       .filter(col("crk") === 1)
       .select(col("qid"), col("qv"), col("qnorm"), col("label"))
@@ -123,8 +126,8 @@ object SimilarityQueries extends QueryPack {
       |  SELECT qid, qv, qnorm, label FROM (
       |    SELECT q.qid, q.qv, q.qnorm, c.label,
       |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
-      |        list_sum(list_transform(list_zip(q.qv, c.cv), x -> x[1]*x[2]))
-      |          / (q.qnorm * c.cnorm) DESC, c.label) AS crk
+      |        ROUND(list_sum(list_transform(list_zip(q.qv, c.cv), x -> x[1]*x[2]))
+      |          / (q.qnorm * c.cnorm), 6) DESC, c.label) AS crk
       |    FROM q CROSS JOIN cents c) t
       |  WHERE crk = 1),
       |scored AS (
@@ -1426,14 +1429,33 @@ object SimilarityQueries extends QueryPack {
     * are picked-set-sized (#queries × round), trivially small. */
   private def s19(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"), col("v"), col("norm"))
+    mmrGreedy(e, s19BruteCand(e)).orderBy(col("qid"), col("pick"))
+  }
+
+  /** s19's candidate retrieval: exact brute-force top-12 per query —
+    * one q×corpus pass. This is the AUDIT shape (ground truth for
+    * s21's compound recall), NOT the serving shape; the serving
+    * composition is [[s21ServingPicks]] (cell-bounded retrieval). */
+  private def s19BruteCand(e: DataFrame): DataFrame = {
     val q = e.filter(col("vec_id") < 8)
     val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    val cand = q.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+    q.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"),
         round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6)
           .as("cos"))
       .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= 12)
       .select(col("qid"), col("nid"), col("cos"))
+  }
+
+  /** The MMR greedy core shared by s19 (over brute candidates) and
+    * s21 (over IVF cell-bounded candidates): given a per-query
+    * candidate frame `(qid, nid, cos)` (≤12 rows/query), greedily
+    * pick 4 maximizing `0.5·sim(q,d) − 0.5·max_{s∈picked} sim(d,s)`.
+    * Returns `(qid, pick, nid, mmr)`, MATERIALIZED (persisted +
+    * counted) with the candidate/pair scratch frames unpersisted —
+    * see s19's scaladoc for the determinism and lineage-cut story. */
+  private def mmrGreedy(e: DataFrame, cand0: DataFrame): DataFrame = {
+    val cand = cand0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cv = cand.select(col("qid"), col("nid"))
       .join(e.select(col("vec_id").as("nid"), col("v"), col("norm")), "nid")
@@ -1481,8 +1503,7 @@ object SimilarityQueries extends QueryPack {
       picked = graft.operators.Lineage.cut(
         picked.unionAll(next.coalesce(pickParts)))
     }
-    val out = picked.orderBy(col("qid"), col("pick"))
-    val materialized = out.persist(
+    val materialized = picked.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     materialized.count()
     cand.unpersist(blocking = false)
@@ -1490,27 +1511,44 @@ object SimilarityQueries extends QueryPack {
     materialized
   }
 
-  private val s19Sql = {
+  /** Unrolled MMR greedy rounds as DuckDB CTEs `${pfx}1..${pfx}4`
+    * (plus scratch `${pfx}m2..${pfx}m4`), picking from candidate CTE
+    * `cand` (qid, nid, cos) with pair-sim CTE `pair` (qid, n1, n2,
+    * pcos). Shared by s19Sql (brute candidates) and s21Sql (both the
+    * IVF serving leg and the brute ground-truth leg). */
+  private def mmrSqlCtes(pfx: String, cand: String, pair: String): String = {
     def pickedUnion(upto: Int): String =
-      (1 to upto).map(i => s"SELECT qid, nid FROM p$i").mkString(" UNION ALL ")
+      (1 to upto).map(i => s"SELECT qid, nid FROM $pfx$i").mkString(" UNION ALL ")
     def roundCte(r: Int): String = {
       val pk = s"(${pickedUnion(r - 1)})"
-      s"""m$r AS (
+      s"""${pfx}m$r AS (
          |  SELECT c.qid, c.nid,
          |    ROUND(0.5*c.cos - 0.5*MAX(p.pcos), 6) AS mmr
-         |  FROM cand c
-         |  JOIN pair p ON p.qid = c.qid AND p.n1 = c.nid
+         |  FROM $cand c
+         |  JOIN $pair p ON p.qid = c.qid AND p.n1 = c.nid
          |  JOIN $pk s ON s.qid = p.qid AND s.nid = p.n2
          |  WHERE NOT EXISTS (SELECT 1 FROM $pk z
          |                    WHERE z.qid = c.qid AND z.nid = c.nid)
          |  GROUP BY c.qid, c.nid, c.cos),
-         |p$r AS (
+         |$pfx$r AS (
          |  SELECT qid, CAST($r AS BIGINT) AS pick, nid, mmr
          |  FROM (SELECT qid, nid, mmr,
          |          ROW_NUMBER() OVER (PARTITION BY qid
-         |            ORDER BY mmr DESC, nid) AS rk FROM m$r)
+         |            ORDER BY mmr DESC, nid) AS rk FROM ${pfx}m$r)
          |  WHERE rk = 1)""".stripMargin
     }
+    s"""${pfx}1 AS (
+       |  SELECT qid, CAST(1 AS BIGINT) AS pick, nid, mmr
+       |  FROM (SELECT qid, nid, ROUND(0.5*cos, 6) AS mmr,
+       |          ROW_NUMBER() OVER (PARTITION BY qid
+       |            ORDER BY ROUND(0.5*cos, 6) DESC, nid) AS rk FROM $cand)
+       |  WHERE rk = 1),
+       |${roundCte(2)},
+       |${roundCte(3)},
+       |${roundCte(4)}""".stripMargin
+  }
+
+  private val s19Sql = {
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
@@ -1535,15 +1573,7 @@ object SimilarityQueries extends QueryPack {
        |  FROM cand x JOIN cand y ON x.qid = y.qid AND x.nid <> y.nid
        |  JOIN n nx ON nx.vec_id = x.nid
        |  JOIN n ny ON ny.vec_id = y.nid),
-       |p1 AS (
-       |  SELECT qid, CAST(1 AS BIGINT) AS pick, nid, mmr
-       |  FROM (SELECT qid, nid, ROUND(0.5*cos, 6) AS mmr,
-       |          ROW_NUMBER() OVER (PARTITION BY qid
-       |            ORDER BY ROUND(0.5*cos, 6) DESC, nid) AS rk FROM cand)
-       |  WHERE rk = 1),
-       |${roundCte(2)},
-       |${roundCte(3)},
-       |${roundCte(4)}
+       |${mmrSqlCtes("p", "cand", "pair")}
        |SELECT qid, pick, nid, mmr
        |FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2
        |      UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4)
@@ -1708,7 +1738,152 @@ object SimilarityQueries extends QueryPack {
       |LEFT JOIN pr ON a.qid = pr.qid
       |ORDER BY a.qid""".stripMargin
 
+  /** s21's serving-side candidate retrieval: the s2/s20 IVF shape —
+    * queries assigned to their top-2 centroid cells (nprobe = 2,
+    * broadcast k-row centroid table), candidates scored ONLY inside
+    * the probed cells (equi-join on the cell label), top-12 per query
+    * across the probed cells. Exposed for the PlanAuditSpec lock: the
+    * only nested-loop join in this plan is query×centroid (k rows);
+    * the corpus never enters a non-equi join, so candidate cost is
+    * cell-bounded, not corpus×query. */
+  private[graft] def s21ServingCand(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("label"), col("v"), col("norm"))
+    val cents = centroids(e)
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
+    val wCell = Window.partitionBy(col("qid"))
+      .orderBy(col("ccos").desc, col("label"))
+    val cells = q.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        round(dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")), 6))
+      .withColumn("crk", row_number().over(wCell)).filter(col("crk") <= 2)
+      .select(col("qid"), col("qv"), col("qnorm"), col("label"))
+    val wRank = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    cells.join(e, Seq("label"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 6)
+          .as("cos"))
+      .withColumn("rk", row_number().over(wRank)).filter(col("rk") <= 12)
+      .select(col("qid"), col("nid"), col("cos"))
+  }
+
+  /** s21 — PRODUCTION MMR serving: s19's diversity re-rank composed
+    * over the IVF cell-bounded retrieval ([[s21ServingCand]]) instead
+    * of s19's exact q×corpus candidate scan — the composition a
+    * production RAG stack actually serves (retrieve from probed cells,
+    * then diversify). The brute-force leg stays in the query as GROUND
+    * TRUTH only: per query, `recall` = |serving picks ∩ exact-MMR
+    * picks| / |exact picks| — the compound (retrieval × re-rank)
+    * recall, the s9/s20 audit convention.
+    *
+    * Determinism: every cosine (query-candidate, candidate-pair, and
+    * query-centroid) snaps to 1e-6 before any comparison; all argmax
+    * ranks order by a total order; recall is an exact small-int ratio
+    * rounded to 1e-6. Both engines run the identical unrolled rounds
+    * ([[mmrGreedy]] / [[mmrSqlCtes]]).
+    *
+    * Scale: the serving leg never touches corpus×query — centroids
+    * broadcast (k rows), cell membership is an equi-join on label
+    * (partition-prunable on a label-partitioned index layout), MMR is
+    * per-query work over ≤12 candidates. The exact leg is the audit
+    * baseline (linear per query in corpus size), declared AUDIT-ONLY
+    * exactly like s9/s20's exact legs — at 100 TB you run it on a
+    * sampled query set, not per request. */
+  private def s21(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("v"), col("norm"))
+    val serving = mmrGreedy(e, s21ServingCand(s, dir))
+    val exact = mmrGreedy(e, s19BruteCand(e))
+    val rec = exact.select(col("qid"), col("nid"))
+      .join(serving.select(col("qid"), col("nid"), lit(1).as("hit")),
+        Seq("qid", "nid"), "left")
+      .groupBy(col("qid"))
+      .agg(round(sum(coalesce(col("hit"), lit(0))).cast("double")
+        / count(lit(1)), 6).as("recall"))
+    serving.join(rec, Seq("qid"))
+      .select(col("qid"), col("pick"), col("nid"), col("mmr"), col("recall"))
+      .orderBy(col("qid"), col("pick"))
+  }
+
+  private val s21Sql = {
+    s"""WITH e0 AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, label, v,
+       |      sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e0),
+       |cents0 AS (
+       |  SELECT label, pos, AVG(x) AS m
+       |  FROM (SELECT label, unnest(v) AS x,
+       |          generate_subscripts(v, 1) AS pos FROM e0) u
+       |  GROUP BY label, pos),
+       |cents AS (
+       |  SELECT label, list(m ORDER BY pos) AS cv,
+       |    sqrt(list_sum(list_transform(list(m ORDER BY pos), x -> x*x))) AS cnorm
+       |  FROM cents0 GROUP BY label),
+       |q AS (SELECT vec_id AS qid, v AS qv, norm AS qnorm FROM n WHERE vec_id < 8),
+       |cells AS (
+       |  SELECT qid, qv, qnorm, label FROM (
+       |    SELECT q.qid, q.qv, q.qnorm, c.label,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+       |        ROUND(list_sum(list_transform(list_zip(q.qv, c.cv), x -> x[1]*x[2]))
+       |          / (q.qnorm * c.cnorm), 6) DESC, c.label) AS crk
+       |    FROM q CROSS JOIN cents c) t
+       |  WHERE crk <= 2),
+       |scand AS (
+       |  SELECT qid, nid, cos FROM (
+       |    SELECT a.qid, b.vec_id AS nid,
+       |      ROUND(list_sum(list_transform(list_zip(a.qv, b.v), x -> x[1]*x[2]))
+       |            / (a.qnorm * b.norm), 6) AS cos,
+       |      ROW_NUMBER() OVER (PARTITION BY a.qid ORDER BY
+       |        ROUND(list_sum(list_transform(list_zip(a.qv, b.v), x -> x[1]*x[2]))
+       |              / (a.qnorm * b.norm), 6) DESC, b.vec_id) AS rk
+       |    FROM cells a JOIN n b ON a.label = b.label AND a.qid <> b.vec_id) t
+       |  WHERE rk <= 12),
+       |spair AS (
+       |  SELECT x.qid, x.nid AS n1, y.nid AS n2,
+       |    ROUND(list_sum(list_transform(list_zip(nx.v, ny.v), t -> t[1]*t[2]))
+       |          / (nx.norm * ny.norm), 6) AS pcos
+       |  FROM scand x JOIN scand y ON x.qid = y.qid AND x.nid <> y.nid
+       |  JOIN n nx ON nx.vec_id = x.nid
+       |  JOIN n ny ON ny.vec_id = y.nid),
+       |xcand AS (
+       |  SELECT qid, nid, cos FROM (
+       |    SELECT q.qid, b.vec_id AS nid,
+       |      ROUND(list_sum(list_transform(list_zip(q.qv, b.v), x -> x[1]*x[2]))
+       |            / (q.qnorm * b.norm), 6) AS cos,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+       |        ROUND(list_sum(list_transform(list_zip(q.qv, b.v), x -> x[1]*x[2]))
+       |              / (q.qnorm * b.norm), 6) DESC, b.vec_id) AS rk
+       |    FROM q JOIN n b ON q.qid <> b.vec_id) t
+       |  WHERE rk <= 12),
+       |xpair AS (
+       |  SELECT x.qid, x.nid AS n1, y.nid AS n2,
+       |    ROUND(list_sum(list_transform(list_zip(nx.v, ny.v), t -> t[1]*t[2]))
+       |          / (nx.norm * ny.norm), 6) AS pcos
+       |  FROM xcand x JOIN xcand y ON x.qid = y.qid AND x.nid <> y.nid
+       |  JOIN n nx ON nx.vec_id = x.nid
+       |  JOIN n ny ON ny.vec_id = y.nid),
+       |${mmrSqlCtes("sp", "scand", "spair")},
+       |${mmrSqlCtes("xp", "xcand", "xpair")},
+       |spicks AS (SELECT * FROM sp1 UNION ALL SELECT * FROM sp2
+       |           UNION ALL SELECT * FROM sp3 UNION ALL SELECT * FROM sp4),
+       |xpicks AS (SELECT qid, nid FROM xp1 UNION ALL SELECT qid, nid FROM xp2
+       |           UNION ALL SELECT qid, nid FROM xp3
+       |           UNION ALL SELECT qid, nid FROM xp4),
+       |rec AS (
+       |  SELECT x.qid,
+       |    ROUND(SUM(CASE WHEN s.nid IS NOT NULL THEN 1 ELSE 0 END)
+       |          / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+       |  FROM xpicks x LEFT JOIN (SELECT qid, nid FROM spicks) s
+       |    ON x.qid = s.qid AND x.nid = s.nid
+       |  GROUP BY x.qid)
+       |SELECT sp.qid, sp.pick, sp.nid, sp.mmr, rec.recall
+       |FROM spicks sp JOIN rec ON sp.qid = rec.qid
+       |ORDER BY sp.qid, sp.pick""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s21_mmr_serving" -> s21,
     "s20_filtered_ann" -> s20,
     "s19_mmr_rerank" -> s19,
     "s18_random_projection" -> s18,
@@ -1732,6 +1907,7 @@ object SimilarityQueries extends QueryPack {
     "d8_semdedup"  -> d8)
 
   override def oracle: Map[String, String] = Map(
+    "s21_mmr_serving" -> s21Sql,
     "s20_filtered_ann" -> s20Sql,
     "s19_mmr_rerank" -> s19Sql,
     "s18_random_projection" -> s18Sql,

@@ -34,6 +34,22 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * checkpoint resets / state retention sweeps too, pair the output
   * with the DURABLE ledger in [[CdcHighWater]] (a `foreachBatch`
   * filter-then-advance against a per-key high-water table).
+  *
+  * RECOMMENDED DEFAULT COMPOSITION (production): `stateTtlMs > 0` so
+  * the state store stays bounded by the active key set, combined with
+  * [[CdcHighWater.applyWithHighWater]] in the sink's `foreachBatch` so
+  * last-writer-wins monotonicity survives expiry, checkpoint resets,
+  * and state retention sweeps alike. Unbounded state (`stateTtlMs =
+  * 0`) and `retainVersionOnExpiry` are the narrower alternatives —
+  * use them only when no durable ledger location exists. The combined
+  * lifecycle (TTL expiry → stale redelivery re-seed → ledger
+  * suppression) is spec-pinned in StreamingCdcSpec's "recommended
+  * composition" test. Operational note: run the composition under a
+  * PERIODIC trigger (`Trigger.ProcessingTime(...)`) — with
+  * ProcessingTimeTimeout armed, Spark's `shouldRunAnotherBatch` is
+  * unconditionally true, so drain-style execution (`Trigger
+  * .AvailableNow`, `processAllAvailable`) runs empty micro-batches
+  * back-to-back forever, each paying a ledger rewrite.
   */
 object StreamingCdc {
 

@@ -316,6 +316,27 @@ class PlanAuditSpec extends SparkSpec {
     p should not include "row_number"
   }
 
+  test("s21: serving retrieval is cell-bounded — no corpus×query nested loop") {
+    // The serving composition (IVF retrieval → MMR) must never scan
+    // corpus×query: the only nested-loop join allowed is the k-row
+    // query×centroid assignment; every corpus-touching join must be an
+    // equi-join (on the cell label / qid / nid). s19's brute retrieval
+    // plans a BroadcastNestedLoopJoin against the corpus — this lock
+    // proves the serving path doesn't.
+    val p = graft.queries.SimilarityQueries.s21ServingCand(spark, dir)
+      .queryExecution.executedPlan.toString
+    val nested = p.linesIterator.filter(l =>
+      l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct"))
+      .toList
+    withClue(s"nested-loop joins beyond the centroid assignment:\n$p\n") {
+      nested.size should be <= 1
+    }
+    // the corpus join keys on the cell label (hash-joinable equi key)
+    val labelJoins = p.linesIterator.filter(l =>
+      l.contains("Join") && l.contains("label")).toList
+    labelJoins should not be empty
+  }
+
   test("no query plans an unpartitioned window (single-reducer funnel)") {
     // A Window with an empty partitionSpec requires AllTuples — every
     // row funnels through ONE task (Spark warns "No Partition Defined

@@ -54,8 +54,14 @@ class TextArtifactsSpec extends SparkSpec {
 
   test("decontam report and apply agree through the shared index: " +
       "t20's per-source drop counts equal t11's rows at the 5% bar") {
+    // Filter on the UNROUNDED ratio (n_contaminated / n_grams), not the
+    // rounded contaminated_frac column: t20's drop predicate uses the
+    // raw ratio, so comparing against the rounded report column would
+    // be a boundary flake for ratios in [0.0499995, 0.05).
     val t11 = SparkEntry.queries("t11_decontam")(spark, "/root/testdata/sf0.01")
-      .collect().filter(_.getDouble(4) >= 0.05).map(_.getLong(0)).toSet
+      .collect()
+      .filter(r => r.getLong(2).toDouble / r.getLong(1) >= 0.05)
+      .map(_.getLong(0)).toSet
     val dropped = SparkEntry.queries("t20_decontam_apply")(
       spark, "/root/testdata/sf0.01")
       .collect().map(_.getLong(2)).sum

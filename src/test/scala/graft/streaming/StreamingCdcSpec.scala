@@ -208,4 +208,76 @@ class StreamingCdcSpec extends SparkSpec {
     runQuery(Seq(StreamingCdc.Change(1L, 12L, "U", "v12")))
     served(1L) shouldBe ((12L, "v12"))
   }
+
+  test("recommended composition: TTL-bounded upserts + durable " +
+      "high-water ledger — a REAL TTL expiry cannot regress the " +
+      "served table") {
+    // The documented default production shape (StreamingCdc scaladoc):
+    // stateTtlMs > 0 bounds the state store, and CdcHighWater in
+    // foreachBatch restores the monotonicity that expiry gives up.
+    // The operator transitions run through the REAL `advance` function
+    // via TestGroupState (wave → expiry → re-seed), and every emission
+    // flows through the REAL durable ledger + sink — the combined
+    // lifecycle end-to-end. Driving this through a live query is
+    // deliberately avoided: with ProcessingTimeTimeout armed,
+    // `shouldRunAnotherBatch` is unconditionally true, so any
+    // drain-style harness (processAllAvailable / Trigger.AvailableNow)
+    // storms empty micro-batches forever, each paying a full ledger
+    // rewrite (measured: 12k tasks before a 300 s timeout). In
+    // production the composition runs under a periodic trigger, where
+    // scheduled batches are the point, not a hang.
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cdc-hw-ttl").toString
+    val served = scala.collection.mutable.Map.empty[Long, (Long, String)]
+    def sink(fresh: org.apache.spark.sql.DataFrame): Unit =
+      fresh.as[StreamingCdc.Update].collect()
+        .groupBy(_.key).foreach { case (k, us) =>
+          val u = us.maxBy(_.version)
+          if (served.get(k).forall(_._1 < u.version))
+            served(k) = (u.version, u.payload)
+        }
+    def ledger(updates: Seq[StreamingCdc.Update]): Unit =
+      CdcHighWater.applyWithHighWater(updates.toDF(), dir)(sink)
+    def freshState(now: Long) = TestGroupState.create[(Long, Boolean, String)](
+      Optional.empty[(Long, Boolean, String)],
+      GroupStateTimeout.ProcessingTimeTimeout, now,
+      Optional.empty[Long], hasTimedOut = false)
+
+    // wave 1: key 1 reaches v10 through the operator, TTL armed
+    val s1 = freshState(0L)
+    val out1 = StreamingCdc.advance(500)(1L,
+      Iterator(StreamingCdc.Change(1L, 10L, "U", "v10")), s1).toSeq
+    s1.getTimeoutTimestampMs.get() shouldBe 500L
+    ledger(out1)
+    served(1L) shouldBe ((10L, "v10"))
+
+    // the TTL lapses with no traffic: the next batch evaluates the
+    // armed timeout and EVICTS the key (bounded-state semantics)
+    val expired = TestGroupState.create[(Long, Boolean, String)](
+      Optional.of((10L, true, "v10")),
+      GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long], hasTimedOut = true)
+    StreamingCdc.advance(500)(1L, Iterator.empty, expired).toSeq shouldBe empty
+    expired.isRemoved shouldBe true
+
+    // stale redelivery AFTER the expiry: the state-dropped operator
+    // re-seeds and EMITS version 4 (documented retention semantics —
+    // the emission proves the expiry really changed behavior) …
+    val reseeded = freshState(2000L)
+    val out3 = StreamingCdc.advance(500)(1L,
+      Iterator(StreamingCdc.Change(1L, 4L, "U", "stale")), reseeded).toSeq
+    out3.map(u => (u.key, u.version)) shouldBe Seq((1L, 4L))
+    // … but the durable ledger filters it before the sink
+    ledger(out3)
+    served(1L) shouldBe ((10L, "v10"))
+
+    // and a genuinely newer version still flows end-to-end
+    val s4 = freshState(3000L)
+    val out4 = StreamingCdc.advance(500)(1L,
+      Iterator(StreamingCdc.Change(1L, 12L, "U", "v12")), s4).toSeq
+    ledger(out4)
+    served(1L) shouldBe ((12L, "v12"))
+  }
 }
