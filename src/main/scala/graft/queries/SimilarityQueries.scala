@@ -65,19 +65,45 @@ object SimilarityQueries extends QueryPack {
     * agg keyed on (label, pos) — partial+final all the way, no
     * collect; the k-row result broadcasts. Shared by s2 (coarse
     * quantizer) and s5 (label-noise scoring). */
-  private def centroids(e: DataFrame): DataFrame =
+  private def centroidsBuild(e: DataFrame): DataFrame =
     e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("m"))
       .groupBy(col("label"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("cv"))
       .withColumn("cnorm", sqrt(dot(col("cv"), col("cv"))))
 
+  /** The trained label-centroid table `(label, cv, cnorm)` — the IVF
+    * coarse quantizer s2/s20/s21 probe and s5 scores against. It
+    * depends only on the corpus (one posexplode+agg pass over every
+    * embedding), so it is a TRAIN-ONCE index artifact exactly like
+    * the PQ codebooks ([[PqArtifacts]]): computed once per (session,
+    * corpus dir), persisted + eagerly materialized, broadcast (k
+    * rows) by every consumer. Before this registry each ANN query
+    * re-trained the quantizer per call — the one corpus-sized stage
+    * in their plans that wasn't serving work. */
+  private object CentroidArtifacts {
+    private val reg = new graft.ArtifactRegistry[DataFrame](f => Seq(f))
+
+    def apply(s: SparkSession, dir: String): DataFrame =
+      reg(s, dir) { (s2, d) =>
+        val p = centroidsBuild(
+          emb(s2, d).select(col("label"), col("v")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // single persist: unpersist defensively on a failed count()
+        try { p.count(); p }
+        catch { case t: Throwable =>
+          p.unpersist(blocking = false); throw t }
+      }
+
+    def release(s: SparkSession, dir: String): Unit = reg.release(s, dir)
+  }
+
   /** s2 — IVF-style ANN: per-label centroids as the coarse quantizer;
     * each query (vec_id < 10) is assigned to its nearest centroid and
     * reranked only within that cell — top-3 per query. */
   private def s2(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"), col("label"), col("v"), col("norm"))
-    val cents = centroids(e)
+    val cents = CentroidArtifacts(s, dir)
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
     // assign each query to nearest centroid (broadcast: k cells)
@@ -241,7 +267,7 @@ object SimilarityQueries extends QueryPack {
     import org.apache.spark.sql.functions.udaf
     val bottomk = udaf(new graft.functions.TopKAgg(3))
     val e = emb(s, dir).select(col("vec_id"), col("label"), col("v"), col("norm"))
-    val scored = e.join(broadcast(centroids(e)), Seq("label"))
+    val scored = e.join(broadcast(CentroidArtifacts(s, dir)), Seq("label"))
       .select(col("label"), col("vec_id"),
         round(dot(col("v"), col("cv")) / (col("norm") * col("cnorm")), 6).as("cos"))
     scored.groupBy(col("label"))
@@ -728,8 +754,11 @@ object SimilarityQueries extends QueryPack {
 
   /** Release the shared PQ index artifacts for one corpus dir (see
     * [[DedupQueries.releaseArtifacts]] — same lifecycle). */
-  def releaseArtifacts(s: SparkSession, dir: String): Unit =
+  def releaseArtifacts(s: SparkSession, dir: String): Unit = {
     PqArtifacts.release(s, dir)
+    BruteCandArtifacts.release(s, dir)
+    CentroidArtifacts.release(s, dir)
+  }
 
   /** s10 — product quantization (PQ) codebook training + encoding:
     * the embedding space splits into m=4 contiguous 16-dim subspaces,
@@ -1417,97 +1446,93 @@ object SimilarityQueries extends QueryPack {
     * (12 candidates, 132 pair sims per query) — embarrassingly
     * parallel across queries, partitioned by qid throughout; the
     * corpus-sized part is only the upstream candidate retrieval
-    * (s1/s2/s11's problem, not MMR's). The 4 rounds are Spark-side
-    * joins on query-count-sized frames: no collect, no driver loop
-    * over data. Each round's `picked` frame is lineage-CUT (the
-    * ConnectedComponents/GraphQueries iterative-operator rule):
-    * round p references picked three times (anti-join, redundancy
-    * join, union), so without the cut the plan tree grows 3^p and —
-    * measured under full-soak cache pressure — an eviction of the
-    * persisted candidate frame recomputes the brute-force candidate
-    * stage once PER COPY (13.8 s vs 1.7 s at sf0.1). The cut frames
-    * are picked-set-sized (#queries × round), trivially small. */
-  private def s19(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir).select(col("vec_id"), col("v"), col("norm"))
-    mmrGreedy(e, s19BruteCand(e)).orderBy(col("qid"), col("pick"))
-  }
+    * (s1/s2/s11's problem, not MMR's). The selection runs inside one
+    * typed aggregation keyed by qid ([[mmrGreedy]] /
+    * [[graft.functions.MmrGreedyAgg]]): no collect, no driver loop
+    * over data, no per-round barrier — one shuffle for any query
+    * count. */
+  private def s19(s: SparkSession, dir: String): DataFrame =
+    mmrGreedy(emb(s, dir).select(col("vec_id"), col("v"), col("norm")),
+      BruteCandArtifacts(s, dir)).orderBy(col("qid"), col("pick"))
 
-  /** s19's candidate retrieval: exact brute-force top-12 per query —
-    * one q×corpus pass. This is the AUDIT shape (ground truth for
-    * s21's compound recall), NOT the serving shape; the serving
-    * composition is [[s21ServingPicks]] (cell-bounded retrieval). */
-  private def s19BruteCand(e: DataFrame): DataFrame = {
-    val q = e.filter(col("vec_id") < 8)
-    val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    q.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"),
-        round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6)
-          .as("cos"))
-      .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= 12)
-      .select(col("qid"), col("nid"), col("cos"))
+  /** The exact brute-force top-12 candidate table (one q×corpus
+    * pass) — the AUDIT retrieval s19 re-ranks and s21 grades its
+    * serving leg against. Its own registry (train-once per corpus
+    * snapshot, the DocArtifacts/PqArtifacts lifecycle): the audit
+    * ground truth is computed once and read by every audit query, so
+    * neither s19 nor s21 re-pays the corpus×query scan per call. */
+  private object BruteCandArtifacts {
+    private val reg = new graft.ArtifactRegistry[DataFrame](f => Seq(f))
+
+    def apply(s: SparkSession, dir: String): DataFrame =
+      reg(s, dir) { (s2, d) =>
+        val e = emb(s2, d).select(col("vec_id"), col("v"), col("norm"))
+        val q = e.filter(col("vec_id") < 8)
+        val wTop = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("nid"))
+        val p = q.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"),
+            round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6)
+              .as("cos"))
+          .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= 12)
+          .select(col("qid"), col("nid"), col("cos"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // single persist: unpersist defensively on a failed count()
+        try { p.count(); p }
+        catch { case t: Throwable =>
+          p.unpersist(blocking = false); throw t }
+      }
+
+    def release(s: SparkSession, dir: String): Unit = reg.release(s, dir)
   }
 
   /** The MMR greedy core shared by s19 (over brute candidates) and
     * s21 (over IVF cell-bounded candidates): given a per-query
     * candidate frame `(qid, nid, cos)` (≤12 rows/query), greedily
     * pick 4 maximizing `0.5·sim(q,d) − 0.5·max_{s∈picked} sim(d,s)`.
+    *
+    * Shape: the pair cosines are computed by the codegen `dot`
+    * expression on a qid-equi self-join of the candidate frame (tiny:
+    * ≤12² rows per query), then the whole greedy selection runs
+    * inside ONE typed aggregation keyed by qid
+    * ([[graft.functions.MmrGreedyAgg]], the TopKAgg pattern) — a
+    * million-query re-rank batch is one shuffle, not 4 driver-
+    * coordinated join rounds (the previous formulation paid a global
+    * barrier + lineage cut PER ROUND; per-round fixed cost dominated
+    * wall-clock at any scale while the frames stayed tiny). Per-
+    * candidate base rows (null pair edge) ride along so a
+    * single-candidate query still yields its pick. Determinism and
+    * the cross-engine rounding contract live in MmrGreedyAgg's
+    * scaladoc; both engines produce identical picks (oracle
+    * hash-gate).
+    *
     * Returns `(qid, pick, nid, mmr)`, MATERIALIZED (persisted +
-    * counted) with the candidate/pair scratch frames unpersisted —
-    * see s19's scaladoc for the determinism and lineage-cut story. */
-  private def mmrGreedy(e: DataFrame, cand0: DataFrame): DataFrame = {
-    val cand = cand0
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cv = cand.select(col("qid"), col("nid"))
+    * counted) so callers may release the candidate inputs right
+    * after. */
+  private def mmrGreedy(e: DataFrame, cand: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.udaf
+    val mmr = udaf(new graft.functions.MmrGreedyAgg(4, 0.5))
+    val cv = cand
       .join(e.select(col("vec_id").as("nid"), col("v"), col("norm")), "nid")
-    val pair = cv.as("x").join(cv.as("y"),
+      .select(col("qid"), col("nid"), col("cos"), col("v"), col("norm"))
+    val pairRows = cv.as("x").join(cv.as("y"),
         col("x.qid") === col("y.qid") && col("x.nid") =!= col("y.nid"))
       .select(col("x.qid").as("qid"), col("x.nid").as("n1"),
-        col("y.nid").as("n2"),
+        col("x.cos").as("cos1"), col("y.nid").as("n2"),
         round(dot(col("x.v"), col("y.v")) / (col("x.norm") * col("y.norm")), 6)
           .as("pcos"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val wSel = Window.partitionBy(col("qid")).orderBy(col("mmr").desc, col("nid"))
-    // cut-frame parallelism: ~1 task per few-thousand picked rows.
-    // coalesce is narrow, so it also collapses the round's
-    // post-shuffle stage — pickParts therefore SCALES WITH the query
-    // count (≤4 picks per query, ~4k rows per task band) instead of
-    // funneling a large query batch through one task. The count is a
-    // one-job probe over the already-persisted candidate frame.
-    val nQueries = cand.select(col("qid")).distinct().count()
-    val pickParts = math.max(1L, (nQueries * 4 + 3999) / 4000).toInt
-    var picked = cand
-      .withColumn("mmr", round(lit(0.5) * col("cos"), 6))
-      .withColumn("rk", row_number().over(wSel)).filter(col("rk") === 1)
-      .select(col("qid"), lit(1L).as("pick"), col("nid"), col("mmr"))
-      // picked is ≤ #queries×4 rows; collapse the near-empty shuffle
-      // partitions before each eager cut so a round's checkpoint job
-      // runs pickParts tasks, not shuffle.partitions ones. The cut
-      // rides the shared graft.operators.Lineage helper: reliable
-      // checkpoint under SPARK_GRAFT_CHECKPOINT_DIR (executor-loss
-      // safe), localCheckpoint otherwise — parity spec-locked
-      // alongside the graph rounds (Round9InvariantsSpec).
-      .coalesce(pickParts)
-    picked = graft.operators.Lineage.cut(picked)
-    for (p <- 2 to 4) {
-      val rem = cand.join(picked.select(col("qid"), col("nid")),
-        Seq("qid", "nid"), "left_anti")
-      val redScore = pair
-        .join(picked.select(col("qid"), col("nid").as("n2")), Seq("qid", "n2"))
-        .groupBy(col("qid"), col("n1").as("nid"))
-        .agg(max(col("pcos")).as("maxsim"))
-      val next = rem.join(redScore, Seq("qid", "nid"))
-        .withColumn("mmr",
-          round(lit(0.5) * col("cos") - lit(0.5) * col("maxsim"), 6))
-        .withColumn("rk", row_number().over(wSel)).filter(col("rk") === 1)
-        .select(col("qid"), lit(p.toLong).as("pick"), col("nid"), col("mmr"))
-      picked = graft.operators.Lineage.cut(
-        picked.unionAll(next.coalesce(pickParts)))
-    }
+    val baseRows = cand.select(col("qid"), col("nid").as("n1"),
+      col("cos").as("cos1"), lit(null).cast("long").as("n2"),
+      lit(null).cast("double").as("pcos"))
+    val picked = pairRows.unionByName(baseRows)
+      .groupBy(col("qid"))
+      .agg(mmr(col("n1"), col("cos1"), col("n2"), col("pcos")).as("picks"))
+      .select(col("qid"), posexplode(col("picks")).as(Seq("pos", "p")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("pick"),
+        col("p.nid").as("nid"), col("p.mmr").as("mmr"))
     val materialized = picked.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     materialized.count()
-    cand.unpersist(blocking = false)
-    pair.unpersist(blocking = false)
     materialized
   }
 
@@ -1606,7 +1631,7 @@ object SimilarityQueries extends QueryPack {
     * answer at 100 TB is the pre-filter leg (cells + pushdown). */
   private def s20(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"), col("label"), col("v"), col("norm"))
-    val cents = centroids(e)
+    val cents = CentroidArtifacts(s, dir)
     val q = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
     val pred = col("nid") % 2 === 0
@@ -1748,7 +1773,7 @@ object SimilarityQueries extends QueryPack {
     * cell-bounded, not corpus×query. */
   private[graft] def s21ServingCand(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"), col("label"), col("v"), col("norm"))
-    val cents = centroids(e)
+    val cents = CentroidArtifacts(s, dir)
     val q = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
     val wCell = Window.partitionBy(col("qid"))
@@ -1792,8 +1817,15 @@ object SimilarityQueries extends QueryPack {
     * sampled query set, not per request. */
   private def s21(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"), col("v"), col("norm"))
-    val serving = mmrGreedy(e, s21ServingCand(s, dir))
-    val exact = mmrGreedy(e, s19BruteCand(e))
+    // the serving candidates are query-batch-sized scratch (not a
+    // train-once artifact): persist for the greedy rounds, release
+    // once the picks are materialized inside mmrGreedy
+    val sc = s21ServingCand(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val serving =
+      try { sc.count(); mmrGreedy(e, sc) }
+      finally sc.unpersist(blocking = false)
+    val exact = mmrGreedy(e, BruteCandArtifacts(s, dir))
     val rec = exact.select(col("qid"), col("nid"))
       .join(serving.select(col("qid"), col("nid"), lit(1).as("hit")),
         Seq("qid", "nid"), "left")

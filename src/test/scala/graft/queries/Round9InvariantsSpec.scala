@@ -44,9 +44,10 @@ class Round9InvariantsSpec extends SparkSpec {
   }
 
   test("iterative rounds accept a reliable checkpoint dir: same results, " +
-      "checkpoint files on disk (executor-loss parity — graph + s19 MMR)") {
-    val qs = Seq("g1_pagerank", "g3_seeded_ppr", "g4_label_prop",
-      "s19_mmr_rerank")
+      "checkpoint files on disk (executor-loss parity — graph rounds; " +
+      "s19 MMR left the iterative family in round 11: its greedy loop " +
+      "now runs inside one typed aggregation, no lineage cuts)") {
+    val qs = Seq("g1_pagerank", "g3_seeded_ppr", "g4_label_prop")
     val base = qs.map(q => q -> SparkEntry.queries(q)(spark, sfDir)
         .collect().map(_.toString).toSeq).toMap
     val dir = java.nio.file.Files.createTempDirectory("graft-gq-chk")
