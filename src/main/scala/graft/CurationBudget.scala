@@ -36,12 +36,22 @@ object CurationBudget {
     var stages = Seq.empty[String]
     var lastCounts = Map.empty[String, Long]
     for (_ <- 1 to reps) {
+      val t0 = System.nanoTime()
       val r = graft.etl.Curation.run(docs)
+      val wall = (System.nanoTime() - t0) / 1e9
       stages = r.report.map(_.stage)
       lastCounts = r.report.map(sc => sc.stage -> sc.docs).toMap
       r.report.foreach(sc => samples(sc.stage) ::= sc.secs)
+      // the stage barriers don't see work that materializes OUTSIDE
+      // them — ConnectedComponents' eager per-round jobs (near-dup
+      // clustering) plus planning. Attribute it explicitly instead of
+      // letting the table silently under-report the pipeline.
+      samples("cc_rounds+plan") ::= math.max(0.0,
+        wall - r.report.map(_.secs).sum)
       r.release()
     }
+    stages = stages :+ "cc_rounds+plan"
+    lastCounts = lastCounts + ("cc_rounds+plan" -> -1L)
     val medians = stages.map { st =>
       val xs = samples(st).sorted
       st -> xs(xs.size / 2)

@@ -23,10 +23,14 @@ object Curation {
 
   /** Shared normalization (t7): lowercase, strip non-alnum, collapse
     * spaces — the SAME expression backs batch curation and the
-    * streaming ingest gate, so both agree on what "identical" means. */
+    * streaming ingest gate, so both agree on what "identical" means.
+    * Runs through the native `graft_norm` kernel (one Unicode-lower +
+    * one byte scan) instead of two regex-engine passes — byte-
+    * identical to `trim(regexp_replace(regexp_replace(lower(s),
+    * '[^a-z0-9 ]', ''), ' +', ' '))`, the form the DuckDB oracles
+    * still spell out (NormTextSpec differential lock). */
   def normalize(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    trim(regexp_replace(
-      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+    call_function("graft_norm", text)
 
   private val stopList = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 

@@ -88,6 +88,60 @@ case class CountIn(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_norm(text)` — the t7/curation text normalizer in one
+  * kernel call: Unicode-lowercase (the same `UTF8String.toLowerCase`
+  * Spark's `lower()` uses, so the cross-engine contract with the
+  * DuckDB regex oracle is untouched), then a single byte scan that
+  * keeps `[a-z0-9 ]`, collapses space runs and trims — byte-for-byte
+  * `trim(regexp_replace(regexp_replace(lower(s), '[^a-z0-9 ]', ''),
+  * ' +', ' '))` without two regex-engine passes over every document
+  * (the single hottest stage of the composed curation pipeline by
+  * the c1 budget table: lang_gate carried 50% of stage cost, most of
+  * it this normalization). Multi-byte UTF-8 sequences drop correctly
+  * in the byte scan: every byte of one has the high bit set, so each
+  * fails the ASCII class test exactly as the char-level regex drops
+  * the whole char. Differential spec: NormTextSpec (randomized
+  * against the regex composition). */
+case class NormText(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_norm"
+
+  override protected def nullSafeEval(s: Any): Any =
+    NormText.norm(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NormText.norm($c)")
+
+  override protected def withNewChildInternal(n: Expression): NormText =
+    copy(child = n)
+}
+
+object NormText {
+  def norm(s: UTF8String): UTF8String = {
+    val b = s.toLowerCase.getBytes
+    val n = b.length
+    val out = new Array[Byte](n)
+    var o = 0
+    var pendingSpace = false
+    var i = 0
+    while (i < n) {
+      val c = b(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        // a space run (or leading spaces) resolves when the next kept
+        // char arrives: emit one separator unless at the start (trim)
+        if (pendingSpace && o > 0) { out(o) = ' '; o += 1 }
+        pendingSpace = false
+        out(o) = c; o += 1
+      } else if (c == ' ') pendingSpace = true
+      // any other byte (punct, control, UTF-8 continuation) drops
+      i += 1
+    }
+    UTF8String.fromBytes(out, 0, o) // trailing run never emits = trim
+  }
+}
+
 object CountIn {
   def countIn(arr: ArrayData, probes: ArrayData): Long = {
     val n = arr.numElements()

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AHash, BloomMightContain, CountIn, DotProduct, LevBound, MinHashSig, PairMerge, SafeDateKey, ShingleHash, ShingleSeq, SigMatches, WinnowMin}
+import graft.functions.{AHash, BloomMightContain, CountIn, DotProduct, LevBound, MinHashSig, NormText, PairMerge, SafeDateKey, ShingleHash, ShingleSeq, SigMatches, WinnowMin}
 
 /** Session extension wiring for graft's native expressions. Use via
   * `.withExtensions(new GraftExtensions)` or
@@ -59,7 +59,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => CountIn(args(0), args(1))),
     (new FunctionIdentifier("graft_lev_bound"),
       new ExpressionInfo(classOf[LevBound].getName, "graft_lev_bound"),
-      (args: Seq[Expression]) => LevBound(args(0), args(1), args(2))))
+      (args: Seq[Expression]) => LevBound(args(0), args(1), args(2))),
+    (new FunctionIdentifier("graft_norm"),
+      new ExpressionInfo(classOf[NormText].getName, "graft_norm"),
+      (args: Seq[Expression]) => NormText(args(0))))
 
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit = {

@@ -283,8 +283,9 @@ object TextQueries extends QueryPack {
     * scan; regexes are anchored-free char-class rewrites that behave
     * identically in Java regex and RE2. */
   private def t7(s: SparkSession, dir: String): DataFrame = {
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    // native single-pass normalizer (= the regex composition the
+    // oracle spells out; NormTextSpec differential lock)
+    val norm = graft.etl.Curation.normalize(col("text"))
     docs(s, dir)
       .withColumn("nfp", md5(norm))
       .groupBy(col("source"))
