@@ -79,7 +79,8 @@ object GraphQueries extends QueryPack {
   private object GraphArtifacts {
     final case class Arts(deg: DataFrame, edgesDeg: DataFrame,
         edgesDst: DataFrame, nNodes: Long,
-        partDeg: DataFrame, oriented: DataFrame, tables: Seq[String])
+        partDeg: DataFrame, oriented: DataFrame, orientedDst: DataFrame,
+        tables: Seq[String])
 
     // Bounded LRU residency, parallel per-dir builds, race-free
     // release — see ArtifactRegistry (a release racing an in-flight
@@ -194,6 +195,20 @@ object GraphQueries extends QueryPack {
         when(uFirst, col("v")).otherwise(col("u")).as("dst")),
         s"graft_g_oriented_$sfx", nb, Seq("src"), Seq("src", "dst"))
       val oriented = persistEager(s.table(s"graft_g_oriented_$sfx"))
+      // dst-bucketed serving copy of the oriented edges (the bipdst
+      // treatment): g2's closure attaches the dst endpoint's
+      // adjacency FIRST off this scan (zero exchange both sides), so
+      // the closure's single big exchange carries the nv arrays —
+      // Σ_{(u,v)∈E} |N+(v)| = Σ din·dout, measured 41% smaller than
+      // the Σ dout² the nu-first order ships (49.2M vs 83.4M array
+      // elements at sf0.1; the exchange is g2's dominant cost at
+      // sf10, ~30-60 GB of shuffled adjacency payload). Cheap
+      // re-read of the src-bucketed table, written once; scan-only
+      // (an edge-sized cache would fight the query caches).
+      graft.etl.CorpusLayout.writeBucketed(
+        s.table(s"graft_g_oriented_$sfx").select(col("dst"), col("src")),
+        s"graft_g_orienteddst_$sfx", nb, Seq("dst"), Seq("dst", "src"))
+      val orientedDst = s.table(s"graft_g_orienteddst_$sfx")
       // final partDeg re-rooted on the durable oriented table: the
       // oriented rows ARE the undirected edge set (one row per edge),
       // so endpoint counts equal the pEdges-derived degrees — but the
@@ -206,10 +221,11 @@ object GraphQueries extends QueryPack {
       pEdges.unpersist(blocking = false)   // folded into oriented
       val tables = Seq(s"graft_g_inc_$sfx",
         s"graft_g_bip_$sfx", s"graft_g_bipdst_$sfx",
-        s"graft_g_oriented_$sfx")
+        s"graft_g_oriented_$sfx", s"graft_g_orienteddst_$sfx")
       tables.foreach(t => graft.ArtifactRegistry.deleteDirOnExit(
         graft.etl.CorpusLayout.managedTablePath(s, t).toString))
-      Arts(deg, edgesDeg, edgesDst, nNodes, partDeg, oriented, tables)
+      Arts(deg, edgesDeg, edgesDst, nNodes, partDeg, oriented, orientedDst,
+        tables)
     }
   }
 
@@ -394,15 +410,24 @@ object GraphQueries extends QueryPack {
     * corners (measured 3× faster, and the gap widens with density). */
   private def g2(s: SparkSession, dir: String): DataFrame = {
     val arts = GraphArtifacts(s, dir)
-    val (deg, oriented) = (arts.partDeg, arts.oriented)
+    val (deg, oriented, orientedDst) =
+      (arts.partDeg, arts.oriented, arts.orientedDst)
     // adjacency is node-sized WITH O(sqrt m) arrays — never broadcast
     val adj = oriented.groupBy(col("src"))
       .agg(collect_list(col("dst")).as("nbrs"))
       .hint("shuffle_hash")
-    // per-edge closure: triangle (u, v, w) for every w in N+(u)∩N+(v)
-    val tris = oriented
-      .join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
+    // per-edge closure: triangle (u, v, w) for every w in N+(u)∩N+(v).
+    // Join ORDER is the scale lever: the edge row picks up one
+    // adjacency array zero-exchange (bucket-co-partitioned) and
+    // carries it through the closure's one big exchange to meet the
+    // other. Attaching nv FIRST (off the dst-bucketed oriented copy)
+    // makes the exchanged payload Σ_{(u,v)} |N+(v)| = Σ din·dout —
+    // measured 41% smaller than the Σ dout² that shipping nu first
+    // costs (49.2M vs 83.4M array elements at sf0.1; at sf10 this
+    // exchange is tens of GB and dominates g2's wall-clock).
+    val tris = orientedDst
       .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), Seq("dst"))
+      .join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
       .select(col("src"), col("dst"),
         explode(array_intersect(col("nu"), col("nv"))).as("w"))
       .select(explode(array(col("src"), col("dst"), col("w"))).as("node"))

@@ -280,10 +280,13 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("g2: the bucketed edge artifact kills the edge-side exchanges") {
-    // the oriented edge table is WRITTEN bucketed on src, so the
-    // adjacency groupBy(src) and the src-keyed closure join must read
-    // it with no exchange; the only shuffles left in the whole plan
-    // are the dst-keyed repartition and the per-node rollup. AQE off
+    // the oriented edge table is WRITTEN bucketed on src (and a dst-
+    // bucketed copy for the closure's nv-first attach), so the
+    // adjacency groupBy(src) and BOTH adjacency attaches read bucket-
+    // co-partitioned sides; the only shuffles left in the whole plan
+    // are the one src-keyed exchange of the nv-carrying edge frame
+    // (the 41%-smaller payload order — see g2's scaladoc) and the
+    // per-node rollup. AQE off
     // for the count: query stages hide exchanges from tree traversal.
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
