@@ -319,6 +319,27 @@ class PlanAuditSpec extends SparkSpec {
     p should not include "row_number"
   }
 
+  test("g5: a peel round plans with zero shuffle exchanges") {
+    // both survivor frames broadcast into the src-bucketed repeat-
+    // graph edge scan and the degree recount groups by the bucket
+    // key, so a whole k-core round is exchange-free — the property
+    // every one of g5's 12 rounds (and a production fixpoint loop's
+    // unbounded rounds) rides on. AQE off for the count: query
+    // stages hide exchanges from tree traversal.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val qe = graft.queries.GraphQueries.auditPeelRound(spark, dir)
+        .queryExecution
+      val shuffles = qe.executedPlan.collect { case e: ShuffleExchangeExec => e }
+      withClue(qe.executedPlan.toString) {
+        qe.executedPlan.toString should include("graft_g_rep")
+        shuffles shouldBe empty
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("s21: serving retrieval is cell-bounded — no corpus×query nested loop") {
     // The serving composition (IVF retrieval → MMR) must never scan
     // corpus×query: the only nested-loop join allowed is the k-row

@@ -64,9 +64,9 @@ class Round9InvariantsSpec extends SparkSpec {
     } finally graft.operators.Lineage.checkpointDirOverride = None
   }
 
-  test("g1/g3/g4 forced shuffle fallback (broadcast bound = 0) is " +
+  test("g1/g3/g4/g5 forced shuffle fallback (broadcast bound = 0) is " +
       "bit-identical to the broadcast round shape") {
-    val qs = Seq("g1_pagerank", "g3_seeded_ppr", "g4_label_prop")
+    val qs = Seq("g1_pagerank", "g3_seeded_ppr", "g4_label_prop", "g5_kcore")
     val base = qs.map(q => q -> SparkEntry.queries(q)(spark, sfDir)
         .collect().map(_.toString).toSeq).toMap
     GraphQueries.maxBroadcastNodesOverride = Some(0L)
