@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AHash, BloomMightContain, CountIn, DotProduct, LevBound, MinHashSig, NormText, PairMerge, SafeDateKey, ShingleHash, ShingleSeq, SigMatches, WinnowMin}
+import graft.functions.{AHash, BloomMightContain, CountIn, DotProduct, LevBound, MinHashSig, NormText, PackedIntersect, PackSortedLongs, PairMerge, SafeDateKey, ShingleHash, ShingleSeq, SigMatches, WinnowMin}
 
 /** Session extension wiring for graft's native expressions. Use via
   * `.withExtensions(new GraftExtensions)` or
@@ -62,7 +62,14 @@ object GraftExtensions {
       (args: Seq[Expression]) => LevBound(args(0), args(1), args(2))),
     (new FunctionIdentifier("graft_norm"),
       new ExpressionInfo(classOf[NormText].getName, "graft_norm"),
-      (args: Seq[Expression]) => NormText(args(0))))
+      (args: Seq[Expression]) => NormText(args(0))),
+    (new FunctionIdentifier("graft_pack_sorted"),
+      new ExpressionInfo(classOf[PackSortedLongs].getName, "graft_pack_sorted"),
+      (args: Seq[Expression]) => PackSortedLongs(args(0))),
+    (new FunctionIdentifier("graft_packed_intersect"),
+      new ExpressionInfo(classOf[PackedIntersect].getName,
+        "graft_packed_intersect"),
+      (args: Seq[Expression]) => PackedIntersect(args(0), args(1))))
 
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit = {
