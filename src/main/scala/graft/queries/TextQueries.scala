@@ -1549,7 +1549,74 @@ object TextQueries extends QueryPack {
       |  END AS heaps_beta
       |FROM agg ORDER BY source""".stripMargin
 
+  /** t27 — EXACT-BUDGET systematic PPS sample per source: order docs
+    * by doc_id, accumulate token weight, and pick every doc whose
+    * cumulative weight crosses one of N = 64 equal-width thresholds
+    * of the source's total (classic systematic
+    * probability-proportional-to-size sampling). Complements the two
+    * existing samplers with the property neither has: t6 is
+    * fixed-count-per-stratum (ignores weight), t13 is per-doc
+    * Bernoulli (hits the mixture rate only in EXPECTATION — at small
+    * budgets the realized token mass varies run to run at real
+    * scale); systematic PPS hits the token budget exactly — each
+    * inter-pick gap is exactly tot/N tokens, so the sample is
+    * token-uniform across the corpus with ZERO budget variance, and
+    * returns exactly N docs unless a single doc spans multiple steps
+    * (then fewer, each still weight-proportional).
+    *
+    * Determinism: pure BIGINT arithmetic — cumulative sums over a
+    * (source, doc_id)-ordered window and integer division (`div` ≡
+    * DuckDB `//`); no floats, no RNG (the doc_id order IS the
+    * systematic walk — equivalent to the textbook random-start walk
+    * with start fixed at 0, which is the reproducibility contract a
+    * training pipeline wants anyway). Overflow bound: cum·N must fit
+    * a signed 64-bit — fine to ~1.4e17 total tokens per source at
+    * N = 64; past that, lift to DECIMAL(38,0).
+    *
+    * Scale: one window cumsum partitioned by source (high
+    * cardinality partitions: no single-reducer funnel), a tiny
+    * per-source totals broadcast, and a filter — one shuffle by
+    * source, no self-joins, output is N·sources rows. */
+  private def t27(s: SparkSession, dir: String): DataFrame = {
+    val n = 64
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val weighted = docs(s, dir)
+      .select(col("source"), col("doc_id"),
+        expr("size(split(text, ' '))").cast("long").as("n_tokens"))
+    val tot = weighted.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("tot"))
+    weighted
+      .withColumn("cum", sum(col("n_tokens")).over(wCum))
+      .join(broadcast(tot), "source")
+      .filter(expr(s"(cum * $n) div tot") >
+        expr(s"((cum - n_tokens) * $n) div tot"))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        expr(s"((cum - n_tokens) * $n) div tot").cast("long")
+          .as("step_idx"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  private val t27Sql =
+    """WITH weighted AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |cum AS (
+      |  SELECT source, doc_id, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM weighted),
+      |tot AS (SELECT source, SUM(n_tokens) AS tot FROM weighted GROUP BY source)
+      |SELECT c.source, c.doc_id, c.n_tokens,
+      |  CAST(((c.cum - c.n_tokens) * 64) // t.tot AS BIGINT) AS step_idx
+      |FROM cum c JOIN tot t ON c.source = t.source
+      |WHERE (c.cum * 64) // t.tot > ((c.cum - c.n_tokens) * 64) // t.tot
+      |ORDER BY c.source, c.doc_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t27_systematic_sample" -> t27,
     "t26_vocab_growth" -> t26,
     "t24_boilerplate"    -> t24,
     "t23_token_budget"   -> t23,
@@ -1603,5 +1670,6 @@ object TextQueries extends QueryPack {
     "t11_decontam"    -> t11Sql,
     "t12_mix_weights" -> t12Sql,
     "t25_ppl_buckets" -> t25Sql,
-    "t26_vocab_growth" -> t26Sql)
+    "t26_vocab_growth" -> t26Sql,
+    "t27_systematic_sample" -> t27Sql)
 }
