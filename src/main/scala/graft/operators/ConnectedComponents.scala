@@ -76,7 +76,18 @@ object ConnectedComponents {
 
     val sym = cut(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst"))))
-    var labels = cut(nodes.select(col(idCol).as("id"))
+    // Rounds run over EDGE-TOUCHED nodes only: a node with no edge
+    // can never receive a foreign label, so it is a singleton of
+    // itself by construction and re-joining it through every round
+    // is pure waste. On dedup graphs the touched set is the near-dup
+    // minority — corpus-sized label tables shrink to pair-touched
+    // size in every per-round join/agg/checkpoint (at 100 TB this is
+    // the difference between rounds over the corpus and rounds over
+    // the duplicates). Untouched nodes rejoin as self-labeled
+    // singletons in the final projection below — exact, not an
+    // approximation (sym is symmetric, so every endpoint appears as
+    // src and no propagation path is lost).
+    var labels = cut(sym.select(col("src").as("id"))
       .distinct()
       .withColumn("label", col("id")))
     var converged = false
@@ -99,6 +110,9 @@ object ConnectedComponents {
       }
       labels = next
     }
-    Stats(labels.select(col("id"), col("label").as("cluster")), it)
+    val full = nodes.select(col(idCol).as("id")).distinct()
+      .join(labels.select(col("id"), col("label")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("cluster"))
+    Stats(full, it)
   }
 }
