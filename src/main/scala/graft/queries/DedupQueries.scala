@@ -135,6 +135,7 @@ object DedupQueries extends QueryPack {
   def releaseArtifacts(s: SparkSession, dir: String): Unit = {
     DocArtifacts.release(s, dir)
     SimArtifacts.release(s, dir)
+    SpanArtifacts.release(s, dir)
   }
 
   private def withShingles(s: SparkSession, dir: String): DataFrame =
@@ -700,11 +701,38 @@ object DedupQueries extends QueryPack {
   private val d9MaxDf = 10
   private val d9MinSpan = 20
 
+  /** The d9/d11 shared span index — one repeatedSpans mine
+    * (positional-gram inverted index → diagonal islands) computed
+    * ONCE per corpus snapshot and read by both the span REPORT (d9)
+    * and the span SCRUB (d11): the production lifecycle — you never
+    * re-mine spans to apply them. The mine is the whole cost of both
+    * queries (20.2 s at sf3, vs DuckDB's 27.2 s for the same SQL —
+    * measured; the span OUTPUT is only 6.6k rows there), and before
+    * this registry the two consumers each re-ran it per call, the
+    * second riding a plan-keyed cache coincidence (d11's internal
+    * `rm` persist) instead of a declared artifact. */
+  private object SpanArtifacts {
+    private val reg = new graft.ArtifactRegistry[DataFrame](f => Seq(f))
+
+    def apply(s: SparkSession, dir: String): DataFrame =
+      reg(s, dir) { (s2, d) =>
+        val p = graft.operators.TextDedup
+          .repeatedSpans(
+            TextArtifacts.toks(s2, d).filter(col("n_words") >= 8),
+            "doc_id", "w", n = 8, maxDf = d9MaxDf,
+            minSpanWords = d9MinSpan)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // single persist: unpersist defensively on a failed count()
+        try { p.count(); p }
+        catch { case t: Throwable =>
+          p.unpersist(blocking = false); throw t }
+      }
+
+    def release(s: SparkSession, dir: String): Unit = reg.release(s, dir)
+  }
+
   private def d9(s: SparkSession, dir: String): DataFrame =
-    graft.operators.TextDedup
-      .repeatedSpans(
-        TextArtifacts.toks(s, dir).filter(col("n_words") >= 8),
-        "doc_id", "w", n = 8, maxDf = d9MaxDf, minSpanWords = d9MinSpan)
+    SpanArtifacts(s, dir)
       .orderBy(col("d1"), col("d2"), col("start1"), col("start2"))
 
   /** Shared oracle prefix for d9/d11: positional grams → capped
@@ -760,9 +788,7 @@ object DedupQueries extends QueryPack {
     val wdocs = docs(s, dir)
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 8)
-    val spans = graft.operators.TextDedup
-      .repeatedSpans(wdocs, "doc_id", "w", n = 8,
-        maxDf = d9MaxDf, minSpanWords = d9MinSpan)
+    val spans = SpanArtifacts(s, dir)
     // rm feeds two consumers (affected-doc list + position anti-join);
     // persist so the whole span pipeline runs once (eager count ends
     // the parallel cache-fill race — see jaccardPairsLeased)
