@@ -41,9 +41,14 @@ import org.apache.spark.sql.functions._
   * [[graft.operators.Lineage.checkpointDirOverride]]) to
   * make the cuts RELIABLE `df.checkpoint()`s that survive executor
   * loss — `localCheckpoint` blocks die with their executor. The
-  * sorted-fold is the oracle-parity artifact; a production run swaps
-  * it for a plain `sum` (partial+final, no collect_list) once
-  * bit-equality across engines stops being the gate.
+  * sorted-fold began as the oracle-parity artifact but MEASURES
+  * FASTER than the plain partial+final `sum` it was assumed to
+  * trade against (sf10: g1 9.3 s ordered vs 21.1 s plain,
+  * same-window): over the dst-bucketed (dst, src)-sorted scan the
+  * window STREAMS sorted runs, while the hash aggregate builds
+  * node-count hash maps over edge-count rows. The plain-sum knob
+  * (`SPARK_GRAFT_GRAPH_PLAIN_FOLD`) stays for layouts without the
+  * sorted bucketed table, with per-node 1e-9 parity spec-locked.
   */
 object GraphQueries extends QueryPack {
 
@@ -301,13 +306,38 @@ object GraphQueries extends QueryPack {
     * sortWithinPartitions would NOT be safe: Catalyst's
     * EliminateSorts legally drops sorts under aggregates, silently
     * breaking fold order — window order is semantic and survives. */
-  private def orderedFoldSum(contrib: DataFrame): DataFrame = {
-    val wFold = Window.partitionBy(col("dst")).orderBy(col("src"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    contrib
-      .withColumn("sm", sum(col("c")).over(wFold))
-      .groupBy(col("dst")).agg(max(col("sm")).as("sm"))
-  }
+  private def orderedFoldSum(contrib: DataFrame): DataFrame =
+    if (plainFold)
+      // Plain partial+final sum — no ordering requirement, for
+      // layouts WITHOUT the sorted bucketed edge table. NOT
+      // bit-identical to the ordered fold (float reassociation) so
+      // it cannot serve the oracle hash gate; per-node 1e-9 parity
+      // is spec-locked (Round9InvariantsSpec). On the bucketed
+      // layout it MEASURES 2.3x SLOWER than the window fold (sf10
+      // same-window A/B: hash-aggregating edge-count rows into
+      // node-count groups loses to streaming the file-sorted runs)
+      // — see the class scaladoc; keep the window fold unless the
+      // input really is unsorted.
+      contrib.groupBy(col("dst")).agg(sum(col("c")).as("sm"))
+    else {
+      val wFold = Window.partitionBy(col("dst")).orderBy(col("src"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      contrib
+        .withColumn("sm", sum(col("c")).over(wFold))
+        .groupBy(col("dst")).agg(max(col("sm")).as("sm"))
+    }
+
+  /** Opt into the plain-sum production fold (see [[orderedFoldSum]]).
+    * Default OFF: the declared queries keep the ordered fold — it is
+    * the cross-engine bit-parity artifact the oracle hash gate
+    * needs. Production (no DuckDB twin to match) sets
+    * `SPARK_GRAFT_GRAPH_PLAIN_FOLD=1`. */
+  private def plainFold: Boolean =
+    plainFoldOverride.getOrElse(
+      sys.env.get("SPARK_GRAFT_GRAPH_PLAIN_FOLD").exists(_.trim == "1"))
+
+  /** Test hook mirroring [[maxBroadcastNodesOverride]]. */
+  @volatile private[graft] var plainFoldOverride: Option[Boolean] = None
 
   /** One PageRank/PPR round's contribution frame (dst, src,
     * c = r/deg). Small-rank path (≤ [[maxBroadcastNodes]]): ranks

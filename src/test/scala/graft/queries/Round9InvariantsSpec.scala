@@ -64,6 +64,28 @@ class Round9InvariantsSpec extends SparkSpec {
     } finally graft.operators.Lineage.checkpointDirOverride = None
   }
 
+  test("g1 plain-sum production fold agrees with the ordered fold " +
+      "to 1e-9 relative on every node") {
+    // The ordered window fold exists for cross-engine bit-parity;
+    // production (no DuckDB twin to hash against) opts into a plain
+    // partial+final sum via SPARK_GRAFT_GRAPH_PLAIN_FOLD. Reassociated
+    // float addition differs by ulps, not semantics — lock the
+    // agreement per node rather than per byte.
+    val ordered = SparkEntry.queries("g1_pagerank")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    GraphQueries.plainFoldOverride = Some(true)
+    try {
+      val plain = SparkEntry.queries("g1_pagerank")(spark, sfDir)
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      plain.keySet shouldBe ordered.keySet
+      ordered.foreach { case (node, r) =>
+        withClue(s"node $node: ") {
+          math.abs(plain(node) - r) should be <= (1e-9 + 1e-9 * math.abs(r))
+        }
+      }
+    } finally GraphQueries.plainFoldOverride = None
+  }
+
   test("g1/g3/g4/g5 forced shuffle fallback (broadcast bound = 0) is " +
       "bit-identical to the broadcast round shape") {
     val qs = Seq("g1_pagerank", "g3_seeded_ppr", "g4_label_prop", "g5_kcore")
