@@ -92,6 +92,74 @@ case class PackedIntersect(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_packed_common(binary, binary) -> int` — the CARDINALITY of
+  * the [[PackedIntersect]] merge, skipping the output array: the
+  * verify kernel for containment/Jaccard-style |A ∩ B| checks where
+  * only the count matters. Same two-pointer walk, zero allocation. */
+case class PackedCommonCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_packed_common"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    PackedCommonCount.common(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.PackedCommonCount.common($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PackedCommonCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object PackedCommonCount {
+  /** Called from generated code. */
+  def common(a: Array[Byte], b: Array[Byte]): Int = {
+    var ia = 0; var ib = 0
+    var va = 0L; var vb = 0L
+    var firstA = true; var firstB = true
+    var k = 0
+    def nextA(): Unit = {
+      var d = 0L; var shift = 0
+      var bt: Long = 0L
+      while ({ bt = a(ia) & 0xFFL; ia += 1; (bt & 0x80L) != 0L }) {
+        d |= (bt & 0x7FL) << shift; shift += 7
+      }
+      d |= bt << shift
+      va = if (firstA) { firstA = false; (d >>> 1) ^ -(d & 1L) } else va + d
+    }
+    def nextB(): Unit = {
+      var d = 0L; var shift = 0
+      var bt: Long = 0L
+      while ({ bt = b(ib) & 0xFFL; ib += 1; (bt & 0x80L) != 0L }) {
+        d |= (bt & 0x7FL) << shift; shift += 7
+      }
+      d |= bt << shift
+      vb = if (firstB) { firstB = false; (d >>> 1) ^ -(d & 1L) } else vb + d
+    }
+    if (ia < a.length && ib < b.length) {
+      nextA(); nextB()
+      var done = false
+      while (!done) {
+        if (va == vb) {
+          k += 1
+          if (ia < a.length && ib < b.length) { nextA(); nextB() }
+          else done = true
+        } else if (va < vb) {
+          if (ia < a.length) nextA() else done = true
+        } else {
+          if (ib < b.length) nextB() else done = true
+        }
+      }
+    }
+    k
+  }
+}
+
 object PackedIntersect {
   /** Called from generated code: two-pointer merge over the packed
     * streams. Output is bounded by the shorter input's cardinality. */

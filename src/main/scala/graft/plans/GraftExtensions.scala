@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AHash, BloomMightContain, CountIn, DotProduct, LevBound, MinHashSig, NormText, PackedIntersect, PackSortedLongs, PairMerge, SafeDateKey, ShingleHash, ShingleSeq, SigMatches, WinnowMin}
+import graft.functions.{AHash, BloomMightContain, CountIn, DotProduct, LevBound, MinHashSig, NormText, PackedCommonCount, PackedIntersect, PackSortedLongs, PairMerge, SafeDateKey, ShingleHash, ShingleSeq, SigMatches, WinnowMin}
 
 /** Session extension wiring for graft's native expressions. Use via
   * `.withExtensions(new GraftExtensions)` or
@@ -69,7 +69,11 @@ object GraftExtensions {
     (new FunctionIdentifier("graft_packed_intersect"),
       new ExpressionInfo(classOf[PackedIntersect].getName,
         "graft_packed_intersect"),
-      (args: Seq[Expression]) => PackedIntersect(args(0), args(1))))
+      (args: Seq[Expression]) => PackedIntersect(args(0), args(1))),
+    (new FunctionIdentifier("graft_packed_common"),
+      new ExpressionInfo(classOf[PackedCommonCount].getName,
+        "graft_packed_common"),
+      (args: Seq[Expression]) => PackedCommonCount(args(0), args(1))))
 
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit = {

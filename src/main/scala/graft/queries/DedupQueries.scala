@@ -982,14 +982,26 @@ object DedupQueries extends QueryPack {
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
+    // verify carries PACKED shingle sets (graft_pack_sorted: ~1-2
+    // B/element vs 8 B array elements through both verify joins) and
+    // counts the overlap with the zero-allocation merge-walk kernel
+    // — same |A ∩ B| as array_intersect on these distinct sets (the
+    // PackedAdjacencySpec differential), a fraction of the exchange
+    // bytes and no per-pair hash set
+    val wsp = ws.select(col("doc_id"),
+      call_function("graft_pack_sorted", col("xs")).as("px"),
+      org.apache.spark.sql.functions.size(col("xs")).as("nx"))
     val v = cands
-      .join(ws.select(col("doc_id").as("d1"), col("xs").as("xs1")), "d1")
-      .join(ws.select(col("doc_id").as("d2"), col("xs").as("xs2")), "d2")
-      .withColumn("common", size(array_intersect(col("xs1"), col("xs2"))))
+      .join(wsp.select(col("doc_id").as("d1"), col("px").as("px1"),
+        col("nx").as("nx1")), "d1")
+      .join(wsp.select(col("doc_id").as("d2"), col("px").as("px2"),
+        col("nx").as("nx2")), "d2")
+      .withColumn("common",
+        call_function("graft_packed_common", col("px1"), col("px2")))
     val dir1 = v.select(col("d1").as("contained"), col("d2").as("container"),
-      round(col("common").cast("double") / size(col("xs1")), 6).as("containment"))
+      round(col("common").cast("double") / col("nx1"), 6).as("containment"))
     val dir2 = v.select(col("d2").as("contained"), col("d1").as("container"),
-      round(col("common").cast("double") / size(col("xs2")), 6).as("containment"))
+      round(col("common").cast("double") / col("nx2"), 6).as("containment"))
     dir1.unionAll(dir2)
       .filter(col("containment") >= 0.9)
       .orderBy(col("contained"), col("container"))

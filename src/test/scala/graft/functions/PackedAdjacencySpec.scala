@@ -53,6 +53,19 @@ class PackedAdjacencySpec extends SparkSpec {
     packed.length should be < 800
   }
 
+  test("graft_packed_common equals the intersection cardinality") {
+    val rnd = new scala.util.Random(31)
+    for (_ <- 1 to 200) {
+      val a = Seq.fill(rnd.nextInt(50))(rnd.nextInt(300).toLong).distinct
+      val b = Seq.fill(rnd.nextInt(50))(rnd.nextInt(300).toLong).distinct
+      val pa = PackSortedLongs.pack(new GenericArrayData(a.toArray))
+      val pb = PackSortedLongs.pack(new GenericArrayData(b.toArray))
+      PackedCommonCount.common(pa, pb) shouldBe (a.toSet & b.toSet).size
+    }
+    PackedCommonCount.common(Array.emptyByteArray,
+      Array.emptyByteArray) shouldBe 0
+  }
+
   test("codegen path matches sort_array + array_intersect") {
     val rnd = new scala.util.Random(23)
     val rows = Seq.fill(100)((
