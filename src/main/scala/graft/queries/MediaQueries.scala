@@ -93,22 +93,48 @@ object MediaQueries extends QueryPack {
     * broadcast anti-join, bounding the self-join at Σ min(df, 16)²
     * (measured: uncapped the pair set is ~1.1 M rows at sf0.1 and
     * quadratic; capped it is ~15 k and linear). */
-  private def m3(s: SparkSession, dir: String): DataFrame = {
-    val f = media(s, dir)
-      .withColumn("frames", Multimodal.frameSample(col("bytes"), 4, 16))
-      .select(col("media_id"), explode(col("frames")).as("fr"))
-      .select(col("media_id"),
-        call_function("graft_ahash", col("fr")).as("ahash"))
-      .distinct()
-    val hot = f.groupBy(col("ahash")).agg(count(lit(1)).as("__df"))
-      .filter(col("__df") > 16).select("ahash")
-    val capped = f.join(broadcast(hot), Seq("ahash"), "left_anti")
-    capped.as("a").hint("shuffle_hash").join(capped.as("b").hint("shuffle_hash"),
-        col("a.ahash") === col("b.ahash") && col("a.media_id") < col("b.media_id"))
-      .groupBy(col("a.media_id").as("id1"), col("b.media_id").as("id2"))
-      .agg(count(lit(1)).as("shared_frames"))
-      .orderBy(col("id1"), col("id2"))
+  private def m3(s: SparkSession, dir: String): DataFrame =
+    PairArtifacts(s, dir).orderBy(col("id1"), col("id2"))
+
+  /** The m3/m4 shared perceptual-pair mine (the SpanArtifacts
+    * lifecycle applied to media): the aHash inverted index + capped
+    * self-join is the whole cost of both the pair REPORT (m3) and
+    * the cluster step (m4's CC input) — computed once per corpus
+    * snapshot, read by both. */
+  private object PairArtifacts {
+    private val reg = new graft.ArtifactRegistry[DataFrame](f => Seq(f))
+
+    def apply(s: SparkSession, dir: String): DataFrame =
+      reg(s, dir) { (s2, d) =>
+        val f = media(s2, d)
+          .withColumn("frames", Multimodal.frameSample(col("bytes"), 4, 16))
+          .select(col("media_id"), explode(col("frames")).as("fr"))
+          .select(col("media_id"),
+            call_function("graft_ahash", col("fr")).as("ahash"))
+          .distinct()
+        val hot = f.groupBy(col("ahash")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > 16).select("ahash")
+        val capped = f.join(broadcast(hot), Seq("ahash"), "left_anti")
+        val p = capped.as("a").hint("shuffle_hash")
+          .join(capped.as("b").hint("shuffle_hash"),
+            col("a.ahash") === col("b.ahash") &&
+              col("a.media_id") < col("b.media_id"))
+          .groupBy(col("a.media_id").as("id1"), col("b.media_id").as("id2"))
+          .agg(count(lit(1)).as("shared_frames"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // single persist: unpersist defensively on a failed count()
+        try { p.count(); p }
+        catch { case t: Throwable =>
+          p.unpersist(blocking = false); throw t }
+      }
+
+    def release(s: SparkSession, dir: String): Unit = reg.release(s, dir)
   }
+
+  /** Release the shared media artifacts for one corpus dir (the
+    * [[DedupQueries.releaseArtifacts]] lifecycle). */
+  def releaseArtifacts(s: SparkSession, dir: String): Unit =
+    PairArtifacts.release(s, dir)
 
   private val m3Sql =
     """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
@@ -150,7 +176,7 @@ object MediaQueries extends QueryPack {
     * (O(log diameter) rounds, lineage cut per round); the oracle
     * walks the graph with the recursive reachability CTE. */
   private def m4(s: SparkSession, dir: String): DataFrame = {
-    val edges = m3(s, dir).select(col("id1"), col("id2"))
+    val edges = PairArtifacts(s, dir).select(col("id1"), col("id2"))
     graft.operators.ConnectedComponents
       .run(edges, "id1", "id2", media(s, dir), "media_id")
       .select(col("id").as("media_id"), col("cluster"),
