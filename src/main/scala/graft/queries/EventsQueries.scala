@@ -1475,7 +1475,92 @@ object EventsQueries extends QueryPack {
       |  ROUND(ABS(e - exact_rolling_users) / exact_rolling_users, 6) AS rel_err
       |FROM est ORDER BY day""".stripMargin
 
+  /** e33 — out-of-orderness / WATERMARK CALIBRATION audit. Streaming
+    * jobs (the §2.9 twins) need a watermark wide enough to keep late
+    * data and tight enough to bound state; the principled choice is a
+    * high quantile of observed event-time disorder. The driver's
+    * synthetic stream is perfectly time-ordered (measured: zero
+    * disorder in `event_id` order), so the audit replays it through
+    * the thing that creates disorder in production — a PARTITIONED
+    * transport with per-partition consumer lag: partition `user_id %
+    * 8` (the Kafka key-hash shape), partition p delivering with a
+    * fixed p×30 s lag, FIFO within partitions. A row's lateness is
+    * how far the merged event-time high-water mark had advanced past
+    * its own event time at delivery — `max(ts) over delivery order,
+    * exclusive` minus own ts, floored at 0. Reported per transport
+    * partition (THE consumer-lag dashboard): late fraction, max, and
+    * exact rank-based p50/p99 lateness in µs (p99 = the
+    * `withWatermark` delay that keeps 99% of that partition; integer
+    * rank predicates `cum*100 >= n*99`, no float quantiles).
+    *
+    * Scale shape: the global running max uses [[graft.operators
+    * .OffsetWindow.prefixMaxExcl]] — per-bucket local windows plus a
+    * broadcast exclusive max over one row per (day) bucket — NEVER a
+    * single-partition global window (the PlanAuditSpec funnel). The
+    * quantiles aggregate per-(partition, late_us) counts — cardinality
+    * is distinct lateness values, not events — through a partitioned
+    * cumulative window. Everything is exact integer µs arithmetic. */
+  private def e33(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("event_id"), expr("ts_ns div 1000").as("ts_us"),
+        (col("user_id") % 8).as("part"))
+      .withColumn("delivery_us", col("ts_us") + col("part") * lit(30000000L))
+    val lat = graft.operators.OffsetWindow.prefixMaxExcl(
+        ev, Seq.empty, expr("delivery_us div 86400000000"),
+        Seq(col("delivery_us"), col("event_id")), col("ts_us"), "hw")
+      .withColumn("late_us",
+        greatest(lit(0L), coalesce(col("hw"), lit(0L)) - col("ts_us")))
+    val counts = lat.groupBy(col("part"), col("late_us"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = counts.groupBy(col("part")).agg(sum(col("cnt")).as("n"))
+    val wCum = Window.partitionBy(col("part")).orderBy(col("late_us"))
+    val cum = counts
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .join(tot, Seq("part"))
+    cum.groupBy(col("part"), col("n"))
+      .agg(
+        sum(when(col("late_us") > 0, col("cnt")).otherwise(0L)).as("n_late"),
+        max(col("late_us")).as("max_late_us"),
+        min(when(col("cum") * 2 >= col("n"), col("late_us"))).as("p50_us"),
+        min(when(col("cum") * 100 >= col("n") * 99, col("late_us"))).as("p99_us"))
+      .select(col("part"), col("n"), col("n_late"),
+        round(col("n_late").cast("double") / col("n"), 6).as("late_frac"),
+        col("max_late_us"), col("p50_us"), col("p99_us"))
+      .orderBy(col("part"))
+  }
+
+  private val e33Sql =
+    """WITH ev AS (
+      |  SELECT event_id, epoch_ns(ts)//1000 AS ts_us, user_id % 8 AS part,
+      |    epoch_ns(ts)//1000 + (user_id % 8) * 30000000 AS delivery_us
+      |  FROM events),
+      |lat AS (
+      |  SELECT part,
+      |    GREATEST(0, COALESCE(MAX(ts_us) OVER (ORDER BY delivery_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) - ts_us)
+      |      AS late_us
+      |  FROM ev),
+      |counts AS (
+      |  SELECT part, late_us, COUNT(*) AS cnt
+      |  FROM lat GROUP BY part, late_us),
+      |tot AS (SELECT part, SUM(cnt) AS n FROM counts GROUP BY part),
+      |cum AS (
+      |  SELECT c.part, c.late_us, c.cnt,
+      |    SUM(c.cnt) OVER (PARTITION BY c.part ORDER BY c.late_us) AS cum,
+      |    t.n
+      |  FROM counts c JOIN tot t USING (part))
+      |SELECT part, CAST(n AS BIGINT) AS n,
+      |  CAST(SUM(CASE WHEN late_us > 0 THEN cnt ELSE 0 END) AS BIGINT) AS n_late,
+      |  ROUND(CAST(SUM(CASE WHEN late_us > 0 THEN cnt ELSE 0 END) AS DOUBLE)
+      |        / CAST(n AS DOUBLE), 6) AS late_frac,
+      |  MAX(late_us) AS max_late_us,
+      |  MIN(CASE WHEN cum * 2 >= n THEN late_us END) AS p50_us,
+      |  MIN(CASE WHEN cum * 100 >= n * 99 THEN late_us END) AS p99_us
+      |FROM cum GROUP BY part, n
+      |ORDER BY part""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e33_late_audit" -> e33,
     "e32_rolling_distinct" -> e32,
     "e31_day_serving"    -> e31,
     "e30_topk_exact"     -> e30,
@@ -1510,6 +1595,7 @@ object EventsQueries extends QueryPack {
     "e17_trailing_window" -> e17)
 
   override def oracle: Map[String, String] = Map(
+    "e33_late_audit" -> e33Sql,
     "e32_rolling_distinct" -> e32Sql,
     "e31_day_serving"    -> e31Sql,
     "e30_topk_exact"     -> e30Sql,

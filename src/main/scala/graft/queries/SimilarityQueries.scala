@@ -1914,7 +1914,102 @@ object SimilarityQueries extends QueryPack {
        |ORDER BY sp.qid, sp.pick""".stripMargin
   }
 
+  /** s22 — incremental INDEX MAINTENANCE audit: the freshness half of
+    * the IVF lifecycle (s2 trains, s21 serves, s22 keeps the index
+    * current). An arrival batch (vec_id ≡ 0 mod 5 — a deterministic
+    * 20% "new data" slice) is folded into the FROZEN coarse quantizer
+    * trained on the remaining 80%: each arrival is assigned to its
+    * nearest existing centroid (no retrain — the production cadence
+    * is assign-on-ingest, retrain on drift alarms only). Per cell the
+    * audit reports occupancy growth (`n_new/n_base` — skewed growth
+    * means the quantizer no longer tessellates the data), label
+    * agreement of the routed arrivals (`n_match` — falling agreement
+    * = concept drift), and mean assignment cosine (cell tightness).
+    *
+    * Scale shape: the centroid table is k rows and BROADCASTS; the
+    * arrival scan is one map-side pass (cross join against k rows +
+    * per-vec top-1), and the audit is a k-row aggregate — no
+    * corpus×corpus stage anywhere, so the maintenance cost is linear
+    * in the ARRIVAL batch, never in the index size. Determinism:
+    * assignment cosine snapped to 1e-6 before the argmax (the s2/s20
+    * convention) and the per-cell mean folded as fixed-point 1e-6
+    * integers (order-independent integer sum, recipe #17). */
+  private def s22(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("label"), col("v"), col("norm"))
+    val base = e.filter(col("vec_id") % 5 =!= 0)
+    val arr = e.filter(col("vec_id") % 5 === 0)
+    val cents = centroidsBuild(base.select(col("label"), col("v")))
+      .withColumnRenamed("label", "cell")
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cell"))
+    val assigned = arr.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        round(dot(col("v"), col("cv")) / (col("norm") * col("cnorm")), 6))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("label"), col("cell"), col("ccos"))
+    val baseCnt = base.groupBy(col("label").as("cell"))
+      .agg(count(lit(1)).as("n_base"))
+    val newAgg = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_new"),
+        sum(when(col("label") === col("cell"), 1L).otherwise(0L)).as("n_match"),
+        sum(round(col("ccos") * 1e6).cast("long")).as("sfp"))
+    baseCnt.join(newAgg, Seq("cell"), "left")
+      .select(col("cell").cast("long").as("cell"), col("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_match"), lit(0L)).as("n_match"),
+        round(coalesce(col("n_new"), lit(0L)).cast("double") / col("n_base"), 6)
+          .as("growth"),
+        when(col("n_new").isNull, lit(null).cast("double"))
+          .otherwise(round(col("sfp") / (col("n_new") * lit(1e6)), 6))
+          .as("mean_ccos"))
+      .orderBy(col("cell"))
+  }
+
+  private val s22Sql =
+    """WITH e AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, label, v,
+      |      sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),
+      |base AS (SELECT * FROM n WHERE vec_id % 5 <> 0),
+      |arr AS (SELECT * FROM n WHERE vec_id % 5 = 0),
+      |cents0 AS (
+      |  SELECT label, pos, AVG(x) AS m
+      |  FROM (SELECT label, unnest(v) AS x,
+      |          generate_subscripts(v, 1) AS pos FROM base) u
+      |  GROUP BY label, pos),
+      |cents AS (
+      |  SELECT label AS cell, list(m ORDER BY pos) AS cv,
+      |    sqrt(list_sum(list_transform(list(m ORDER BY pos), x -> x*x))) AS cnorm
+      |  FROM cents0 GROUP BY label),
+      |assigned AS (
+      |  SELECT vec_id, label, cell, ccos FROM (
+      |    SELECT a.vec_id, a.label, c.cell,
+      |      ROUND(list_sum(list_transform(list_zip(a.v, c.cv), x -> x[1]*x[2]))
+      |            / (a.norm * c.cnorm), 6) AS ccos,
+      |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+      |        ROUND(list_sum(list_transform(list_zip(a.v, c.cv), x -> x[1]*x[2]))
+      |              / (a.norm * c.cnorm), 6) DESC, c.cell) AS crk
+      |    FROM arr a CROSS JOIN cents c) t
+      |  WHERE crk = 1),
+      |bc AS (SELECT label AS cell, COUNT(*) AS n_base FROM base GROUP BY label),
+      |na AS (
+      |  SELECT cell, COUNT(*) AS n_new,
+      |    SUM(CASE WHEN label = cell THEN 1 ELSE 0 END) AS n_match,
+      |    SUM(CAST(ROUND(ccos * 1e6, 0) AS BIGINT)) AS sfp
+      |  FROM assigned GROUP BY cell)
+      |SELECT CAST(bc.cell AS BIGINT) AS cell, bc.n_base,
+      |  COALESCE(na.n_new, 0) AS n_new,
+      |  CAST(COALESCE(na.n_match, 0) AS BIGINT) AS n_match,
+      |  ROUND(CAST(COALESCE(na.n_new, 0) AS DOUBLE) / bc.n_base, 6) AS growth,
+      |  CASE WHEN na.n_new IS NULL THEN NULL
+      |       ELSE ROUND(na.sfp / (na.n_new * 1e6), 6) END AS mean_ccos
+      |FROM bc LEFT JOIN na ON bc.cell = na.cell
+      |ORDER BY bc.cell""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s22_index_maintain" -> s22,
     "s21_mmr_serving" -> s21,
     "s20_filtered_ann" -> s20,
     "s19_mmr_rerank" -> s19,
@@ -1939,6 +2034,7 @@ object SimilarityQueries extends QueryPack {
     "d8_semdedup"  -> d8)
 
   override def oracle: Map[String, String] = Map(
+    "s22_index_maintain" -> s22Sql,
     "s21_mmr_serving" -> s21Sql,
     "s20_filtered_ann" -> s20Sql,
     "s19_mmr_rerank" -> s19Sql,

@@ -1615,7 +1615,98 @@ object TextQueries extends QueryPack {
       |WHERE (c.cum * 64) // t.tot > ((c.cum - c.n_tokens) * 64) // t.tot
       |ORDER BY c.source, c.doc_id""".stripMargin
 
+  /** t28 — per-source DOMAIN-SHIFT diagnostic for data mixing:
+    * KL(source ‖ corpus) over unigram distributions, in nats. t12
+    * chooses mixture weights and t13 samples them; this is the
+    * monitoring leg that tells you WHEN re-weighting is due — a
+    * source whose KL to the corpus mix grows between snapshots is
+    * drifting away from the distribution the weights were tuned on
+    * (the DoReMi-style loop's trigger signal). Exact KL: the sum runs
+    * over precisely the source's observed vocabulary (p > 0), and
+    * q > 0 always since the corpus marginal dominates each source.
+    * Also reports the argmax-contribution word per source — the
+    * one-token answer to "what is this source over-represented in".
+    *
+    * Determinism: each term ln((c_sw·N)/(n_s·c_w)) is identical IEEE
+    * ops on exact integer inputs both engines (ln cross-engine at
+    * 1e-9 is the t26 precedent); terms snap to fixed-point 1e-9
+    * BIGINTs and the per-source sum is an order-independent integer
+    * sum (recipe #17), so parallel aggregation order cannot move the
+    * result. Argmax tie-break: (contrib, word) descending.
+    *
+    * Scale shape: rides the tokenize-once [[TextArtifacts.toks]]
+    * frame; everything downstream is partial+final hash aggs keyed
+    * (source, word) → word → source (no windows over events, no
+    * collects); the 1-row corpus total and |sources|-row totals
+    * broadcast. */
+  private def t28(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextArtifacts.toks(s, dir)
+    val sw = toks.select(col("source"), explode(col("w")).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c_sw"))
+    val ns = toks.groupBy(col("source")).agg(sum(col("n_words")).as("n_s"))
+    val cw = sw.groupBy(col("word")).agg(sum(col("c_sw")).as("c_w"))
+    val tot = ns.agg(sum(col("n_s")).as("n_tot"))
+    val terms = sw.join(cw, Seq("word"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("term",
+        (col("c_sw").cast("double") / col("n_s")) *
+          log((col("c_sw").cast("double") * col("n_tot")) /
+            (col("n_s").cast("double") * col("c_w"))))
+      .withColumn("tfp", round(col("term") * 1e9).cast("long"))
+    val wTop = Window.partitionBy(col("source"))
+      .orderBy(col("tfp").desc, col("word").desc)
+    val top = terms
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("word").as("top_word"),
+        round(col("tfp") / 1e9, 6).as("top_contrib"))
+    val agg = terms.groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"), sum(col("tfp")).as("sfp"))
+      .select(col("source"), col("vocab"),
+        round(col("sfp") / 1e9, 6).as("kl_nats"))
+    agg.join(ns, Seq("source")).join(top, Seq("source"))
+      .select(col("source"), col("n_s").as("n_tokens"), col("vocab"),
+        col("kl_nats"), col("top_word"), col("top_contrib"))
+      .orderBy(col("source"))
+  }
+
+  private val t28Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+      |sw AS (
+      |  SELECT source, word, COUNT(*) AS c_sw
+      |  FROM (SELECT source, unnest(w) AS word FROM toks) u
+      |  GROUP BY source, word),
+      |ns AS (SELECT source, CAST(SUM(len(w)) AS BIGINT) AS n_s
+      |       FROM toks GROUP BY source),
+      |cw AS (SELECT word, CAST(SUM(c_sw) AS BIGINT) AS c_w
+      |       FROM sw GROUP BY word),
+      |tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_tot FROM ns),
+      |terms AS (
+      |  SELECT sw.source, sw.word,
+      |    CAST(ROUND((CAST(sw.c_sw AS DOUBLE) / ns.n_s) *
+      |      ln((CAST(sw.c_sw AS DOUBLE) * tot.n_tot) /
+      |         (CAST(ns.n_s AS DOUBLE) * cw.c_w)) * 1e9, 0) AS BIGINT) AS tfp
+      |  FROM sw JOIN cw USING (word) JOIN ns USING (source) CROSS JOIN tot),
+      |top AS (
+      |  SELECT source, word AS top_word, ROUND(tfp / 1e9, 6) AS top_contrib
+      |  FROM (SELECT source, word, tfp,
+      |          ROW_NUMBER() OVER (PARTITION BY source
+      |            ORDER BY tfp DESC, word DESC) AS rk
+      |        FROM terms) r
+      |  WHERE rk = 1),
+      |agg AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab,
+      |    ROUND(CAST(SUM(tfp) AS BIGINT) / 1e9, 6) AS kl_nats
+      |  FROM terms GROUP BY source)
+      |SELECT a.source, ns.n_s AS n_tokens, a.vocab, a.kl_nats,
+      |  t.top_word, t.top_contrib
+      |FROM agg a JOIN ns USING (source) JOIN top t ON a.source = t.source
+      |ORDER BY a.source""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t28_mix_kl" -> t28,
     "t27_systematic_sample" -> t27,
     "t26_vocab_growth" -> t26,
     "t24_boilerplate"    -> t24,
@@ -1645,6 +1736,7 @@ object TextQueries extends QueryPack {
     "t25_ppl_buckets" -> t25)
 
   override def oracle: Map[String, String] = Map(
+    "t28_mix_kl" -> t28Sql,
     "t24_boilerplate"    -> t24Sql,
     "t23_token_budget"   -> t23Sql,
     "t22_chunking"       -> t22Sql,
