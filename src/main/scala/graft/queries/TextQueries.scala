@@ -1632,7 +1632,12 @@ object TextQueries extends QueryPack {
     * 1e-9 is the t26 precedent); terms snap to fixed-point 1e-9
     * BIGINTs and the per-source sum is an order-independent integer
     * sum (recipe #17), so parallel aggregation order cannot move the
-    * result. Argmax tie-break: (contrib, word) descending.
+    * result. Argmax tie-break: (contrib, word) descending — computed
+    * as `max(struct(tfp, word))` (lexicographic struct max) in the
+    * SAME aggregate as the KL sum, so the term frame is consumed by
+    * exactly one partial+final agg instead of two branches (the
+    * windowed-rank formulation planned the whole (source, word)
+    * cascade twice — once per unfused branch).
     *
     * Scale shape: rides the tokenize-once [[TextArtifacts.toks]]
     * frame; everything downstream is partial+final hash aggs keyed
@@ -1654,18 +1659,14 @@ object TextQueries extends QueryPack {
           log((col("c_sw").cast("double") * col("n_tot")) /
             (col("n_s").cast("double") * col("c_w"))))
       .withColumn("tfp", round(col("term") * 1e9).cast("long"))
-    val wTop = Window.partitionBy(col("source"))
-      .orderBy(col("tfp").desc, col("word").desc)
-    val top = terms
-      .withColumn("rk", row_number().over(wTop))
-      .filter(col("rk") === 1)
-      .select(col("source"), col("word").as("top_word"),
-        round(col("tfp") / 1e9, 6).as("top_contrib"))
     val agg = terms.groupBy(col("source"))
-      .agg(count(lit(1)).as("vocab"), sum(col("tfp")).as("sfp"))
+      .agg(count(lit(1)).as("vocab"), sum(col("tfp")).as("sfp"),
+        max(struct(col("tfp"), col("word"))).as("top"))
       .select(col("source"), col("vocab"),
-        round(col("sfp") / 1e9, 6).as("kl_nats"))
-    agg.join(ns, Seq("source")).join(top, Seq("source"))
+        round(col("sfp") / 1e9, 6).as("kl_nats"),
+        col("top.word").as("top_word"),
+        round(col("top.tfp") / 1e9, 6).as("top_contrib"))
+    agg.join(broadcast(ns), Seq("source"))
       .select(col("source"), col("n_s").as("n_tokens"), col("vocab"),
         col("kl_nats"), col("top_word"), col("top_contrib"))
       .orderBy(col("source"))

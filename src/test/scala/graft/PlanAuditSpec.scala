@@ -361,6 +361,42 @@ class PlanAuditSpec extends SparkSpec {
     labelJoins should not be empty
   }
 
+  test("s22: the frozen quantizer broadcasts; the arrival scan is one pass") {
+    // index maintenance must be linear in the ARRIVAL batch: the only
+    // non-equi join is the k-row centroid assignment (broadcast nested
+    // loop); a second nested loop would mean a corpus-sized cross
+    // stage crept into the audit aggregates.
+    val p = plan("s22_index_maintain")
+    p should include("BroadcastNestedLoopJoin")
+    p.linesIterator.filter(l =>
+      l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct"))
+      .size should be <= 1
+  }
+
+  test("e33: the high-water pass never sorts the event stream globally") {
+    // lateness = exclusive prefix-max over delivery order, computed as
+    // per-day-bucket LOCAL windows + a broadcast cross-bucket max —
+    // a global Sort over the delivery column would be the
+    // single-reducer funnel the bucketed two-pass exists to avoid.
+    // (The final 8-row orderBy(part) is the only global sort allowed.)
+    val p = plan("e33_late_audit")
+    p.linesIterator.filter(l => l.contains("Sort") && l.contains("global=true"))
+      .filter(_.contains("delivery_us")) shouldBe empty
+  }
+
+  test("t28: the per-source totals broadcast; the vocab join stays keyed") {
+    // ns (|sources| rows) and the 1-row corpus total broadcast into
+    // the (source, word) term frame; the word-keyed sw⋈cw join must
+    // remain an equi hash join — vocabulary is corpus-sized and must
+    // never ride a nested loop.
+    val p = plan("t28_mix_kl")
+    p should include("BroadcastHashJoin")        // ns into terms, on source
+    p should include("BroadcastNestedLoopJoin")  // the 1-row total
+    p.linesIterator.filter(l =>
+      l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct"))
+      .size should be <= 1
+  }
+
   test("no query plans an unpartitioned window (single-reducer funnel)") {
     // A Window with an empty partitionSpec requires AllTuples — every
     // row funnels through ONE task (Spark warns "No Partition Defined
