@@ -998,11 +998,17 @@ object DedupQueries extends QueryPack {
         col("nx").as("nx2")), "d2")
       .withColumn("common",
         call_function("graft_packed_common", col("px1"), col("px2")))
-    val dir1 = v.select(col("d1").as("contained"), col("d2").as("container"),
-      round(col("common").cast("double") / col("nx1"), 6).as("containment"))
-    val dir2 = v.select(col("d2").as("contained"), col("d1").as("container"),
-      round(col("common").cast("double") / col("nx2"), 6).as("containment"))
-    dir1.unionAll(dir2)
+    // both containment directions from ONE pass over v: a union of two
+    // projections re-executes the whole candidate+verify cascade per
+    // branch (Catalyst does not fuse union arms — the t28 lesson);
+    // exploding a 2-struct array emits both rows per verified pair
+    v.select(explode(array(
+        struct(col("d1").as("contained"), col("d2").as("container"),
+          round(col("common").cast("double") / col("nx1"), 6).as("containment")),
+        struct(col("d2").as("contained"), col("d1").as("container"),
+          round(col("common").cast("double") / col("nx2"), 6).as("containment"))))
+        .as("r"))
+      .select(col("r.contained"), col("r.container"), col("r.containment"))
       .filter(col("containment") >= 0.9)
       .orderBy(col("contained"), col("container"))
   }

@@ -1512,11 +1512,14 @@ object EventsQueries extends QueryPack {
         greatest(lit(0L), coalesce(col("hw"), lit(0L)) - col("ts_us")))
     val counts = lat.groupBy(col("part"), col("late_us"))
       .agg(count(lit(1)).as("cnt"))
-    val tot = counts.groupBy(col("part")).agg(sum(col("cnt")).as("n"))
+    // per-partition total as a WINDOW over the same counts frame, not
+    // a second aggregation branch: `counts` embeds the whole lateness
+    // cascade, and an unfused second reference would re-execute it
+    // end-to-end (the t28 lesson; locked by the diamond audit below)
     val wCum = Window.partitionBy(col("part")).orderBy(col("late_us"))
     val cum = counts
       .withColumn("cum", sum(col("cnt")).over(wCum))
-      .join(tot, Seq("part"))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("part"))))
     cum.groupBy(col("part"), col("n"))
       .agg(
         sum(when(col("late_us") > 0, col("cnt")).otherwise(0L)).as("n_late"),
@@ -1543,12 +1546,11 @@ object EventsQueries extends QueryPack {
       |counts AS (
       |  SELECT part, late_us, COUNT(*) AS cnt
       |  FROM lat GROUP BY part, late_us),
-      |tot AS (SELECT part, SUM(cnt) AS n FROM counts GROUP BY part),
       |cum AS (
-      |  SELECT c.part, c.late_us, c.cnt,
-      |    SUM(c.cnt) OVER (PARTITION BY c.part ORDER BY c.late_us) AS cum,
-      |    t.n
-      |  FROM counts c JOIN tot t USING (part))
+      |  SELECT part, late_us, cnt,
+      |    SUM(cnt) OVER (PARTITION BY part ORDER BY late_us) AS cum,
+      |    SUM(cnt) OVER (PARTITION BY part) AS n
+      |  FROM counts)
       |SELECT part, CAST(n AS BIGINT) AS n,
       |  CAST(SUM(CASE WHEN late_us > 0 THEN cnt ELSE 0 END) AS BIGINT) AS n_late,
       |  ROUND(CAST(SUM(CASE WHEN late_us > 0 THEN cnt ELSE 0 END) AS DOUBLE)
