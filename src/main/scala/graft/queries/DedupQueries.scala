@@ -1061,6 +1061,11 @@ object DedupQueries extends QueryPack {
       .withColumn("split",
         when(col("h") < 8, "train").when(col("h") === 8, "val")
           .otherwise("test"))
+      // three consumers (both leak-join sides + the split agg) — the
+      // CC rounds are checkpointed but the assignment tail would
+      // re-run per consumer; persist so it runs once (the d8 pattern)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned.count()
     val toks = docs(s, dir).select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"))
     val leaked = edges

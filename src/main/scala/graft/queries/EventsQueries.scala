@@ -1402,43 +1402,55 @@ object EventsQueries extends QueryPack {
     *    (map-side ×7 on the DISTINCT day-user frame — events-sized
     *    input never re-scans per window), then one distinct agg per
     *    target day. Linear, no range join, no window-state blowup.
-    *  - KMV bottom-k (k = 256, the q23 sketch) over the same
-    *    contributed frame, fed DISTINCT HASHES so the sketch is
-    *    duplicate-insensitive identically on both engines. At scale
+    *  - KMV bottom-k (k = 256, the q23 sketch) computed in the SAME
+    *    aggregation pass as the exact count, over the user-distinct
+    *    contributed frame — so the whole contribute-to-window cascade
+    *    executes exactly once (the unfused-diamond rule). At scale
     *    the per-day sketches are tiny and mergeable — the rolling
     *    union IS a sketch merge, the shape a serving layer keeps
     *    incrementally (q27's HLL lesson applied to windows).
     *
-    * Determinism: md5-derived 52-bit hashes, ties in the bottom-k
-    * are by hash value (duplicates pre-collapsed), estimates rounded
-    * to 1e-4, rel_err to 1e-6. Partial leading windows are reported
-    * (standard rolling semantics); only days present in the data are
+    * Determinism: md5-derived 52-bit hashes; sketch inputs are
+    * distinct per USER, so a 52-bit hash collision ranks with
+    * multiplicity — identically on both engines (ROW_NUMBER over h ≡
+    * TopKAgg's keep-k-with-duplicates). Estimates rounded to 1e-4,
+    * rel_err to 1e-6. Partial leading windows are reported (standard
+    * rolling semantics); only days present in the data are
     * emitted. */
   private def e32(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.udaf
     val k = 256
     val bottomk = udaf(new graft.functions.TopKAgg(k))
-    val du = ev(s, dir)
+    val evd = ev(s, dir)
       .select(date_trunc("DAY", col("ts")).cast("date").as("day"), col("user_id"))
-      .distinct()
-    val days = du.select(col("day")).distinct()
+    val du = evd.distinct()
+    // distinct DAYS from the raw scan, not from du: a second reference
+    // to du would re-run its corpus-wide (day, user) exchange per
+    // branch (unfused-diamond rule); the raw re-scan collapses
+    // map-side to ~|days| rows before its exchange
+    val days = evd.select(col("day")).distinct()
     val contrib = du
       .select(col("day"), col("user_id"), explode(expr("sequence(0, 6)")).as("off"))
       .select(date_add(col("day"), col("off")).as("tday"), col("user_id"))
       .join(broadcast(days.withColumnRenamed("day", "tday")), Seq("tday"), "left_semi")
-    val exact = contrib.groupBy(col("tday"))
-      .agg(countDistinct(col("user_id")).as("exact_rolling_users"))
-    val hashed = contrib
-      .select(col("tday"),
-        conv(substring(md5(col("user_id").cast("string")), 1, 13), 16, 10)
-          .cast("long").as("h"))
       .distinct()
-    val sk = hashed.groupBy(col("tday"))
-      .agg(bottomk((-col("h")).cast("double"), col("h")).as("mins"))
-      .select(col("tday"),
+    // ONE aggregation computes the exact count AND the KMV sketch over
+    // the user-distinct contributed frame — the old two-branch shape
+    // (countDistinct leg + distinct-hash sketch leg) re-executed the
+    // whole contribute-to-window cascade per branch. Sketch inputs are
+    // distinct per USER; two users sharing a 52-bit hash now rank with
+    // multiplicity on both engines (identically), instead of being
+    // pre-collapsed — a ~n²/2⁵³ event the estimate tolerates.
+    contrib
+      .withColumn("h",
+        conv(substring(md5(col("user_id").cast("string")), 1, 13), 16, 10)
+          .cast("long"))
+      .groupBy(col("tday"))
+      .agg(count(lit(1)).as("exact_rolling_users"),
+        bottomk((-col("h")).cast("double"), col("h")).as("mins"))
+      .select(col("tday"), col("exact_rolling_users"),
         (-get(col("mins"), lit(k - 1)).getField("score")).as("hk"),
         expr("size(mins)").cast("double").as("kk"))
-    exact.join(sk, "tday")
       .withColumn("est",
         when(col("hk").isNull, col("kk"))
           .otherwise(lit((k - 1).toDouble) /
@@ -1452,14 +1464,14 @@ object EventsQueries extends QueryPack {
 
   private val e32Sql =
     """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
-      |days AS (SELECT DISTINCT day FROM du),
+      |days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
       |contrib AS (
-      |  SELECT du.day + CAST(o.off AS INTEGER) AS tday, du.user_id
+      |  SELECT DISTINCT du.day + CAST(o.off AS INTEGER) AS tday, du.user_id
       |  FROM du CROSS JOIN (SELECT UNNEST(range(0, 7)) AS off) o
       |  JOIN days d2 ON du.day + CAST(o.off AS INTEGER) = d2.day),
-      |ex AS (SELECT tday, COUNT(DISTINCT user_id) AS exact_rolling_users
+      |ex AS (SELECT tday, COUNT(*) AS exact_rolling_users
       |       FROM contrib GROUP BY tday),
-      |hh AS (SELECT DISTINCT tday,
+      |hh AS (SELECT tday,
       |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h
       |  FROM contrib),
       |r AS (SELECT tday, h,

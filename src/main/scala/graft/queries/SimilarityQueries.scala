@@ -375,9 +375,19 @@ object SimilarityQueries extends QueryPack {
     * loop; for convergence-driven runs compose with the d6/CC
     * localCheckpoint-per-round pattern. */
   private def s6(s: SparkSession, dir: String): DataFrame = {
+    // a2 feeds the size table AND the join probe side — unfused, the
+    // second reference re-executes both Lloyd scans (diamond audit);
+    // a count().over(partitionBy(cluster)) window would fix that but
+    // funnel the corpus into k tasks (k = 8 partitions doing all the
+    // work — measured 7% WORSE at sf3). Persist the 3-column
+    // projection instead: assignment runs once, the k-row size table
+    // broadcasts, parallelism stays width-independent of k.
     val a2 = kmeansAssign(s, dir)
+      .select(col("vec_id"), col("cluster"), col("d2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    a2.count() // eager: ends the parallel cache-fill race
     val sizes = a2.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
-    a2.join(sizes, Seq("cluster"))
+    a2.join(broadcast(sizes), Seq("cluster"))
       .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
         col("n_members"), round(col("d2"), 6).as("dist2"))
       .orderBy(col("vec_id"))
