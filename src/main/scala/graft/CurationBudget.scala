@@ -54,7 +54,10 @@ object CurationBudget {
     lastCounts = lastCounts + ("cc_rounds+plan" -> -1L)
     val medians = stages.map { st =>
       val xs = samples(st).sorted
-      st -> xs(xs.size / 2)
+      // true median: average the two middle samples for even rep
+      // counts (xs(n/2) alone is the upper element — biased high)
+      st -> (if (xs.size % 2 == 1) xs(xs.size / 2)
+             else (xs(xs.size / 2 - 1) + xs(xs.size / 2)) / 2)
     }
     val total = medians.map(_._2).sum
     medians.foreach { case (st, s) =>

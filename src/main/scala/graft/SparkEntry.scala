@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DedupQueries, EventsQueries, GraphQueries, LifecycleQueries, MediaQueries, MoreRelationalQueries, RelationalQueries, SimilarityQueries, TextQueries}
+import graft.queries.{BuildQueries, DedupQueries, EventsQueries, GraphQueries, LifecycleQueries, MediaQueries, MoreRelationalQueries, RelationalQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,7 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     RelationalQueries, MoreRelationalQueries, EventsQueries, TextQueries,
     DedupQueries, SimilarityQueries, MediaQueries, LifecycleQueries,
-    GraphQueries)
+    GraphQueries, BuildQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. The agent scoreboard (SURVEY §7 step 2): groupBy counts

@@ -143,6 +143,11 @@ object StreamBench {
     val restartJson =
       s"""{"wave_rows":$admWave,"expected":${math.min(restartWave, nEvents)},"ok":$recoveryOk,"secs":$recSecs,"state_rows":$recRows,"state_bytes":$recBytes}"""
     System.err.println(s"STREAMBENCH RESTART $restartJson")
+    // a wrong restore (double-admit or drop) must FAIL the bench run,
+    // not just flip a JSON flag nobody gates on
+    require(recoveryOk,
+      s"restart recovery mismatch: admitted $admWave, " +
+        s"expected ${math.min(restartWave, nEvents)}")
 
     val out =
       s"""{"metric":"ingest_rows_per_sec","unit":"rows/sec","n_events":$nEvents,"files":$nFiles,"state_store":"rocksdb","sf":"$sfDir","points":[${points.mkString(",")}],"restart":$restartJson}"""

@@ -18,7 +18,14 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
   * Encoding: first value zigzag-varint (sign-safe), then plain
   * varint deltas (non-negative after the sort). The sort happens
   * inside the kernel so callers don't depend on collect_list order
-  * (which is arrival order, not a contract). Null array → null.
+  * (which is arrival order, not a contract). Duplicates are DROPPED
+  * after the sort (zero deltas skipped), so a packed buffer is
+  * always a SET: [[PackedIntersect]]/[[PackedCommonCount]] then
+  * match `array_intersect`/`cardinality(array_intersect)` semantics
+  * even when a caller packs a collect_list that contains repeats
+  * (g2's oriented edges and d15's shingle sets are distinct by
+  * construction, but the kernel must not make that a silent
+  * requirement). Null array → null.
   */
 case class PackSortedLongs(child: Expression) extends UnaryExpression {
 
@@ -55,11 +62,15 @@ object PackSortedLongs {
       var d =
         if (i == 0) (xs(0) << 1) ^ (xs(0) >> 63)
         else xs(i) - prev
-      prev = xs(i)
-      while ((d & ~0x7FL) != 0L) {
-        buf(pos) = ((d & 0x7FL) | 0x80L).toByte; pos += 1; d >>>= 7
+      // skip duplicates (zero delta after the sort): packed buffers
+      // are sets, matching array_intersect semantics for any caller
+      if (i == 0 || d != 0L) {
+        prev = xs(i)
+        while ((d & ~0x7FL) != 0L) {
+          buf(pos) = ((d & 0x7FL) | 0x80L).toByte; pos += 1; d >>>= 7
+        }
+        buf(pos) = d.toByte; pos += 1
       }
-      buf(pos) = d.toByte; pos += 1
       i += 1
     }
     java.util.Arrays.copyOf(buf, pos)

@@ -31,10 +31,22 @@ object Lineage {
       case Some(d) =>
         val sc = df.sparkSession.sparkContext
         // setCheckpointDir qualifies the path and appends a random UUID
-        // subdirectory, so exact equality would never match and every
-        // cut() would mint a fresh subdir; substring-match the base dir
-        // so the directory is set exactly once.
-        if (!sc.getCheckpointDir.exists(_.contains(d))) sc.setCheckpointDir(d)
+        // subdirectory, so exact equality against the raw base would
+        // never match and every cut() would mint a fresh subdir (one
+        // driver-FS round-trip per cut, and it clobbers a dir the host
+        // app set). A substring match is wrong the other way: a base
+        // that is a string prefix of another (/tmp/chk vs /tmp/chk2)
+        // false-positives and silently leaves checkpoints in the old
+        // directory. Compare the PARENT of the current qualified
+        // checkpoint path (strip the UUID leaf) against the qualified
+        // base — exact, so the dir is set once per configured base.
+        val qualified = {
+          val p = new org.apache.hadoop.fs.Path(d)
+          p.getFileSystem(sc.hadoopConfiguration).makeQualified(p).toString
+        }
+        val currentBase = sc.getCheckpointDir.map(
+          c => new org.apache.hadoop.fs.Path(c).getParent.toString)
+        if (!currentBase.contains(qualified)) sc.setCheckpointDir(d)
         df.checkpoint()
       case None => df.localCheckpoint(true)
     }

@@ -1,0 +1,215 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The end-to-end TRAINING-CORPUS BUILD — the composition the whole
+  * t/d-family exists for, emitted as the per-source "corpus build
+  * card" a pretraining run actually consumes. Every stage is an
+  * operator that is individually oracle-gated elsewhere; this pack
+  * wires them in production order and accounts for every document:
+  *
+  *   1. mixture weighting (t12): per-source token mass → temperature-
+  *      flattened (α = 0.5) sampling rates against a 10k-token target;
+  *   2. mixture application (t13): the deterministic content-hash
+  *      sampler keeps doc iff md5-uniform(doc_id) < rate;
+  *   3. decontamination (t11/t20): sampled docs whose distinct
+  *      benchmark-8-gram overlap reaches 5% are dropped
+  *      ([[TextQueries.decontamDropIds]] — the exact t20 drop set);
+  *   4. near-dup dedup (d3 + d6): MinHash/LSH candidate pairs →
+  *      connected components; within each cluster the SMALLEST
+  *      SURVIVING doc id is kept. Survivor-min, not global-min: a
+  *      cluster whose canonical rep was already dropped by sampling
+  *      or decontam still contributes one member — dedup removes
+  *      redundancy, it must not delete content because an upstream
+  *      gate removed the rep. Exact duplicates are a special case
+  *      (identical docs share every shingle, so they always pair);
+  *   5. sequence packing (t14, B = 512): the concat-and-chunk step
+  *      fills ceil(tokens/512) fixed-budget sequences per source —
+  *      every chunk except the last is full by construction, so the
+  *      manifest-level count needs only exact integer arithmetic on
+  *      the surviving token mass (t14 itself reports the
+  *      per-sequence detail).
+  *
+  * The build operates on the TRAIN split (doc_id % 10 != 7 — t20's
+  * framing; the benchmark split never enters a training corpus), but
+  * the mixture rates are computed over the full corpus exactly as
+  * t12 publishes them, so b1's `sample_rate` column is t12's.
+  *
+  * Scale shape: rides the shared [[TextArtifacts]] token frame (no
+  * re-tokenize) and [[DedupQueries]]' cached LSH pair index; the
+  * rate table is #sources rows (broadcast), the decontam probe is
+  * t11's broadcast-benchmark shape, the cluster keeper is a window
+  * over cluster keys (corpus-distributed, no funnel), and the final
+  * manifest is one partial+final agg to #sources rows. At 100 TB
+  * every stage keeps the shape it was individually audited at —
+  * composition adds joins on doc_id, all shuffle-bounded.
+  *
+  * Reference: composes SURVEY §2.4 (dedup) with the LLM-pipeline
+  * surface; the reference's own pipeline composes its stages the
+  * same way at ingest (src/workflows/ingest/orchestrator.ts ordering
+  * precedent), but the corpus-build semantics are the training-data
+  * extension the brief prescribes, not a reference port. */
+object BuildQueries extends QueryPack {
+
+  /** b1 — one manifest row per source: docs/tokens in, the t12
+    * sampling rate, what the sampler kept, what decontamination and
+    * dedup removed, what survived, and how many B=512 training
+    * sequences that fills. */
+  private def b1(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextArtifacts.toks(s, dir)
+      .select(col("doc_id"), col("source"), col("n_words"))
+
+    // stage 1 — t12's mixture rates (identical math, off the shared
+    // token frame; n_words == size(split(text, ' ')) by construction).
+    // The w → den → rates diamond is t12's own audited shape: the
+    // duplicated region is a #sources-row agg over the cached token
+    // frame, cheaper than a cache entry.
+    val src = toks.groupBy(col("source"))
+      .agg(sum(col("n_words")).as("n_tokens"))
+    val tot = src.agg(sum(col("n_tokens")).as("t"))
+    val w = src.crossJoin(broadcast(tot))
+      .withColumn("sw", sqrt(col("n_tokens").cast("double") / col("t")))
+    val den = w.agg(
+      expr("aggregate(transform(array_sort(collect_list(struct(source, sw))), " +
+        "s -> s.sw), cast(0.0 AS double), (acc, x) -> acc + x)").as("d"))
+    val rates = w.crossJoin(broadcast(den))
+      .select(col("source"),
+        round(least(lit(1.0),
+          (col("sw") / col("d")) * lit(10000.0) / col("n_tokens")), 6)
+          .as("sample_rate"))
+
+    // stage 2 — t13's deterministic content-hash sampler on the train
+    // split: a 60-bit md5 prefix as int64 over 2^60 is an exact IEEE
+    // uniform in both engines, compared against the ROUNDED rate
+    val u = expr(
+      "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) " +
+        "as double) / 1152921504606846976.0")
+    val train = toks.filter(col("doc_id") % 10 =!= 7)
+      .join(broadcast(rates), Seq("source"))
+      .withColumn("sampled", u < col("sample_rate"))
+
+    // stage 3 — t20's exact drop set (broadcast-benchmark gram probe)
+    val bad = TextQueries.decontamDropIds(s, dir)
+      .withColumn("contaminated", lit(true))
+
+    // stage 4 — corpus-level near-dup clusters: d3's cached LSH pair
+    // index under d6's connected components (singletons included via
+    // the nodes seed), then keep = min SURVIVING doc id per cluster
+    val clusters = graft.operators.ConnectedComponents
+      .run(DedupQueries.d3Pairs(s, dir), "d1", "d2",
+        Tables(s, dir, "documents").select(col("doc_id")), "doc_id")
+      .select(col("id").as("doc_id"), col("cluster"))
+
+    val flags = train
+      .join(bad, Seq("doc_id"), "left")
+      .join(clusters, Seq("doc_id"))
+      .withColumn("clean",
+        col("sampled") && col("contaminated").isNull)
+    val keeper = min(when(col("clean"), col("doc_id")))
+      .over(Window.partitionBy(col("cluster")))
+    val fin = flags
+      .withColumn("kept", col("clean") && col("doc_id") === keeper)
+
+    // stage 5 folded into the manifest agg: n_sequences is exact
+    // integer ceil-div of the surviving token mass by B = 512
+    fin.groupBy(col("source"), col("sample_rate"))
+      .agg(
+        count(lit(1)).as("docs_in"),
+        sum(col("n_words")).as("tokens_in"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("docs_sampled"),
+        sum(when(col("sampled"), col("n_words")).otherwise(0L))
+          .as("tokens_sampled"),
+        sum(when(col("sampled") && col("contaminated").isNotNull, 1L)
+          .otherwise(0L)).as("docs_contaminated"),
+        sum(when(col("clean") && !col("kept"), 1L).otherwise(0L))
+          .as("docs_duplicate"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("docs_out"),
+        sum(when(col("kept"), col("n_words")).otherwise(0L)).as("tokens_out"))
+      .withColumn("n_sequences", expr("(tokens_out + 511) div 512"))
+      .select(col("source"), col("docs_in"), col("tokens_in"),
+        col("sample_rate"), col("docs_sampled"), col("tokens_sampled"),
+        col("docs_contaminated"), col("docs_duplicate"),
+        col("docs_out"), col("tokens_out"), col("n_sequences"))
+      .orderBy(col("source"))
+  }
+
+  private val b1Sql = {
+    val gram8 =
+      """list_distinct(list_transform(
+        |      list_transform(range(1, len(w)-6), i -> array_to_string(w[i:i+7], ' ')),
+        |      s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % 2147483647))""".stripMargin
+    s"""WITH RECURSIVE
+      |toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+      |src AS (SELECT source, CAST(SUM(len(w)) AS BIGINT) AS n_tokens
+      |        FROM toks GROUP BY source),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM src),
+      |w2 AS (SELECT source, n_tokens,
+      |         sqrt(CAST(n_tokens AS DOUBLE) / t) AS sw FROM src, tot),
+      |den AS (SELECT list_sum(list(sw ORDER BY source)) AS d FROM w2),
+      |rates AS (SELECT source,
+      |    ROUND(least(1.0, (sw / d) * 10000.0 / n_tokens), 6) AS sample_rate
+      |  FROM w2, den),
+      |g AS (SELECT doc_id, $gram8 AS xs
+      |      FROM toks WHERE len(w) >= 8),
+      |bg AS (SELECT DISTINCT unnest(xs) AS gram FROM g WHERE doc_id % 10 = 7),
+      |tg AS (SELECT * FROM g WHERE doc_id % 10 <> 7),
+      |bad AS (
+      |  SELECT t.doc_id FROM (
+      |    SELECT tg.doc_id, len(tg.xs) AS n_grams, unnest(tg.xs) AS gram
+      |    FROM tg) t JOIN bg USING (gram)
+      |  GROUP BY t.doc_id, t.n_grams
+      |  HAVING CAST(COUNT(DISTINCT t.gram) AS DOUBLE) / t.n_grams >= 0.05),
+      |pairs AS (SELECT d1, d2 FROM (${DedupQueries.d3OracleSql})),
+      |sym AS (SELECT d1 AS s, d2 AS t FROM pairs
+      |        UNION ALL SELECT d2, d1 FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT reach.id, sym.t FROM reach JOIN sym ON reach.r = sym.s),
+      |clus AS (SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id),
+      |train AS (
+      |  SELECT t.doc_id, t.source, CAST(len(t.w) AS BIGINT) AS n_tokens,
+      |    r.sample_rate,
+      |    (CAST(('0x'||substr(md5(CAST(t.doc_id AS VARCHAR)),1,15)) AS BIGINT)
+      |      / 1152921504606846976.0 < r.sample_rate) AS sampled
+      |  FROM toks t JOIN rates r USING (source)
+      |  WHERE t.doc_id % 10 <> 7),
+      |flags AS (
+      |  SELECT tr.*, c.cluster,
+      |    (tr.sampled AND bad.doc_id IS NULL) AS clean
+      |  FROM train tr
+      |  LEFT JOIN bad ON tr.doc_id = bad.doc_id
+      |  JOIN clus c ON tr.doc_id = c.doc_id),
+      |fin AS (
+      |  SELECT *, (clean AND doc_id = MIN(CASE WHEN clean THEN doc_id END)
+      |    OVER (PARTITION BY cluster)) AS kept
+      |  FROM flags)
+      |SELECT source,
+      |  COUNT(*) AS docs_in,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_in,
+      |  sample_rate,
+      |  CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS docs_sampled,
+      |  CAST(SUM(CASE WHEN sampled THEN n_tokens ELSE 0 END) AS BIGINT)
+      |    AS tokens_sampled,
+      |  CAST(SUM(CASE WHEN sampled AND NOT clean THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS docs_contaminated,
+      |  CAST(SUM(CASE WHEN clean AND NOT kept THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS docs_duplicate,
+      |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS docs_out,
+      |  CAST(SUM(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_out,
+      |  CAST((SUM(CASE WHEN kept THEN n_tokens ELSE 0 END) + 511) // 512 AS BIGINT)
+      |    AS n_sequences
+      |FROM fin
+      |GROUP BY source, sample_rate
+      |ORDER BY source""".stripMargin
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("b1_corpus_build" -> b1)
+
+  override def oracle: Map[String, String] =
+    Map("b1_corpus_build" -> b1Sql)
+}

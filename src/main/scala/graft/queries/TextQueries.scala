@@ -1137,20 +1137,34 @@ object TextQueries extends QueryPack {
   private[graft] def t20Bloom(s: SparkSession, dir: String): DataFrame =
     t20Path(s, dir, bloomPath = true)
 
-  private def t20Path(s: SparkSession, dir: String,
-      bloomPath: Boolean): DataFrame = {
+  /** The decontamination DROP SET (one `doc_id` column): training
+    * docs whose distinct benchmark-8-gram overlap reaches the 5% bar
+    * (the UNROUNDED ratio — the apply predicate, not t11's rounded
+    * report column). Shared by t20 (the per-source apply ledger) and
+    * b1_corpus_build (the end-to-end manifest), so both agree on
+    * exactly which docs the decontamination stage removes. */
+  private[queries] def decontamDropIds(s: SparkSession, dir: String,
+      bloomPath: Boolean = false): DataFrame = {
     val grams = TextArtifacts.grams8(s, dir) // t11's index, built once
     val bench = grams.filter(col("doc_id") % 10 === 7)
       .select(explode(col("xs")).as("gram")).distinct()
     val train = grams.filter(col("doc_id") % 10 =!= 7)
-    val dropped = benchProbe(
+    benchProbe(
       train.select(col("doc_id"), expr("size(xs)").cast("long").as("n_grams"),
         explode(col("xs")).as("gram")),
       bench, bloomPath)
       .groupBy(col("doc_id"), col("n_grams"))
       .agg(countDistinct(col("gram")).as("nc"))
       .filter(col("nc").cast("double") / col("n_grams") >= 0.05)
-      .select(col("doc_id"), lit(true).as("bad"))
+      .select(col("doc_id"))
+  }
+
+  private def t20Path(s: SparkSession, dir: String,
+      bloomPath: Boolean): DataFrame = {
+    val grams = TextArtifacts.grams8(s, dir)
+    val train = grams.filter(col("doc_id") % 10 =!= 7)
+    val dropped = decontamDropIds(s, dir, bloomPath)
+      .withColumn("bad", lit(true))
     train
       .select(col("doc_id"), col("source"), col("n_words").as("toks"))
       .join(dropped, Seq("doc_id"), "left")

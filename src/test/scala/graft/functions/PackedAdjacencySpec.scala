@@ -66,6 +66,29 @@ class PackedAdjacencySpec extends SparkSpec {
       Array.emptyByteArray) shouldBe 0
   }
 
+  test("duplicate inputs pack to sets: intersect/common match " +
+      "array_intersect semantics, not multiset counts") {
+    // pack() drops zero deltas after the sort, so a collect_list
+    // with repeats still yields set semantics downstream
+    val rnd = new scala.util.Random(41)
+    for (_ <- 1 to 200) {
+      val a = Seq.fill(rnd.nextInt(60))(rnd.nextInt(40).toLong) // heavy repeats
+      val b = Seq.fill(rnd.nextInt(60))(rnd.nextInt(40).toLong)
+      direct(a, b) shouldBe (a.toSet & b.toSet).toSeq.sorted
+      val pa = PackSortedLongs.pack(new GenericArrayData(a.toArray))
+      val pb = PackSortedLongs.pack(new GenericArrayData(b.toArray))
+      PackedCommonCount.common(pa, pb) shouldBe (a.toSet & b.toSet).size
+      // the packed buffer IS the distinct encoding: same bytes as
+      // packing the deduped input
+      pa shouldBe PackSortedLongs.pack(
+        new GenericArrayData(a.distinct.toArray))
+    }
+    // duplicated extremes, incl. a repeated head element (zigzag path)
+    val ext = Seq(Long.MinValue, Long.MinValue, -1L, -1L, 0L, 0L,
+      Long.MaxValue, Long.MaxValue)
+    direct(ext, ext) shouldBe ext.distinct.sorted
+  }
+
   test("codegen path matches sort_array + array_intersect") {
     val rnd = new scala.util.Random(23)
     val rows = Seq.fill(100)((

@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.{SparkSpec, SparkEntry}
+import org.apache.spark.sql.functions._
+
+/** b1_corpus_build composes stages that are each oracle-gated on
+  * their own (t12 rates, t13 sampling, t20 decontam, d3/d6 dedup,
+  * t14 packing). The composition must AGREE with the pieces — these
+  * are the per-stage reconciliation checks the VERDICT prescribes,
+  * plus the conservation identity that every sampled doc is
+  * accounted for exactly once (contaminated, duplicate, or kept). */
+class BuildQueriesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private lazy val b1 =
+    SparkEntry.queries("b1_corpus_build")(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+
+  test("sample_rate column IS t12's published rate, per source") {
+    val t12 = SparkEntry.queries("t12_mix_weights")(spark, dir)
+      .select(col("source"), col("sample_rate")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // b1 rows cover sources WITH train docs; on this corpus source =
+    // f(doc_id % 20), so the bench split (doc_id % 10 = 7) owns src7
+    // and src17 outright and they rightly have no manifest row
+    b1.keySet shouldBe t12.keySet -- Set("src7", "src17")
+    for ((src, row) <- b1)
+      withClue(s"$src: ") { row.getDouble(3) shouldBe t12(src) }
+  }
+
+  test("decontam stage drops exactly t20's drop set restricted to " +
+      "the sampled docs") {
+    val bad = TextQueries.decontamDropIds(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    // recompute the sampled train ids with b1's own predicate pieces
+    val rates = SparkEntry.queries("t12_mix_weights")(spark, dir)
+      .select(col("source"), col("sample_rate"))
+    val sampled = TextArtifacts.toks(spark, dir)
+      .filter(col("doc_id") % 10 =!= 7)
+      .join(rates, Seq("source"))
+      .filter(expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) " +
+          "as double) / 1152921504606846976.0") < col("sample_rate"))
+      .select(col("source"), col("doc_id")).collect()
+    val wantPerSource = sampled.groupBy(_.getString(0))
+      .view.mapValues(_.count(r => bad(r.getLong(1)))).toMap
+    for ((src, row) <- b1) withClue(s"$src: ") {
+      row.getLong(6) shouldBe wantPerSource.getOrElse(src, 0).toLong
+    }
+  }
+
+  test("conservation: docs_sampled = contaminated + duplicate + kept; " +
+      "token mass and sequence count are exact") {
+    b1 should not be empty
+    for ((src, r) <- b1) withClue(s"$src: ") {
+      val (docsIn, docsSampled) = (r.getLong(1), r.getLong(4))
+      val (nContam, nDup, docsOut) = (r.getLong(6), r.getLong(7), r.getLong(8))
+      docsSampled shouldBe nContam + nDup + docsOut
+      docsSampled should be <= docsIn
+      r.getLong(9) should be <= r.getLong(5) // tokens_out <= tokens_sampled
+      r.getLong(10) shouldBe (r.getLong(9) + 511) / 512 // n_sequences
+    }
+    // the build must actually exercise every stage on this corpus
+    b1.values.map(_.getLong(6)).sum should be > 0L // decontam fired
+    b1.values.map(_.getLong(7)).sum should be > 0L // dedup fired
+    b1.values.map(_.getLong(4)).sum should be > 0L // sampler kept docs
+  }
+
+  test("dedup stage keeps at most one survivor per d6 cluster, and " +
+      "the survivor is the smallest sampled-and-clean member") {
+    val clusters = graft.operators.ConnectedComponents
+      .run(DedupQueries.d3Pairs(spark, dir), "d1", "d2",
+        graft.Tables(spark, dir, "documents").select(col("doc_id")),
+        "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bad = TextQueries.decontamDropIds(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val rates = SparkEntry.queries("t12_mix_weights")(spark, dir)
+      .select(col("source"), col("sample_rate"))
+    val clean = TextArtifacts.toks(spark, dir)
+      .filter(col("doc_id") % 10 =!= 7)
+      .join(rates, Seq("source"))
+      .filter(expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) " +
+          "as double) / 1152921504606846976.0") < col("sample_rate"))
+      .select(col("doc_id")).collect().map(_.getLong(0))
+      .filterNot(bad).toSet
+    val keepers = clean.groupBy(clusters).values.map(_.min).toSet
+    val wantOut = keepers.size.toLong
+    b1.values.map(_.getLong(8)).sum shouldBe wantOut
+    b1.values.map(_.getLong(7)).sum shouldBe (clean.size - keepers.size).toLong
+  }
+}
