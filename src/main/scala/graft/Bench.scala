@@ -90,10 +90,28 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Cross-round totals are only comparable under the MIN protocol:
+    // this VM has whole-run degraded windows (SCALING.md), and the
+    // median still absorbs a window-wide uniform slowdown, while the
+    // per-query min over interleaved reps is the best stable estimate
+    // of the plan's true cost. Emit every sample plus the min
+    // alongside the median so the committed artifact carries the
+    // comparison-grade numbers, not just the headline.
+    val mins = qs0.collect { case (name, _) if !failed(name) =>
+      name -> samples(name).min
+    }
+    val qsMin = mins.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val qsSamples = qs0.collect { case (name, _) if !failed(name) =>
+      // reverse: samples were prepended, so stored order is newest
+      // first; emit in run order (rep 1 .. rep N)
+      s"\"" + name + "\":" + samples(name).reverse.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    val minTotal = mins.map(_._2).sum
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","method":"median_of_${Reps}_full_materialize"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"queries":$qs,"queries_min":$qsMin,"samples":$qsSamples,"failed":$failedJson,"sf":"$sfDir","method":"median_of_${Reps}_full_materialize;min_protocol_for_cross_round"}"""
     println(fullJson)
     // The stdout line above travels through sbt (which prefixes every
     // line with "[info] ") and a driver-side tail capture that has

@@ -51,6 +51,15 @@ import graft.operators.TextDedup
   * event-time column the stage stays the unbounded global
   * `dropDuplicates` (exact-dedup recall never expires — the right
   * default for a bounded backfill, documented for unbounded ingest).
+  *
+  * Picking `watermarkDelay`: don't hand-pick it — calibrate it. The
+  * DOCUMENTED DEFAULT composition derives the delay from the batch
+  * lateness audit via [[WatermarkCalibration.calibrate]] (e33's exact
+  * per-transport-partition p99 disorder + margin); the literal
+  * "10 minutes" here is only the uncalibrated fallback for corpora
+  * with no audit yet. WatermarkCalibrationSpec proves the calibrated
+  * delay keeps a disorder-injected replay in full while a tight
+  * guess drops data, at ~1/5000 of the 14-day-style state cost.
   */
 object StreamingCuration {
 

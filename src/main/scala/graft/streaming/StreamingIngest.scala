@@ -18,6 +18,15 @@ import graft.etl.{Adapters, Dedup, PushSink, RosterGate}
   *
   * Micro-batch trigger stays well under the reference's ≤15 min
   * freshness SLA (`docs/quill_dashboard_schema_design_doc.md:185`).
+  *
+  * Watermarks: the ledger's 14-day window is a PRODUCT semantic (how
+  * long a duplicate is remembered — it must stay 14 days). Any
+  * event-time DISORDER allowance layered on this stream (windowed
+  * rollups, sessionization over the admitted facts) is a transport
+  * property instead, and should come from the e33 lateness audit via
+  * [[WatermarkCalibration.calibrate]] — the documented default — not
+  * share the TTL. See WatermarkCalibration's scaladoc for why the
+  * two constants differ by ~5000× on a healthy transport.
   */
 object StreamingIngest {
 

@@ -19,7 +19,11 @@ import org.apache.spark.sql.functions._
 object StreamingSessions {
 
   /** events(keyCol, tsCol: timestamp) stream → one row per CLOSED
-    * session: key, session start/end, event count. */
+    * session: key, session start/end, event count. `lateness` should
+    * come from the e33 lateness audit via
+    * [[WatermarkCalibration.calibrate]] (the documented default
+    * composition), not a hand-picked guess — see
+    * WatermarkCalibrationSpec for the kept-vs-dropped proof. */
   def sessionize(
       events: DataFrame, keyCol: String, tsCol: String,
       gap: String = "30 minutes", lateness: String = "0 seconds"): DataFrame =

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Watermark CALIBRATION — closes the loop between the batch
+  * lateness audit (e33_late_audit: exact per-transport-partition
+  * event-time disorder quantiles) and the `withWatermark` delay every
+  * §2.9 streaming twin takes as a parameter.
+  *
+  * The principled delay is "the p99 observed lateness, plus margin":
+  * wide enough to keep ≥99% of late arrivals, tight enough that
+  * windowed state finalizes hours-not-days sooner than a hand-picked
+  * guess. Before this object the twins took hand-picked strings
+  * ("10 minutes", "0 seconds") and the ledger reused its 14-day TTL;
+  * the TTL is a PRODUCT semantic (how long a duplicate is remembered
+  * — [[graft.etl.Dedup]] keeps it), but the DISORDER allowance of the
+  * aggregation twins ([[StreamingSessions]], [[StreamingScoreboard]],
+  * [[StreamingCuration]], [[StreamingEnrich]]) is a transport
+  * property, and e33 measures it exactly. A 14-day disorder allowance
+  * against a transport whose p99 lateness is minutes holds every
+  * window's state ~5000× longer than needed — at 100 TB/day of
+  * events that is the difference between state that fits executor
+  * memory and state that pages to disk forever.
+  *
+  * Production lifecycle: run e33 over yesterday's replay (it is
+  * oracle-gated batch SQL — cheap, one pass), store the frame as the
+  * day's calibration artifact, start/restart the streaming jobs with
+  * [[delayFromAudit]] of that frame. WatermarkCalibrationSpec proves
+  * the loop: the calibrated delay keeps 100% of a disorder-injected
+  * replay that an uncalibrated tight watermark measurably drops, and
+  * is orders of magnitude tighter than the 14-day default.
+  */
+object WatermarkCalibration {
+
+  /** Turn a lateness-audit frame (e33's shape: one row per transport
+    * partition with a `p99_us` column) into a `withWatermark` delay
+    * string: max over partitions of the chosen quantile, times a
+    * safety `margin`, ceiled to whole seconds (Spark parses
+    * "N seconds"). Conservative across partitions by design — the
+    * watermark is global, so the laggiest partition sets it. */
+  def delayFromAudit(audit: DataFrame, quantileCol: String = "p99_us",
+      margin: Double = 1.25): String = {
+    require(margin >= 1.0, s"margin must be >= 1, got $margin")
+    val maxUs = audit.agg(max(col(quantileCol))).head().getLong(0)
+    val secs = math.max(1L, math.ceil(maxUs * margin / 1e6).toLong)
+    s"$secs seconds"
+  }
+
+  /** The full loop for the library's own events table: replay `dir`'s
+    * events through the partitioned-transport disorder model e33
+    * audits and return the calibrated delay. This is the DOCUMENTED
+    * DEFAULT way to pick the twins' `lateness`/`watermarkDelay`
+    * parameters when a lateness audit exists. */
+  def calibrate(s: SparkSession, dir: String,
+      margin: Double = 1.25): String =
+    delayFromAudit(
+      graft.queries.EventsQueries.queries("e33_late_audit")(s, dir),
+      margin = margin)
+}
