@@ -85,7 +85,7 @@ object GraphQueries extends QueryPack {
     final case class Arts(deg: DataFrame, edgesDeg: DataFrame,
         edgesDst: DataFrame, nNodes: Long,
         partDeg: DataFrame, oriented: DataFrame, orientedDst: DataFrame,
-        tables: Seq[String])
+        edgeNv: DataFrame, tables: Seq[String])
 
     // Bounded LRU residency, parallel per-dir builds, race-free
     // release — see ArtifactRegistry (a release racing an in-flight
@@ -214,6 +214,29 @@ object GraphQueries extends QueryPack {
         s.table(s"graft_g_oriented_$sfx").select(col("dst"), col("src")),
         s"graft_g_orienteddst_$sfx", nb, Seq("dst"), Seq("dst", "src"))
       val orientedDst = s.table(s"graft_g_orienteddst_$sfx")
+      // CLOSURE-INPUT serving table: the dst endpoint's packed
+      // adjacency attached to every oriented edge, bucketed on SRC —
+      // the key the closure joins on. Build cost is exactly one pass
+      // of what the query used to pay per run (the zero-exchange
+      // nv attach + the one src-keyed exchange of the nv-carrying
+      // rows, folded into the bucketed write's repartition); after
+      // it, g2's closure plans with ZERO exchanges before the final
+      // node rollup. Disk is Σ din·dout packed elements (~1-2 B
+      // each — the delta-varint payload), i.e. the closure's
+      // information flow materialized once, the same trade the
+      // bipdst serving copy makes for g1/g3 rounds. At 100 TB this
+      // is the triangle INDEX a serving system maintains
+      // incrementally instead of re-shuffling the adjacency per
+      // query.
+      graft.etl.CorpusLayout.writeBucketed(
+        orientedDst.join(
+          s.table(s"graft_g_oriented_$sfx").groupBy(col("src"))
+            .agg(call_function("graft_pack_sorted",
+              collect_list(col("dst"))).as("nbrs"))
+            .select(col("src").as("dst"), col("nbrs").as("nv")),
+          Seq("dst")),
+        s"graft_g_edgenv_$sfx", nb, Seq("src"), Seq("src", "dst"))
+      val edgeNv = s.table(s"graft_g_edgenv_$sfx")
       // final partDeg re-rooted on the durable oriented table: the
       // oriented rows ARE the undirected edge set (one row per edge),
       // so endpoint counts equal the pEdges-derived degrees — but the
@@ -226,11 +249,12 @@ object GraphQueries extends QueryPack {
       pEdges.unpersist(blocking = false)   // folded into oriented
       val tables = Seq(s"graft_g_inc_$sfx",
         s"graft_g_bip_$sfx", s"graft_g_bipdst_$sfx",
-        s"graft_g_oriented_$sfx", s"graft_g_orienteddst_$sfx")
+        s"graft_g_oriented_$sfx", s"graft_g_orienteddst_$sfx",
+        s"graft_g_edgenv_$sfx")
       tables.foreach(t => graft.ArtifactRegistry.deleteDirOnExit(
         graft.etl.CorpusLayout.managedTablePath(s, t).toString))
       Arts(deg, edgesDeg, edgesDst, nNodes, partDeg, oriented, orientedDst,
-        tables)
+        edgeNv, tables)
     }
   }
 
@@ -491,31 +515,30 @@ object GraphQueries extends QueryPack {
     * corners (measured 3× faster, and the gap widens with density). */
   private def g2(s: SparkSession, dir: String): DataFrame = {
     val arts = GraphArtifacts(s, dir)
-    val (deg, oriented, orientedDst) =
-      (arts.partDeg, arts.oriented, arts.orientedDst)
+    val (deg, oriented, edgeNv) =
+      (arts.partDeg, arts.oriented, arts.edgeNv)
     // adjacency is node-sized WITH O(sqrt m) arrays — never broadcast.
-    // Packed at the source (graft_pack_sorted: sort + delta-varint,
-    // ~1-2 B/element vs UnsafeArrayData's 8 B + header) so the
-    // closure's one big exchange ships compact bytes, and the
-    // intersection decodes lazily during its merge walk
-    // (graft_packed_intersect) — no unpacked array ever materializes.
+    // Packed (graft_pack_sorted: sort + delta-varint, ~1-2 B/element
+    // vs UnsafeArrayData's 8 B + header); built zero-exchange off the
+    // src-bucketed oriented scan, and the intersection decodes lazily
+    // during its merge walk (graft_packed_intersect) — no unpacked
+    // array ever materializes.
     val adj = oriented.groupBy(col("src"))
       .agg(call_function("graft_pack_sorted",
         collect_list(col("dst"))).as("nbrs"))
       .hint("shuffle_hash")
     // per-edge closure: triangle (u, v, w) for every w in N+(u)∩N+(v).
-    // Join ORDER is the scale lever: the edge row picks up one
-    // adjacency payload zero-exchange (bucket-co-partitioned) and
-    // carries it through the closure's one big exchange to meet the
-    // other. Attaching nv FIRST (off the dst-bucketed oriented copy)
-    // makes the exchanged payload Σ_{(u,v)} |N+(v)| = Σ din·dout —
-    // measured 41% smaller than the Σ dout² that shipping nu first
-    // costs (49.2M vs 83.4M array elements at sf0.1; at sf10 this
-    // exchange dominates g2's wall-clock). The delta-varint packing
-    // then shrinks each shipped element from 8 B to ~1-2 B: measured
-    // 2.06x whole-query at sf3 (25.4 -> 12.3 s, same-window A/B).
-    val tris = orientedDst
-      .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), Seq("dst"))
+    // The dst endpoint's adjacency (nv — the Σ din·dout payload, 41%
+    // smaller than the Σ dout² nu-first order) comes PRE-ATTACHED and
+    // SRC-BUCKETED from the durable closure-input table, so the nu
+    // attach below is bucket-co-partitioned too and the whole closure
+    // plans with zero exchanges: the only shuffle left in g2 is the
+    // per-node rollup. History of this exchange: nv-first ordering
+    // (41% fewer array elements), then delta-varint packing (2.06x
+    // whole-query at sf3, 25.4 -> 12.3 s), now folded into the
+    // artifact build entirely (round-12 same-window A/B in
+    // SCALING.md).
+    val tris = edgeNv
       .join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
       .select(col("src"), col("dst"),
         explode(call_function("graft_packed_intersect",
