@@ -38,6 +38,13 @@ import org.apache.spark.sql.functions._
   *     ledger — the executor-replacement / job-bounce story. The
   *     wave's admitted count is asserted in-line (a wrong restore
   *     would double-admit or drop).
+  *  4. SUSTAINED LOAD — `SPARK_GRAFT_STREAM_SUSTAIN` (default 10)
+  *     key-offset replicas of the event table streamed through a
+  *     fresh ledger at the top load point, with the per-micro-batch
+  *     duration + state-size series from the progress log. Gates the
+  *     steady-state claim in-line: per-event cost stays O(1) as the
+  *     ledger grows (last-quartile batch-duration median ≤ 3× the
+  *     first's), and every unique id is admitted exactly once.
   *
   * One JSON line on stdout + `stream_bench_out.json` (the Bench
   * artifact convention).
@@ -149,8 +156,87 @@ object StreamBench {
       s"restart recovery mismatch: admitted $admWave, " +
         s"expected ${math.min(restartWave, nEvents)}")
 
+    // 4. SUSTAINED LOAD — the curve above drains a fixed backlog in
+    // seconds; this point proves the ledger's STEADY STATE under
+    // continuous arrival: `sustainReplicas` key-offset copies of the
+    // event table (≥1M unique ids at sf0.1 with the default 10)
+    // streamed at the 16-files/trigger rate through a fresh ledger,
+    // with the per-micro-batch duration and state-size SERIES kept
+    // from the query progress log. The claim it gates: batch
+    // duration stays flat while RocksDB state grows linearly — i.e.
+    // per-event cost is O(1) in ledger size (the last-quartile
+    // median must stay within 3× of the first-quartile median; a
+    // state-scan-per-batch regression would blow far past that).
+    val sustainReplicas =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_SUSTAIN", "10").toInt
+    val sustainJson = if (sustainReplicas <= 0) "null" else {
+      val in2 = s"$scratch/in2"
+      (0 until sustainReplicas)
+        .map(k => toLines(events.withColumn("event_id",
+          col("event_id") + lit(k * (maxId + 1)))))
+        .reduce(_ unionByName _)
+        .repartition(nFiles * sustainReplicas).write.mode("overwrite")
+        .text(in2)
+      val admitted = new java.util.concurrent.atomic.AtomicLong(0)
+      val lines = spark.readStream
+        .option("maxFilesPerTrigger", fpts.last)
+        .schema("value STRING").text(in2)
+      val facts = graft.streaming.StreamingIngest.transform(
+        graft.streaming.StreamingIngest.lineEnvelopes(lines, "ALOWARE"),
+        roster = None)
+      val t0 = System.nanoTime()
+      val q = facts.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$scratch/chk-sustain")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          admitted.addAndGet(batch.count()); ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val series = q.recentProgress.toSeq
+        .filter(p => p != null && p.numInputRows > 0)
+        .map { p =>
+          val so = p.stateOperators.headOption
+          val ms = Option(p.durationMs)
+            .map(_.getOrDefault("triggerExecution",
+              java.lang.Long.valueOf(-1L)).longValue()).getOrElse(-1L)
+          val rows = so.map(_.numRowsTotal).getOrElse(-1L)
+          val bytes = so.map { s0 =>
+            val sst = Option(s0.customMetrics)
+              .map(m => m.getOrDefault("rocksdbTotalSSTFilesBytes",
+                java.lang.Long.valueOf(0L)).longValue()).getOrElse(0L)
+            if (sst > 0) sst else s0.memoryUsedBytes
+          }.getOrElse(-1L)
+          (p.batchId, ms, rows, bytes)
+        }
+      def medianMs(xs: Seq[Long]): Long =
+        if (xs.isEmpty) -1L
+        else {
+          val s0 = xs.sorted
+          if (s0.size % 2 == 1) s0(s0.size / 2)
+          else (s0(s0.size / 2 - 1) + s0(s0.size / 2)) / 2
+        }
+      val quart = math.max(1, series.size / 4)
+      val firstQ = medianMs(series.take(quart).map(_._2))
+      val lastQ = medianMs(series.takeRight(quart).map(_._2))
+      val flat = firstQ > 0 && lastQ <= firstQ * 3
+      val totalExpected = nEvents * sustainReplicas
+      require(admitted.get() == totalExpected,
+        s"sustained ledger admitted ${admitted.get()}, " +
+          s"expected $totalExpected (all ids unique)")
+      require(flat,
+        s"sustained batch duration not flat: first-quartile median " +
+          s"$firstQ ms -> last-quartile median $lastQ ms")
+      val seriesJson = series.map { case (b, ms, rows, bytes) =>
+        s"""{"b":$b,"ms":$ms,"state_rows":$rows,"state_bytes":$bytes}"""
+      }.mkString("[", ",", "]")
+      s"""{"events":$totalExpected,"files":${nFiles * sustainReplicas},"files_per_trigger":${fpts.last},"secs":$secs,"rows_per_sec":${admitted.get() / secs},"first_quartile_ms":$firstQ,"last_quartile_ms":$lastQ,"flat":$flat,"batches":$seriesJson}"""
+    }
+    System.err.println(s"STREAMBENCH SUSTAINED $sustainJson")
+
     val out =
-      s"""{"metric":"ingest_rows_per_sec","unit":"rows/sec","n_events":$nEvents,"files":$nFiles,"state_store":"rocksdb","sf":"$sfDir","points":[${points.mkString(",")}],"restart":$restartJson}"""
+      s"""{"metric":"ingest_rows_per_sec","unit":"rows/sec","n_events":$nEvents,"files":$nFiles,"state_store":"rocksdb","sf":"$sfDir","points":[${points.mkString(",")}],"restart":$restartJson,"sustained":$sustainJson}"""
     println(out)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("stream_bench_out.json"),
