@@ -58,15 +58,15 @@ object BuildQueries extends QueryPack {
     * sampling rate, what the sampler kept, what decontamination and
     * dedup removed, what survived, and how many B=512 training
     * sequences that fills. */
-  private def b1(s: SparkSession, dir: String): DataFrame = {
+  /** t12's mixture rates (identical math, off the shared token
+    * frame; n_words == size(split(text, ' ')) by construction). The
+    * w → den → rates diamond is t12's own audited shape: the
+    * duplicated region is a #sources-row agg over the cached token
+    * frame, cheaper than a cache entry. Shared by b1 and b2 so the
+    * build and the delta admission sample at the SAME rates. */
+  private def mixtureRates(s: SparkSession, dir: String): DataFrame = {
     val toks = TextArtifacts.toks(s, dir)
-      .select(col("doc_id"), col("source"), col("n_words"))
-
-    // stage 1 — t12's mixture rates (identical math, off the shared
-    // token frame; n_words == size(split(text, ' ')) by construction).
-    // The w → den → rates diamond is t12's own audited shape: the
-    // duplicated region is a #sources-row agg over the cached token
-    // frame, cheaper than a cache entry.
+      .select(col("source"), col("n_words"))
     val src = toks.groupBy(col("source"))
       .agg(sum(col("n_words")).as("n_tokens"))
     val tot = src.agg(sum(col("n_tokens")).as("t"))
@@ -75,18 +75,29 @@ object BuildQueries extends QueryPack {
     val den = w.agg(
       expr("aggregate(transform(array_sort(collect_list(struct(source, sw))), " +
         "s -> s.sw), cast(0.0 AS double), (acc, x) -> acc + x)").as("d"))
-    val rates = w.crossJoin(broadcast(den))
+    w.crossJoin(broadcast(den))
       .select(col("source"),
         round(least(lit(1.0),
           (col("sw") / col("d")) * lit(10000.0) / col("n_tokens")), 6)
           .as("sample_rate"))
+  }
 
-    // stage 2 — t13's deterministic content-hash sampler on the train
-    // split: a 60-bit md5 prefix as int64 over 2^60 is an exact IEEE
-    // uniform in both engines, compared against the ROUNDED rate
-    val u = expr(
-      "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) " +
-        "as double) / 1152921504606846976.0")
+  /** t13's deterministic content-hash sampler: a 60-bit md5 prefix
+    * as int64 over 2^60 is an exact IEEE uniform in both engines,
+    * compared against the ROUNDED rate. */
+  private val uniformU = expr(
+    "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) " +
+      "as double) / 1152921504606846976.0")
+
+  private def b1(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextArtifacts.toks(s, dir)
+      .select(col("doc_id"), col("source"), col("n_words"))
+
+    // stage 1 — the published mixture rates
+    val rates = mixtureRates(s, dir)
+
+    // stage 2 — content-hash sampling on the train split
+    val u = uniformU
     val train = toks.filter(col("doc_id") % 10 =!= 7)
       .join(broadcast(rates), Seq("source"))
       .withColumn("sampled", u < col("sample_rate"))
@@ -136,14 +147,11 @@ object BuildQueries extends QueryPack {
       .orderBy(col("source"))
   }
 
-  private val b1Sql = {
-    val gram8 =
-      """list_distinct(list_transform(
-        |      list_transform(range(1, len(w)-6), i -> array_to_string(w[i:i+7], ' ')),
-        |      s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % 2147483647))""".stripMargin
-    s"""WITH RECURSIVE
-      |toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
-      |src AS (SELECT source, CAST(SUM(len(w)) AS BIGINT) AS n_tokens
+  /** Shared oracle CTE fragments (each expects a prior
+    * `toks(doc_id, source, w)` CTE): the t12 rate chain and the t20
+    * decontamination drop set. */
+  private val ratesSqlCtes =
+    """src AS (SELECT source, CAST(SUM(len(w)) AS BIGINT) AS n_tokens
       |        FROM toks GROUP BY source),
       |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM src),
       |w2 AS (SELECT source, n_tokens,
@@ -151,8 +159,14 @@ object BuildQueries extends QueryPack {
       |den AS (SELECT list_sum(list(sw ORDER BY source)) AS d FROM w2),
       |rates AS (SELECT source,
       |    ROUND(least(1.0, (sw / d) * 10000.0 / n_tokens), 6) AS sample_rate
-      |  FROM w2, den),
-      |g AS (SELECT doc_id, $gram8 AS xs
+      |  FROM w2, den)""".stripMargin
+
+  private val decontamSqlCtes = {
+    val gram8 =
+      """list_distinct(list_transform(
+        |      list_transform(range(1, len(w)-6), i -> array_to_string(w[i:i+7], ' ')),
+        |      s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % 2147483647))""".stripMargin
+    s"""g AS (SELECT doc_id, $gram8 AS xs
       |      FROM toks WHERE len(w) >= 8),
       |bg AS (SELECT DISTINCT unnest(xs) AS gram FROM g WHERE doc_id % 10 = 7),
       |tg AS (SELECT * FROM g WHERE doc_id % 10 <> 7),
@@ -161,7 +175,18 @@ object BuildQueries extends QueryPack {
       |    SELECT tg.doc_id, len(tg.xs) AS n_grams, unnest(tg.xs) AS gram
       |    FROM tg) t JOIN bg USING (gram)
       |  GROUP BY t.doc_id, t.n_grams
-      |  HAVING CAST(COUNT(DISTINCT t.gram) AS DOUBLE) / t.n_grams >= 0.05),
+      |  HAVING CAST(COUNT(DISTINCT t.gram) AS DOUBLE) / t.n_grams >= 0.05)""".stripMargin
+  }
+
+  private val uniformUSql =
+    """CAST(('0x'||substr(md5(CAST(t.doc_id AS VARCHAR)),1,15)) AS BIGINT)
+      |      / 1152921504606846976.0""".stripMargin
+
+  private val b1Sql = {
+    s"""WITH RECURSIVE
+      |toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+      |$ratesSqlCtes,
+      |$decontamSqlCtes,
       |pairs AS (SELECT d1, d2 FROM (${DedupQueries.d3OracleSql})),
       |sym AS (SELECT d1 AS s, d2 AS t FROM pairs
       |        UNION ALL SELECT d2, d1 FROM pairs),
@@ -207,9 +232,136 @@ object BuildQueries extends QueryPack {
       |ORDER BY source""".stripMargin
   }
 
+  /** b2 — the INCREMENTAL admission manifest, b1's "maintain"
+    * counterpart: a new arrival batch (doc_id % 7 = 3, bench split
+    * excluded — decorrelated from the source key so every source
+    * gets a row) is admitted against the EXISTING ingested corpus,
+    * per-source accounting of every drop:
+    *
+    *   1. sampling at the CURRENT t12 mixture rates (same
+    *      [[mixtureRates]] frame as b1 — the delta samples at the
+    *      rates the build published);
+    *   2. decontamination — the same corpus-level t20 drop set
+    *      (arrivals are train docs, so the set restricts directly);
+    *   3. dedup vs the INDEX — d10's two-sided LSH probe: an arrival
+    *      with a confirmed (≥12/16) near-dup already ingested is
+    *      dropped (the index contains everything ingested, kept or
+    *      not — admission dedups against what was SEEN);
+    *   4. dedup WITHIN the batch — d3 pairs restricted to arrivals,
+    *      connected components, keep the smallest PRE-ADMISSIBLE
+    *      (sampled ∧ clean ∧ no index dup) member per cluster —
+    *      b1's survivor-min semantic applied to the batch.
+    *
+    * Scale shape: the batch side of every stage is arrival-sized;
+    * the index side is the cached banded signature frame (d10's
+    * linear probe — no batch×index blowup), the decontam probe is
+    * t11's broadcast-benchmark shape, and the batch CC runs over
+    * batch-internal pairs only. This is the steady-state ingest loop
+    * a 100 TB pipeline runs daily: b1 once, b2 per arrival batch. */
+  private def b2(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextArtifacts.toks(s, dir)
+      .select(col("doc_id"), col("source"), col("n_words"))
+    val rates = mixtureRates(s, dir)
+    val arrivals = toks
+      .filter(DedupQueries.isDeltaArrival(col("doc_id")))
+      .join(broadcast(rates), Seq("source"))
+      .withColumn("sampled", uniformU < col("sample_rate"))
+    val bad = TextQueries.decontamDropIds(s, dir)
+      .withColumn("contaminated", lit(true))
+    val dupIdx = DedupQueries.deltaIndexDupIds(s, dir)
+      .withColumn("dup_index", lit(true))
+    val clusters = graft.operators.ConnectedComponents
+      .run(DedupQueries.deltaBatchDupPairs(s, dir), "d1", "d2",
+        Tables(s, dir, "documents")
+          .filter(DedupQueries.isDeltaArrival(col("doc_id")))
+          .select(col("doc_id")), "doc_id")
+      .select(col("id").as("doc_id"), col("cluster"))
+    val flags = arrivals
+      .join(bad, Seq("doc_id"), "left")
+      .join(dupIdx, Seq("doc_id"), "left")
+      .join(clusters, Seq("doc_id"))
+      .withColumn("pre", col("sampled") && col("contaminated").isNull &&
+        col("dup_index").isNull)
+    val keeper = min(when(col("pre"), col("doc_id")))
+      .over(Window.partitionBy(col("cluster")))
+    val fin = flags
+      .withColumn("admitted", col("pre") && col("doc_id") === keeper)
+    fin.groupBy(col("source"), col("sample_rate"))
+      .agg(
+        count(lit(1)).as("docs_in"),
+        sum(col("n_words")).as("tokens_in"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("docs_sampled"),
+        sum(when(col("sampled") && col("contaminated").isNotNull, 1L)
+          .otherwise(0L)).as("docs_contaminated"),
+        sum(when(col("sampled") && col("contaminated").isNull &&
+          col("dup_index").isNotNull, 1L).otherwise(0L)).as("docs_dup_index"),
+        sum(when(col("pre") && !col("admitted"), 1L).otherwise(0L))
+          .as("docs_dup_batch"),
+        sum(when(col("admitted"), 1L).otherwise(0L)).as("docs_admitted"),
+        sum(when(col("admitted"), col("n_words")).otherwise(0L))
+          .as("tokens_admitted"))
+      .select(col("source"), col("docs_in"), col("tokens_in"),
+        col("sample_rate"), col("docs_sampled"), col("docs_contaminated"),
+        col("docs_dup_index"), col("docs_dup_batch"),
+        col("docs_admitted"), col("tokens_admitted"))
+      .orderBy(col("source"))
+  }
+
+  private val b2Sql =
+    s"""WITH RECURSIVE
+      |toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+      |$ratesSqlCtes,
+      |$decontamSqlCtes,
+      |dupi AS (SELECT doc_id FROM (${DedupQueries.deltaIndexDupSql})),
+      |bpairs AS (SELECT d1, d2 FROM (${DedupQueries.deltaBatchPairsSql})),
+      |sym AS (SELECT d1 AS s, d2 AS t FROM bpairs
+      |        UNION ALL SELECT d2, d1 FROM bpairs),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  WHERE doc_id % 7 = 3 AND doc_id % 10 <> 7
+      |  UNION
+      |  SELECT reach.id, sym.t FROM reach JOIN sym ON reach.r = sym.s),
+      |clus AS (SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id),
+      |arr AS (
+      |  SELECT t.doc_id, t.source, CAST(len(t.w) AS BIGINT) AS n_tokens,
+      |    r.sample_rate,
+      |    ($uniformUSql < r.sample_rate) AS sampled
+      |  FROM toks t JOIN rates r USING (source)
+      |  WHERE t.doc_id % 7 = 3 AND t.doc_id % 10 <> 7),
+      |flags AS (
+      |  SELECT a.*, c.cluster,
+      |    (bad.doc_id IS NOT NULL) AS contaminated,
+      |    (dupi.doc_id IS NOT NULL) AS dup_index,
+      |    (a.sampled AND bad.doc_id IS NULL AND dupi.doc_id IS NULL) AS pre
+      |  FROM arr a
+      |  LEFT JOIN bad ON a.doc_id = bad.doc_id
+      |  LEFT JOIN dupi ON a.doc_id = dupi.doc_id
+      |  JOIN clus c ON a.doc_id = c.doc_id),
+      |fin AS (
+      |  SELECT *, (pre AND doc_id = MIN(CASE WHEN pre THEN doc_id END)
+      |    OVER (PARTITION BY cluster)) AS admitted
+      |  FROM flags)
+      |SELECT source,
+      |  COUNT(*) AS docs_in,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_in,
+      |  sample_rate,
+      |  CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS docs_sampled,
+      |  CAST(SUM(CASE WHEN sampled AND contaminated THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS docs_contaminated,
+      |  CAST(SUM(CASE WHEN sampled AND NOT contaminated AND dup_index
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS docs_dup_index,
+      |  CAST(SUM(CASE WHEN pre AND NOT admitted THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS docs_dup_batch,
+      |  CAST(SUM(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT) AS docs_admitted,
+      |  CAST(SUM(CASE WHEN admitted THEN n_tokens ELSE 0 END) AS BIGINT)
+      |    AS tokens_admitted
+      |FROM fin
+      |GROUP BY source, sample_rate
+      |ORDER BY source""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("b1_corpus_build" -> b1)
+    Map("b1_corpus_build" -> b1, "b2_corpus_delta" -> b2)
 
   override def oracle: Map[String, String] =
-    Map("b1_corpus_build" -> b1Sql)
+    Map("b1_corpus_build" -> b1Sql, "b2_corpus_delta" -> b2Sql)
 }

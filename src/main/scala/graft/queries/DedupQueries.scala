@@ -615,6 +615,70 @@ object DedupQueries extends QueryPack {
       |WHERE $sigMatchesSql >= 12
       |ORDER BY d1, d2""".stripMargin
 
+  /** b2_corpus_delta's admission drop machinery (shared with the
+    * d10/d3 pipelines so the incremental manifest and the standalone
+    * dedup queries agree on what "duplicate" means). The arrival
+    * batch is `doc_id % 7 = 3` excluding the benchmark split — a
+    * residue DECORRELATED from the source key (doc_id % 20), so the
+    * manifest covers every source (the % 10 split d10 uses would pin
+    * arrivals to two sources on this corpus). */
+  private[queries] def isDeltaArrival(c: org.apache.spark.sql.Column) =
+    c % 7 === 3 && c % 10 =!= 7
+
+  /** Arrival docs with a confirmed (≥12/16) near-dup already in the
+    * ingested index (non-arrival, non-benchmark) — d10's two-sided
+    * probe with the drop set projected out. */
+  private[queries] def deltaIndexDupIds(s: SparkSession, dir: String): DataFrame = {
+    val sigs = DocArtifacts(s, dir).sigs
+    val arr = sigs.filter(isDeltaArrival(col("doc_id")))
+    val idx = sigs.filter(!isDeltaArrival(col("doc_id")) &&
+      col("doc_id") % 10 =!= 7)
+    graft.operators.TextDedup
+      .lshCandidatesTwoSided(arr, idx, "doc_id", k = 16, bands = bands)
+      .withColumn("m",
+        call_function("graft_sig_matches", col("sig1"), col("sig2")))
+      .filter(col("m") >= 12)
+      .select(col("d1").as("doc_id")).distinct()
+  }
+
+  /** Confirmed near-dup pairs WITHIN the arrival batch (d3's
+    * candidate + agreement pipeline restricted to arrivals) — b2's
+    * batch-internal clusters build on these. */
+  private[queries] def deltaBatchDupPairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextDedup.lshCandidates(
+      DocArtifacts(s, dir).sigs.filter(isDeltaArrival(col("doc_id"))),
+      "doc_id", k = 16, bands = bands)
+      .withColumn("m",
+        call_function("graft_sig_matches", col("sig1"), col("sig2")))
+      .filter(col("m") >= 12)
+      .select(col("d1"), col("d2"))
+
+  /** Oracle fragments for b2 (DuckDB): the same two drop sets as
+    * full SELECTs embeddable as subqueries (the t19/d3OracleSql
+    * embedding convention). */
+  private[queries] def deltaIndexDupSql: String =
+    s"""$lshBandedSqlPrefix,
+      |cands AS (
+      |  SELECT DISTINCT a.doc_id AS d1, a.sig AS sig1, b.sig AS sig2
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.key = b.key
+      |   AND a.doc_id % 7 = 3 AND a.doc_id % 10 <> 7
+      |   AND NOT (b.doc_id % 7 = 3 AND b.doc_id % 10 <> 7)
+      |   AND b.doc_id % 10 <> 7)
+      |SELECT DISTINCT d1 AS doc_id FROM cands
+      |WHERE $sigMatchesSql >= 12""".stripMargin
+
+  private[queries] def deltaBatchPairsSql: String =
+    s"""$lshBandedSqlPrefix,
+      |cands AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.sig AS sig1, b.sig AS sig2
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      |   AND a.doc_id % 7 = 3 AND a.doc_id % 10 <> 7
+      |   AND b.doc_id % 7 = 3 AND b.doc_id % 10 <> 7)
+      |SELECT d1, d2 FROM cands
+      |WHERE $sigMatchesSql >= 12""".stripMargin
+
   /** d13 — approximation audit: precision/recall of the LSH path
     * (d3: band collisions + ≥12/16 signature agreement) against the
     * exact inverted-index Jaccard pairs (d2: ≥0.8), as one report

@@ -67,6 +67,55 @@ class BuildQueriesSpec extends SparkSpec {
     b1.values.map(_.getLong(4)).sum should be > 0L // sampler kept docs
   }
 
+  test("b2: conservation — every sampled arrival is contaminated, " +
+      "an index dup, a batch dup, or admitted; rates are t12's") {
+    val t12 = SparkEntry.queries("t12_mix_weights")(spark, dir)
+      .select(col("source"), col("sample_rate")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val b2 = SparkEntry.queries("b2_corpus_delta")(spark, dir).collect()
+    b2 should not be empty
+    for (r <- b2) withClue(s"${r.getString(0)}: ") {
+      r.getDouble(3) shouldBe t12(r.getString(0))
+      // docs_sampled = contaminated + dup_index + dup_batch + admitted
+      r.getLong(4) shouldBe
+        r.getLong(5) + r.getLong(6) + r.getLong(7) + r.getLong(8)
+      r.getLong(4) should be <= r.getLong(1)
+    }
+  }
+
+  test("b2: the index-dup drop set is exactly the d10-style two-sided " +
+      "probe's arrivals, and the stage demonstrably fires at sf0.1") {
+    val big = "/root/testdata/sf0.1"
+    val dupIds = DedupQueries.deltaIndexDupIds(spark, big)
+      .collect().map(_.getLong(0)).toSet
+    dupIds.size should be > 0 // the probe finds real planted dups
+    // every dropped id is an arrival by the split definition
+    val arr = graft.Tables(spark, big, "documents")
+      .filter(DedupQueries.isDeltaArrival(col("doc_id")))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    dupIds.subsetOf(arr) shouldBe true
+    // and the manifest's docs_dup_index totals the sampled-and-clean
+    // members of that set (recomputed with b2's own predicate pieces)
+    val rates = SparkEntry.queries("t12_mix_weights")(spark, big)
+      .select(col("source"), col("sample_rate"))
+    val bad = TextQueries.decontamDropIds(spark, big)
+      .collect().map(_.getLong(0)).toSet
+    val sampledClean = TextArtifacts.toks(spark, big)
+      .filter(DedupQueries.isDeltaArrival(col("doc_id")))
+      .join(rates, Seq("source"))
+      .filter(expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) " +
+          "as double) / 1152921504606846976.0") < col("sample_rate"))
+      .select(col("doc_id")).collect().map(_.getLong(0))
+      .filterNot(bad).toSet
+    val want = (sampledClean & dupIds).size.toLong
+    val b2 = SparkEntry.queries("b2_corpus_delta")(spark, big).collect()
+    b2.map(_.getLong(6)).sum shouldBe want
+    withClue("the index-dup stage should fire on this corpus: ") {
+      want should be > 0L
+    }
+  }
+
   test("dedup stage keeps at most one survivor per d6 cluster, and " +
       "the survivor is the smallest sampled-and-clean member") {
     val clusters = graft.operators.ConnectedComponents
