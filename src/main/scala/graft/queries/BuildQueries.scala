@@ -106,13 +106,11 @@ object BuildQueries extends QueryPack {
     val bad = TextQueries.decontamDropIds(s, dir)
       .withColumn("contaminated", lit(true))
 
-    // stage 4 — corpus-level near-dup clusters: d3's cached LSH pair
-    // index under d6's connected components (singletons included via
-    // the nodes seed), then keep = min SURVIVING doc id per cluster
-    val clusters = graft.operators.ConnectedComponents
-      .run(DedupQueries.d3Pairs(s, dir), "d1", "d2",
-        Tables(s, dir, "documents").select(col("doc_id")), "doc_id")
-      .select(col("id").as("doc_id"), col("cluster"))
+    // stage 4 — corpus-level near-dup clusters: the train-once
+    // cluster-label artifact (d3's cached LSH pairs under d6's
+    // connected components, singletons included), then keep = min
+    // SURVIVING doc id per cluster
+    val clusters = DedupQueries.dupClusters(s, dir)
 
     val flags = train
       .join(bad, Seq("doc_id"), "left")

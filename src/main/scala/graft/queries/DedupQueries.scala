@@ -133,10 +133,43 @@ object DedupQueries extends QueryPack {
     * the [[graft.Leased]] lifecycle hook for long-lived services
     * rotating corpus snapshots; queries lazily rebuild on next use. */
   def releaseArtifacts(s: SparkSession, dir: String): Unit = {
+    ClusterArtifacts.release(s, dir)
     DocArtifacts.release(s, dir)
     SimArtifacts.release(s, dir)
     SpanArtifacts.release(s, dir)
   }
+
+  /** TRAIN-ONCE near-dup CLUSTER LABELS `(doc_id, cluster)` — the
+    * connected components of the d3 pair graph over all documents
+    * (singletons included), the frame d6 (cluster report), d17
+    * (keep-best), t19 (effective tokens) and b1 (corpus build) all
+    * consume. Before this registry each of them re-ran the CC
+    * pointer-jumping rounds per call — the one iterative stage in
+    * their plans, and (like the quantizer/codebook artifacts) exactly
+    * what a production pipeline computes once per corpus snapshot and
+    * serves from storage. Labels are deterministic (min-id per
+    * component), so memoizing cannot change any oracle-gated result. */
+  private object ClusterArtifacts {
+    private val reg = new graft.ArtifactRegistry[DataFrame](f => Seq(f))
+
+    def apply(s: SparkSession, dir: String): DataFrame =
+      reg(s, dir) { (s2, d) =>
+        val labels = graft.operators.ConnectedComponents
+          .run(DocArtifacts(s2, d).pairs3.select(col("d1"), col("d2")),
+            "d1", "d2", docs(s2, d).select(col("doc_id")), "doc_id")
+          .select(col("id").as("doc_id"), col("cluster"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try { labels.count(); labels }
+        catch { case t: Throwable =>
+          labels.unpersist(blocking = false); throw t }
+      }
+
+    def release(s: SparkSession, dir: String): Unit = reg.release(s, dir)
+  }
+
+  /** The shared cluster-label frame (see [[ClusterArtifacts]]). */
+  private[queries] def dupClusters(s: SparkSession, dir: String): DataFrame =
+    ClusterArtifacts(s, dir)
 
   private def withShingles(s: SparkSession, dir: String): DataFrame =
     DocArtifacts(s, dir).shingles
@@ -308,14 +341,11 @@ object DedupQueries extends QueryPack {
     * rest and the corpus is near-dup-free). Singletons keep
     * themselves. The oracle walks the same graph with a recursive
     * reachability CTE and takes MIN per doc. */
-  private def d6(s: SparkSession, dir: String): DataFrame = {
-    val edges = DocArtifacts(s, dir).pairs3.select(col("d1"), col("d2"))
-    graft.operators.ConnectedComponents
-      .run(edges, "d1", "d2", docs(s, dir), "doc_id")
-      .select(col("id").as("doc_id"), col("cluster"),
-        (col("cluster") === col("id")).as("keep"))
+  private def d6(s: SparkSession, dir: String): DataFrame =
+    dupClusters(s, dir)
+      .select(col("doc_id"), col("cluster"),
+        (col("cluster") === col("doc_id")).as("keep"))
       .orderBy(col("doc_id"))
-  }
 
   private val d6Sql =
     s"""WITH RECURSIVE pairs AS (SELECT d1, d2 FROM ($d3Sql)),
@@ -346,11 +376,7 @@ object DedupQueries extends QueryPack {
     * argmax is a partial+final `max(struct(score, -id))` aggregation
     * (no per-cluster sort window); scores join in keyed on doc_id. */
   private def d17(s: SparkSession, dir: String): DataFrame = {
-    val edges = DocArtifacts(s, dir).pairs3.select(col("d1"), col("d2"))
-    val clusters = graft.operators.ConnectedComponents
-      .run(edges, "d1", "d2", docs(s, dir), "doc_id")
-      .select(col("id").as("doc_id"), col("cluster"))
-    val m = clusters.join(TextQueries.docScores(s, dir), "doc_id")
+    val m = dupClusters(s, dir).join(TextQueries.docScores(s, dir), "doc_id")
     m.groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_members"),
         max(struct(col("score"), (-col("doc_id")).as("nid"))).as("best"),

@@ -1085,10 +1085,8 @@ object TextQueries extends QueryPack {
     * one keyed join + one rollup on top of the d6 machinery.
     */
   private def t19(s: SparkSession, dir: String): DataFrame = {
-    val edges = DedupQueries.d3Pairs(s, dir)
-    val keep = graft.operators.ConnectedComponents
-      .run(edges, "d1", "d2", docs(s, dir), "doc_id")
-      .select(col("id").as("doc_id"), (col("cluster") === col("id")).as("keep"))
+    val keep = DedupQueries.dupClusters(s, dir)
+      .select(col("doc_id"), (col("cluster") === col("doc_id")).as("keep"))
     docs(s, dir)
       .select(col("doc_id"), col("source"),
         expr("size(split(text, ' '))").cast("long").as("toks"))

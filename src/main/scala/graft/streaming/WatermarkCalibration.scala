@@ -42,7 +42,13 @@ object WatermarkCalibration {
   def delayFromAudit(audit: DataFrame, quantileCol: String = "p99_us",
       margin: Double = 1.25): String = {
     require(margin >= 1.0, s"margin must be >= 1, got $margin")
-    val maxUs = audit.agg(max(col(quantileCol))).head().getLong(0)
+    val row = audit.agg(max(col(quantileCol))).head()
+    // an empty audit (no events yet) must not NPE into a bogus delay —
+    // there is nothing to calibrate from, and silently returning the
+    // 1-second floor would under-watermark a real transport
+    require(!row.isNullAt(0),
+      "lateness audit is empty — cannot calibrate a watermark from it")
+    val maxUs = row.getLong(0)
     val secs = math.max(1L, math.ceil(maxUs * margin / 1e6).toLong)
     s"$secs seconds"
   }
