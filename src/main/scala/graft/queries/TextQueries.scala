@@ -32,8 +32,10 @@ object TextQueries extends QueryPack {
   /** Release the shared tokenized-corpus artifacts for one corpus dir
     * (the [[graft.Leased]] snapshot-rotation lifecycle — see
     * [[TextArtifacts]]); queries lazily rebuild on next use. */
-  def releaseArtifacts(s: SparkSession, dir: String): Unit =
+  def releaseArtifacts(s: SparkSession, dir: String): Unit = {
+    DecontamArtifacts.release(s, dir)
     TextArtifacts.release(s, dir)
+  }
 
   private val words: Column = split(col("text"), " ")
 
@@ -1142,7 +1144,17 @@ object TextQueries extends QueryPack {
     * b1_corpus_build (the end-to-end manifest), so both agree on
     * exactly which docs the decontamination stage removes. */
   private[queries] def decontamDropIds(s: SparkSession, dir: String,
-      bloomPath: Boolean = false): DataFrame = {
+      bloomPath: Boolean = false): DataFrame =
+    // the default broadcast path is a TRAIN-ONCE artifact (the
+    // quarantine list a pipeline writes once per corpus+benchmark
+    // snapshot, consumed by t20's apply ledger and the b1/b2 build
+    // manifests); the bloom fallback stays fresh — it exists for the
+    // oversized-bench regime and is exercised by its parity spec
+    if (bloomPath) decontamDropIdsBuild(s, dir, bloomPath = true)
+    else DecontamArtifacts(s, dir)
+
+  private def decontamDropIdsBuild(s: SparkSession, dir: String,
+      bloomPath: Boolean): DataFrame = {
     val grams = TextArtifacts.grams8(s, dir) // t11's index, built once
     val bench = grams.filter(col("doc_id") % 10 === 7)
       .select(explode(col("xs")).as("gram")).distinct()
@@ -1155,6 +1167,23 @@ object TextQueries extends QueryPack {
       .agg(countDistinct(col("gram")).as("nc"))
       .filter(col("nc").cast("double") / col("n_grams") >= 0.05)
       .select(col("doc_id"))
+  }
+
+  /** The memoized decontamination drop set (id-scale: one long per
+    * quarantined doc). */
+  private object DecontamArtifacts {
+    private val reg = new graft.ArtifactRegistry[DataFrame](f => Seq(f))
+
+    def apply(s: SparkSession, dir: String): DataFrame =
+      reg(s, dir) { (s2, d) =>
+        val p = decontamDropIdsBuild(s2, d, bloomPath = false)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try { p.count(); p }
+        catch { case t: Throwable =>
+          p.unpersist(blocking = false); throw t }
+      }
+
+    def release(s: SparkSession, dir: String): Unit = reg.release(s, dir)
   }
 
   private def t20Path(s: SparkSession, dir: String,
