@@ -54,10 +54,6 @@ import org.apache.spark.sql.functions._
   * extension the brief prescribes, not a reference port. */
 object BuildQueries extends QueryPack {
 
-  /** b1 — one manifest row per source: docs/tokens in, the t12
-    * sampling rate, what the sampler kept, what decontamination and
-    * dedup removed, what survived, and how many B=512 training
-    * sequences that fills. */
   /** t12's mixture rates (identical math, off the shared token
     * frame; n_words == size(split(text, ' ')) by construction). The
     * w → den → rates diamond is t12's own audited shape: the
@@ -89,6 +85,10 @@ object BuildQueries extends QueryPack {
     "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) " +
       "as double) / 1152921504606846976.0")
 
+  /** b1 — one manifest row per source: docs/tokens in, the t12
+    * sampling rate, what the sampler kept, what decontamination and
+    * dedup removed, what survived, and how many B=512 training
+    * sequences that fills. */
   private def b1(s: SparkSession, dir: String): DataFrame = {
     val toks = TextArtifacts.toks(s, dir)
       .select(col("doc_id"), col("source"), col("n_words"))
@@ -196,8 +196,7 @@ object BuildQueries extends QueryPack {
       |train AS (
       |  SELECT t.doc_id, t.source, CAST(len(t.w) AS BIGINT) AS n_tokens,
       |    r.sample_rate,
-      |    (CAST(('0x'||substr(md5(CAST(t.doc_id AS VARCHAR)),1,15)) AS BIGINT)
-      |      / 1152921504606846976.0 < r.sample_rate) AS sampled
+      |    ($uniformUSql < r.sample_rate) AS sampled
       |  FROM toks t JOIN rates r USING (source)
       |  WHERE t.doc_id % 10 <> 7),
       |flags AS (
