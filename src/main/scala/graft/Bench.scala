@@ -84,9 +84,17 @@ object Bench {
         }
       }
     }
+    // true median: average the two middle samples when REPS is even —
+    // times(size/2) alone is biased to the upper element (the bug
+    // class CurationBudget.scala documents; default 5 is odd, but
+    // SPARK_GRAFT_BENCH_REPS runs must not skew upward)
+    def median(times: Seq[Double]): Double = {
+      val s0 = times.sorted
+      if (s0.size % 2 == 1) s0(s0.size / 2)
+      else (s0(s0.size / 2 - 1) + s0(s0.size / 2)) / 2
+    }
     val results = qs0.collect { case (name, _) if !failed(name) =>
-      val times = samples(name).sorted
-      name -> times(times.size / 2)
+      name -> median(samples(name))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

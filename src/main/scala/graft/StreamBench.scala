@@ -184,6 +184,26 @@ object StreamBench {
       val facts = graft.streaming.StreamingIngest.transform(
         graft.streaming.StreamingIngest.lineEnvelopes(lines, "ALOWARE"),
         roster = None)
+      // Collect the per-batch series via a LISTENER, not
+      // q.recentProgress: the engine caps recentProgress at
+      // spark.sql.streaming.numRecentProgressUpdates (default 100)
+      // entries, so a long sustained run (more files or replicas than
+      // ~100 batches) silently drops its EARLIEST batches — and the
+      // "first quartile" below would then measure the middle of the
+      // run, skewing the flatness gate. The listener sees every
+      // progress event regardless of run length.
+      val progressLog = new java.util.concurrent.ConcurrentLinkedQueue[
+        org.apache.spark.sql.streaming.StreamingQueryProgress]()
+      val qid = new java.util.concurrent.atomic.AtomicReference[java.util.UUID]()
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          if (e.progress.id == qid.get()) { progressLog.add(e.progress); () }
+        }
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      }
+      spark.streams.addListener(listener)
       val t0 = System.nanoTime()
       val q = facts.writeStream
         .outputMode("append")
@@ -192,9 +212,33 @@ object StreamBench {
           admitted.addAndGet(batch.count()); ()
         }
         .start()
+      qid.set(q.id)
       try q.processAllAvailable() finally q.stop()
       val secs = (System.nanoTime() - t0) / 1e9
-      val series = q.recentProgress.toSeq
+      // listener events are delivered asynchronously: wait (bounded)
+      // until the final batch's progress has landed before reading
+      val lastBatch = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (System.nanoTime() < deadline &&
+          !progressLog.iterator().hasNext()) Thread.sleep(50)
+      while (System.nanoTime() < deadline && {
+          import scala.jdk.CollectionConverters._
+          !progressLog.iterator().asScala.exists(_.batchId == lastBatch)
+        }) Thread.sleep(50)
+      spark.streams.removeListener(listener)
+      val raw = {
+        import scala.jdk.CollectionConverters._
+        progressLog.iterator().asScala.toSeq.sortBy(_.batchId)
+      }
+      // coverage gate: the quartile analysis is only meaningful over
+      // the WHOLE run — every batch id from 0 to the last must be
+      // present (one progress event per micro-batch on a fresh
+      // checkpoint)
+      val seen = raw.map(_.batchId).toSet
+      require(lastBatch >= 0 && (0L to lastBatch).forall(seen.contains),
+        s"sustained progress series incomplete: have ${seen.size} of " +
+          s"${lastBatch + 1} batches — quartile gate would be skewed")
+      val series = raw
         .filter(p => p != null && p.numInputRows > 0)
         .map { p =>
           val so = p.stateOperators.headOption

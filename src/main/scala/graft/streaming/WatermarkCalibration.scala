@@ -42,7 +42,12 @@ object WatermarkCalibration {
   def delayFromAudit(audit: DataFrame, quantileCol: String = "p99_us",
       margin: Double = 1.25): String = {
     require(margin >= 1.0, s"margin must be >= 1, got $margin")
-    val row = audit.agg(max(col(quantileCol))).head()
+    // cast("long") in the PLAN, not getLong on the row: the quantile
+    // column's unit is microseconds but its TYPE is the audit's
+    // choice (e33 emits long; a percentile_approx frame emits double)
+    // — getLong on a double-typed column is a ClassCastException, not
+    // a calibration
+    val row = audit.agg(max(col(quantileCol)).cast("long")).head()
     // an empty audit (no events yet) must not NPE into a bogus delay —
     // there is nothing to calibrate from, and silently returning the
     // 1-second floor would under-watermark a real transport
