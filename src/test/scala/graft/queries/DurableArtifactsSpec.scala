@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.etl.DurableArtifacts
+
+/** Lifecycle of the DURABLE train-once artifacts (round 13): the
+  * cluster-label and quarantine drop-set registries write managed
+  * bucketed tables once per corpus snapshot, a FRESH SparkSession
+  * attaches to the table instead of re-running the CC rounds / the
+  * 8-gram decontamination probe (the cold-start contract the
+  * session-memory registries could not honor), and explicit release
+  * retires the durable side-artifact — the `graft_g_edgenv`
+  * precedent applied to the d/t-family artifacts. */
+class DurableArtifactsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("cluster labels: durable table exists; a fresh session attaches, not rebuilds") {
+    val labels1 = DedupQueries.dupClusters(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    labels1.length should be > 0
+    val table = DedupQueries.clusterTableName(sfDir)
+    spark.catalog.tableExists(table) shouldBe true
+    val builds0 = DurableArtifacts.buildCount(table)
+    builds0 should be >= 1L
+
+    // a new session = a new registry key: without the durable table it
+    // would re-run DocArtifacts + the CC rounds; with it, it must
+    // attach (build count unchanged) and read identical labels
+    val s2 = spark.newSession()
+    val labels2 = DedupQueries.dupClusters(s2, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    DurableArtifacts.buildCount(table) shouldBe builds0
+    labels2 shouldBe labels1
+
+    // explicit release retires the durable table (snapshot lifecycle);
+    // releasing the second session's cell afterwards is an idempotent
+    // no-op on the already-dropped table
+    DedupQueries.releaseArtifacts(spark, sfDir)
+    spark.catalog.tableExists(table) shouldBe false
+    DedupQueries.releaseArtifacts(s2, sfDir)
+    spark.catalog.tableExists(table) shouldBe false
+
+    // next access REBUILDS (lazy re-admission) with identical content
+    val labels3 = DedupQueries.dupClusters(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    DurableArtifacts.buildCount(table) shouldBe builds0 + 1
+    labels3 shouldBe labels1
+  }
+
+  test("quarantine drop set: durable table exists; fresh session attaches; release retires") {
+    val ids1 = TextQueries.decontamDropIds(spark, sfDir)
+      .collect().map(_.getLong(0)).sorted
+    val table = TextQueries.quarantineTableName(sfDir)
+    spark.catalog.tableExists(table) shouldBe true
+    val builds0 = DurableArtifacts.buildCount(table)
+
+    val s2 = spark.newSession()
+    val ids2 = TextQueries.decontamDropIds(s2, sfDir)
+      .collect().map(_.getLong(0)).sorted
+    DurableArtifacts.buildCount(table) shouldBe builds0
+    ids2 shouldBe ids1
+
+    TextQueries.releaseArtifacts(spark, sfDir)
+    spark.catalog.tableExists(table) shouldBe false
+    TextQueries.releaseArtifacts(s2, sfDir)
+
+    val ids3 = TextQueries.decontamDropIds(spark, sfDir)
+      .collect().map(_.getLong(0)).sorted
+    DurableArtifacts.buildCount(table) shouldBe builds0 + 1
+    ids3 shouldBe ids1
+  }
+}
