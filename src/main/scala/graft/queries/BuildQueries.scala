@@ -85,11 +85,11 @@ object BuildQueries extends QueryPack {
     "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) " +
       "as double) / 1152921504606846976.0")
 
-  /** b1 — one manifest row per source: docs/tokens in, the t12
-    * sampling rate, what the sampler kept, what decontamination and
-    * dedup removed, what survived, and how many B=512 training
-    * sequences that fills. */
-  private def b1(s: SparkSession, dir: String): DataFrame = {
+  /** b1's per-document decision frame (stages 1–4, one row per train
+    * doc with `sampled`/`contaminated`-derived `clean`, `cluster`,
+    * `kept`) — shared by the b1 manifest agg and b3's realized
+    * packing so both operate on the IDENTICAL kept set. */
+  private[queries] def b1Fin(s: SparkSession, dir: String): DataFrame = {
     val toks = TextArtifacts.toks(s, dir)
       .select(col("doc_id"), col("source"), col("n_words"))
 
@@ -119,8 +119,15 @@ object BuildQueries extends QueryPack {
         col("sampled") && col("contaminated").isNull)
     val keeper = min(when(col("clean"), col("doc_id")))
       .over(Window.partitionBy(col("cluster")))
-    val fin = flags
-      .withColumn("kept", col("clean") && col("doc_id") === keeper)
+    flags.withColumn("kept", col("clean") && col("doc_id") === keeper)
+  }
+
+  /** b1 — one manifest row per source: docs/tokens in, the t12
+    * sampling rate, what the sampler kept, what decontamination and
+    * dedup removed, what survived, and how many B=512 training
+    * sequences that fills. */
+  private def b1(s: SparkSession, dir: String): DataFrame = {
+    val fin = b1Fin(s, dir)
 
     // stage 5 folded into the manifest agg: n_sequences is exact
     // integer ceil-div of the surviving token mass by B = 512
@@ -180,9 +187,12 @@ object BuildQueries extends QueryPack {
     """CAST(('0x'||substr(md5(CAST(t.doc_id AS VARCHAR)),1,15)) AS BIGINT)
       |      / 1152921504606846976.0""".stripMargin
 
-  private val b1Sql = {
-    s"""WITH RECURSIVE
-      |toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+  /** The full oracle CTE chain down to b1's per-doc decision frame
+    * `fin` (doc_id, source, n_tokens, sample_rate, sampled, cluster,
+    * clean, kept) — shared by the b1 and b3 oracles so both recompute
+    * the kept set identically and independently of the engine. */
+  private val b1FinSqlCtes =
+    s"""toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
       |$ratesSqlCtes,
       |$decontamSqlCtes,
       |pairs AS (SELECT d1, d2 FROM (${DedupQueries.d3OracleSql})),
@@ -208,7 +218,11 @@ object BuildQueries extends QueryPack {
       |fin AS (
       |  SELECT *, (clean AND doc_id = MIN(CASE WHEN clean THEN doc_id END)
       |    OVER (PARTITION BY cluster)) AS kept
-      |  FROM flags)
+      |  FROM flags)""".stripMargin
+
+  private val b1Sql = {
+    s"""WITH RECURSIVE
+      |$b1FinSqlCtes
       |SELECT source,
       |  COUNT(*) AS docs_in,
       |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_in,
@@ -228,6 +242,70 @@ object BuildQueries extends QueryPack {
       |GROUP BY source, sample_rate
       |ORDER BY source""".stripMargin
   }
+
+  /** b3 — REALIZED sequence packing over b1's kept set: stage 5 run
+    * for real instead of folded into ceil-div arithmetic. The kept
+    * docs are packed exactly like t14 (concat-and-chunk at B = 512 in
+    * the deterministic content-hash order, a doc assigned to the
+    * sequence its first token falls in) and the manifest reports, per
+    * source, the REALIZED layout: sequence count from the last
+    * token's position (not from the token-mass arithmetic), boundary
+    * docs (spans crossing a sequence edge — what an attention-mask /
+    * document-separator implementation must handle), and the final
+    * sequence's fill. BuildQueriesSpec gates the reconciliation:
+    * realized `n_sequences` ≡ b1's `(tokens_out + 511) div 512` per
+    * source — the identity that proves the manifest's arithmetic
+    * matches what the packer actually produces.
+    *
+    * Scale shape: b1Fin's stages keep their audited shapes; the
+    * packing rides t14's bucketed prefix-sum (256 hash buckets per
+    * source, broadcast per-bucket offsets — no per-source reducer
+    * funnel), and the manifest is one partial+final agg. */
+  private def b3(s: SparkSession, dir: String): DataFrame = {
+    val B = 512
+    val kept = b1Fin(s, dir).filter(col("kept"))
+      .select(col("doc_id"), col("source"), col("n_words"))
+      .withColumn("h", md5(col("doc_id").cast("string")))
+    graft.operators.OffsetWindow
+      .prefixSum(kept, Seq("source"),
+        bucket = substring(col("h"), 1, 2),
+        order = Seq(col("h"), col("doc_id")),
+        weight = col("n_words"), out = "cum")
+      .withColumn("before", col("cum") - col("n_words"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("docs_packed"),
+        sum(col("n_words")).as("tokens_packed"),
+        (max(expr(s"(cum - 1) div $B")) + 1L).as("n_sequences"),
+        sum(when(expr(s"before div $B") =!= expr(s"(cum - 1) div $B"), 1L)
+          .otherwise(0L)).as("boundary_docs"),
+        (max(col("cum")) - max(expr(s"(cum - 1) div $B")) * B)
+          .as("last_seq_fill"))
+      .orderBy(col("source"))
+  }
+
+  private val b3Sql =
+    s"""WITH RECURSIVE
+      |$b1FinSqlCtes,
+      |kept AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    md5(CAST(doc_id AS VARCHAR)) AS h
+      |  FROM fin WHERE kept),
+      |cum AS (
+      |  SELECT source, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS c
+      |  FROM kept)
+      |SELECT source,
+      |  COUNT(*) AS docs_packed,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_packed,
+      |  CAST(MAX((c - 1) // 512) + 1 AS BIGINT) AS n_sequences,
+      |  CAST(SUM(CASE WHEN (c - n_tokens) // 512 <> (c - 1) // 512
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS boundary_docs,
+      |  CAST(MAX(c) - MAX((c - 1) // 512) * 512 AS BIGINT) AS last_seq_fill
+      |FROM cum
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
 
   /** b2 — the INCREMENTAL admission manifest, b1's "maintain"
     * counterpart: a new arrival batch (doc_id % 7 = 3, bench split
@@ -357,8 +435,10 @@ object BuildQueries extends QueryPack {
       |ORDER BY source""".stripMargin
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("b1_corpus_build" -> b1, "b2_corpus_delta" -> b2)
+    Map("b1_corpus_build" -> b1, "b2_corpus_delta" -> b2,
+      "b3_packing_manifest" -> b3)
 
   override def oracle: Map[String, String] =
-    Map("b1_corpus_build" -> b1Sql, "b2_corpus_delta" -> b2Sql)
+    Map("b1_corpus_build" -> b1Sql, "b2_corpus_delta" -> b2Sql,
+      "b3_packing_manifest" -> b3Sql)
 }

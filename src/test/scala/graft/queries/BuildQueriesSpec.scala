@@ -140,4 +140,32 @@ class BuildQueriesSpec extends SparkSpec {
     b1.values.map(_.getLong(8)).sum shouldBe wantOut
     b1.values.map(_.getLong(7)).sum shouldBe (clean.size - keepers.size).toLong
   }
+
+  test("b3: the REALIZED t14 packing over b1's kept set reconciles " +
+      "with the manifest's ceil-div arithmetic, per source") {
+    val b3 = SparkEntry.queries("b3_packing_manifest")(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // every source with kept docs has a packing row, and none other
+    b3.keySet shouldBe b1.filter(_._2.getLong(8) > 0).keySet
+    for ((src, r) <- b3) withClue(s"$src: ") {
+      val (docsPacked, tokensPacked) = (r.getLong(1), r.getLong(2))
+      val (nSeq, boundaryDocs, lastFill) =
+        (r.getLong(3), r.getLong(4), r.getLong(5))
+      // the packed set IS the kept set
+      docsPacked shouldBe b1(src).getLong(8)
+      tokensPacked shouldBe b1(src).getLong(9)
+      // THE reconciliation: realized sequence count (position of the
+      // last token in the concat-and-chunk layout) equals the
+      // manifest's exact integer arithmetic
+      nSeq shouldBe b1(src).getLong(10)
+      nSeq shouldBe (tokensPacked + 511) / 512
+      // realized-layout sanity: the last sequence holds the remainder
+      lastFill shouldBe (tokensPacked - (nSeq - 1) * 512)
+      lastFill should be > 0L
+      lastFill should be <= 512L
+      // every full boundary between sequence i and i+1 is crossed by
+      // at most one doc, so boundary docs < sequence count
+      boundaryDocs should be < nSeq
+    }
+  }
 }
