@@ -279,8 +279,82 @@ object StreamBench {
     }
     System.err.println(s"STREAMBENCH SUSTAINED $sustainJson")
 
+    // 5. CORPUS ADMISSION — the streaming twin of b2_corpus_delta
+    // (gateFlags + seeded LSH probe in-stream, survivor-min compaction
+    // at window close), timed per stage with the probe's state
+    // footprint, and gated IN-LINE on bit-parity: the admitted set
+    // must equal the batch b2Fin's on the same replayed arrivals.
+    val admitJson =
+      if (sys.env.getOrElse("SPARK_GRAFT_STREAM_ADMIT", "1") != "1") "null"
+      else {
+        import graft.streaming.StreamingAdmission
+        val inA = s"$scratch/inadm"
+        val docs = Tables(spark, sfDir, "documents")
+        val arrPred = graft.queries.DedupQueries.isDeltaArrival(col("doc_id"))
+        val nArr = docs.filter(arrPred).count()
+        docs.filter(arrPred)
+          .select(to_json(struct(col("doc_id"), col("source"), col("text")))
+            .as("value"))
+          .repartition(16).write.mode("overwrite").text(inA)
+        val (rates, quarantine) =
+          StreamingAdmission.publishedStatics(spark, sfDir)
+        val index = docs.filter(!arrPred && col("doc_id") % 10 =!= 7)
+          .select(col("doc_id"), col("text"))
+        def docStream = spark.readStream
+          .option("maxFilesPerTrigger", 4)
+          .schema("value STRING").text(inA)
+          .select(from_json(col("value"),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "doc_id LONG, source STRING, text STRING")).as("j"))
+          .select(col("j.doc_id"), col("j.source"), col("j.text"))
+        def runStage(df: org.apache.spark.sql.DataFrame, outDir: String,
+            chk: String): (Double, Long, Long) = {
+          val t0 = System.nanoTime()
+          val q = df.writeStream.outputMode("append")
+            .option("checkpointLocation", chk)
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              b.write.mode("append").parquet(outDir); ()
+            }.start()
+          try q.processAllAvailable() finally q.stop()
+          val secs = (System.nanoTime() - t0) / 1e9
+          val (rows, bytes) = Option(q.lastProgress)
+            .flatMap(p => p.stateOperators.headOption).map { so =>
+              val sst = Option(so.customMetrics)
+                .map(m => m.getOrDefault("rocksdbTotalSSTFilesBytes",
+                  java.lang.Long.valueOf(0L)).longValue()).getOrElse(0L)
+              (so.numRowsTotal, if (sst > 0) sst else so.memoryUsedBytes)
+            }.getOrElse((-1L, -1L))
+          (secs, rows, bytes)
+        }
+        val (gateSecs, _, _) = runStage(
+          StreamingAdmission.gateFlags(docStream, rates, quarantine),
+          s"$scratch/admflags", s"$scratch/chk-admflags")
+        val (probeSecs, stRows, stBytes) = runStage(
+          StreamingAdmission.dupHits(docStream, index).toDF(),
+          s"$scratch/admhits", s"$scratch/chk-admhits")
+        val tC = System.nanoTime()
+        val fin = StreamingAdmission.compact(
+          spark.read.parquet(s"$scratch/admflags"),
+          spark.read.parquet(s"$scratch/admhits"))
+        val admitted = fin.filter(col("admitted"))
+          .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+        val compactSecs = (System.nanoTime() - tC) / 1e9
+        val want = graft.queries.BuildQueries.b2Fin(spark, sfDir)
+          .filter(col("admitted"))
+          .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+        // a drift here means the continuous loop no longer admits what
+        // the nightly manifest declares — fail the bench, not a flag
+        require(admitted == want,
+          s"streaming admission parity mismatch: ${admitted.size} admitted" +
+            s" vs batch ${want.size}")
+        val line =
+          s"""{"arrivals":$nArr,"gate_secs":$gateSecs,"gate_rows_per_sec":${nArr / gateSecs},"probe_secs":$probeSecs,"probe_rows_per_sec":${nArr / probeSecs},"probe_state_rows":$stRows,"probe_state_bytes":$stBytes,"compact_secs":$compactSecs,"admitted":${admitted.size},"batch_parity":true}"""
+        System.err.println(s"STREAMBENCH ADMISSION $line")
+        line
+      }
+
     val out =
-      s"""{"metric":"ingest_rows_per_sec","unit":"rows/sec","n_events":$nEvents,"files":$nFiles,"state_store":"rocksdb","sf":"$sfDir","points":[${points.mkString(",")}],"restart":$restartJson,"sustained":$sustainJson}"""
+      s"""{"metric":"ingest_rows_per_sec","unit":"rows/sec","n_events":$nEvents,"files":$nFiles,"state_store":"rocksdb","sf":"$sfDir","points":[${points.mkString(",")}],"restart":$restartJson,"sustained":$sustainJson,"admission":$admitJson}"""
     println(out)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("stream_bench_out.json"),

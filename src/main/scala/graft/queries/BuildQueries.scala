@@ -60,7 +60,7 @@ object BuildQueries extends QueryPack {
     * duplicated region is a #sources-row agg over the cached token
     * frame, cheaper than a cache entry. Shared by b1 and b2 so the
     * build and the delta admission sample at the SAME rates. */
-  private def mixtureRates(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def mixtureRates(s: SparkSession, dir: String): DataFrame = {
     val toks = TextArtifacts.toks(s, dir)
       .select(col("source"), col("n_words"))
     val src = toks.groupBy(col("source"))
@@ -81,7 +81,7 @@ object BuildQueries extends QueryPack {
   /** t13's deterministic content-hash sampler: a 60-bit md5 prefix
     * as int64 over 2^60 is an exact IEEE uniform in both engines,
     * compared against the ROUNDED rate. */
-  private val uniformU = expr(
+  private[graft] val uniformU = expr(
     "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) " +
       "as double) / 1152921504606846976.0")
 
@@ -333,7 +333,13 @@ object BuildQueries extends QueryPack {
     * t11's broadcast-benchmark shape, and the batch CC runs over
     * batch-internal pairs only. This is the steady-state ingest loop
     * a 100 TB pipeline runs daily: b1 once, b2 per arrival batch. */
-  private def b2(s: SparkSession, dir: String): DataFrame = {
+  /** b2's per-arrival decision frame (stages 1–4, one row per arrival
+    * with `sampled`/`contaminated`/`dup_index`-derived `pre`,
+    * `cluster`, `admitted`) — shared by the b2 manifest agg and the
+    * STREAMING admission twin's batch-parity gate
+    * (StreamingAdmissionSpec: the continuously-ingested admitted set
+    * must be bit-identical to this frame's). */
+  private[graft] def b2Fin(s: SparkSession, dir: String): DataFrame = {
     val toks = TextArtifacts.toks(s, dir)
       .select(col("doc_id"), col("source"), col("n_words"))
     val rates = mixtureRates(s, dir)
@@ -359,8 +365,11 @@ object BuildQueries extends QueryPack {
         col("dup_index").isNull)
     val keeper = min(when(col("pre"), col("doc_id")))
       .over(Window.partitionBy(col("cluster")))
-    val fin = flags
-      .withColumn("admitted", col("pre") && col("doc_id") === keeper)
+    flags.withColumn("admitted", col("pre") && col("doc_id") === keeper)
+  }
+
+  private def b2(s: SparkSession, dir: String): DataFrame = {
+    val fin = b2Fin(s, dir)
     fin.groupBy(col("source"), col("sample_rate"))
       .agg(
         count(lit(1)).as("docs_in"),

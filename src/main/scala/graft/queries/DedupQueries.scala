@@ -475,15 +475,27 @@ object DedupQueries extends QueryPack {
     * The exact-baseline pair join; the blocked/ANN path is
     * SimilarityQueries.s2.
     *
-    * AUDIT-ONLY — declared O(n²). This is the ground-truth baseline
-    * the blocked/ANN paths (s2/s4/s9) measure recall against, and the
-    * one query exempted from the soak's 2×-linear gate. It is NOT a
-    * production operator: nothing in [[graft.etl.Curation]] (or any
-    * pipeline entry point) reaches it, and Round9InvariantsSpec locks
-    * the curation flow to plans with no nested-loop/cartesian pair
-    * join. At corpus scale, run s2 (IVF) or s4 (LSH) instead. */
+    * AUDIT-ONLY — declared O(n²) in its input, which is therefore
+    * CAPPED: the audit corpus is the first [[d5SampleCap]] vectors in
+    * deterministic md5-rank order (the s18 absolute-top-K treatment).
+    * The cap exceeds every oracle-gated SF's full embedding count
+    * (sf0.1 = 2 000 rows), so at sf ≤ 0.1 this IS the complete exact
+    * baseline; at soak scale the ground truth is computed over a
+    * content-hash-uniform subsample of fixed size — still the
+    * statistically valid recall baseline for the blocked/ANN paths
+    * (s2/s4/s9), at a bounded ≤ cap²/2 pairs instead of a quadratic
+    * blowup that was 21× super-linear at 10× data (SCALING.md
+    * round-13). It is NOT a production operator: nothing in
+    * [[graft.etl.Curation]] (or any pipeline entry point) reaches it,
+    * and Round9InvariantsSpec locks the curation flow to plans with
+    * no nested-loop/cartesian pair join. At corpus scale, run s2
+    * (IVF) or s4 (LSH) instead. */
+  private[queries] val d5SampleCap = 4000
+
   private def d5(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(d5SampleCap)
       .withColumn("v", col("embedding").cast("array<double>"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
       .select(col("vec_id"), col("v"), col("norm"))
@@ -501,9 +513,15 @@ object DedupQueries extends QueryPack {
   }
 
   private val d5Sql =
-    """WITH e AS (
+    s"""WITH samp AS (
+      |  SELECT vec_id, embedding FROM (
+      |    SELECT vec_id, embedding,
+      |      ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+      |        AS rk
+      |    FROM embeddings) WHERE rk <= $d5SampleCap),
+      |e AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      |  FROM embeddings),
+      |  FROM samp),
       |n AS (
       |  SELECT vec_id, v,
       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS norm
@@ -673,13 +691,13 @@ object DedupQueries extends QueryPack {
     * residue DECORRELATED from the source key (doc_id % 20), so the
     * manifest covers every source (the % 10 split d10 uses would pin
     * arrivals to two sources on this corpus). */
-  private[queries] def isDeltaArrival(c: org.apache.spark.sql.Column) =
+  private[graft] def isDeltaArrival(c: org.apache.spark.sql.Column) =
     c % 7 === 3 && c % 10 =!= 7
 
   /** Arrival docs with a confirmed (≥12/16) near-dup already in the
     * ingested index (non-arrival, non-benchmark) — d10's two-sided
     * probe with the drop set projected out. */
-  private[queries] def deltaIndexDupIds(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def deltaIndexDupIds(s: SparkSession, dir: String): DataFrame = {
     val sigs = DocArtifacts(s, dir).sigs
     val arr = sigs.filter(isDeltaArrival(col("doc_id")))
     val idx = sigs.filter(!isDeltaArrival(col("doc_id")) &&
@@ -695,7 +713,7 @@ object DedupQueries extends QueryPack {
   /** Confirmed near-dup pairs WITHIN the arrival batch (d3's
     * candidate + agreement pipeline restricted to arrivals) — b2's
     * batch-internal clusters build on these. */
-  private[queries] def deltaBatchDupPairs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def deltaBatchDupPairs(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextDedup.lshCandidates(
       DocArtifacts(s, dir).sigs.filter(isDeltaArrival(col("doc_id"))),
       "doc_id", k = 16, bands = bands)

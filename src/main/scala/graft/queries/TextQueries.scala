@@ -1143,7 +1143,7 @@ object TextQueries extends QueryPack {
     * report column). Shared by t20 (the per-source apply ledger) and
     * b1_corpus_build (the end-to-end manifest), so both agree on
     * exactly which docs the decontamination stage removes. */
-  private[queries] def decontamDropIds(s: SparkSession, dir: String,
+  private[graft] def decontamDropIds(s: SparkSession, dir: String,
       bloomPath: Boolean = false): DataFrame =
     // the default broadcast path is a TRAIN-ONCE artifact (the
     // quarantine list a pipeline writes once per corpus+benchmark

@@ -1,0 +1,126 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The STREAMING twin of `b2_corpus_delta` — the corpus admission
+  * loop run continuously instead of per nightly batch: arrival
+  * documents flow through the same four gates the batch manifest
+  * accounts for, and the admitted set is BIT-IDENTICAL to b2's on a
+  * replayed arrival batch (StreamingAdmissionSpec's parity gate).
+  *
+  * Architecture — two in-stream stages plus a window-close
+  * compaction, the Kappa shape a production ingest actually runs:
+  *
+  *  1. [[gateFlags]] (stateless, in-stream): every arrival is tagged
+  *     `sampled` (t13's deterministic content-hash sampler against
+  *     the PUBLISHED t12 rates — a broadcast #sources-row frame) and
+  *     `contaminated` (stream-static left join against the durable
+  *     quarantine table — the t20 drop set). Both gates are pure
+  *     per-doc functions of published snapshot artifacts, so they
+  *     stream with zero state.
+  *  2. [[dupHits]] (stateful, in-stream): the expensive part — each
+  *     arrival's MinHash/LSH band keys probe
+  *     [[StreamingNearDup.detectSeeded]] state seeded from the
+  *     ingested index, so a hit against an INDEX doc (d10's
+  *     two-sided probe) and a hit against an EARLIER ARRIVAL (d3's
+  *     batch-internal pairs) both emit from one pass. State is per
+  *     band bucket, sharded across executors exactly like the batch
+  *     band join, bounded by `maxBucket` × `stateTtlMs` (see
+  *     StreamingNearDup's state story).
+  *  3. [[compact]] (batch, at window close): survivor-min clustering
+  *     is a BARRIER semantic — "keep the smallest pre-admissible
+  *     member per connected component" is only decidable once the
+  *     batch's pair graph is complete — so it runs as the end-of-
+  *     window compaction over the landed flag/hit tables (connected
+  *     components + one window), the same way b1/b2 close their
+  *     nightly manifest. Everything per-doc and everything
+  *     index-sized streams; only the cluster fold waits for the
+  *     window.
+  *
+  * Scale: the stream side is arrival-sized per micro-batch (gates
+  * are broadcast/static joins; the LSH probe touches only the
+  * arriving docs' band buckets); the compaction is b2's audited
+  * batch-internal CC shape, linear in the window's arrivals — never
+  * arrivals × index.
+  *
+  * Reference basis: composes SURVEY §2.9's streaming surface with the
+  * b-family build loop; the reference ingests per-webhook with the
+  * same gate-then-dedup ordering
+  * (src/workflows/ingest/orchestrator.ts), re-expressed as Structured
+  * Streaming over corpus documents. */
+object StreamingAdmission {
+
+  /** The published per-snapshot gate artifacts: the t12 mixture-rate
+    * card COLLECTED to a local frame (it is #sources rows; inlining
+    * it spares every micro-batch the rate recomputation a live
+    * static plan would re-run), and the durable quarantine drop set
+    * (already a bucketed table scan — id-scale, cheap per batch). */
+  def publishedStatics(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val rates = graft.queries.BuildQueries.mixtureRates(s, dir)
+    val local = s.createDataFrame(
+      java.util.Arrays.asList(rates.collect(): _*), rates.schema)
+    (local, graft.queries.TextQueries.decontamDropIds(s, dir))
+  }
+
+  /** Stage 1+2 flags: arrivals(doc_id, source, text) →
+    * (doc_id, source, n_words, sample_rate, sampled, contaminated).
+    * Stateless — safe in append mode with no watermark. */
+  def gateFlags(arrivals: DataFrame, rates: DataFrame,
+      quarantine: DataFrame): DataFrame =
+    arrivals
+      .withColumn("n_words",
+        org.apache.spark.sql.functions.size(split(col("text"), " "))
+          .cast("long"))
+      .join(broadcast(rates), Seq("source"))
+      .withColumn("sampled",
+        graft.queries.BuildQueries.uniformU < col("sample_rate"))
+      .join(broadcast(quarantine.withColumn("contaminated", lit(true))),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_words"),
+        col("sample_rate"), col("sampled"), col("contaminated"))
+
+  /** Stage 3 hit stream: one near-dup evidence row per (arrival,
+    * stored) band agreement ≥ 12/16 — `d2` is an index doc (admission
+    * dedup vs the ingested corpus) or an earlier arrival
+    * (batch-internal pair); [[compact]] splits them by the arrival
+    * predicate. `maxBucket`/`stateTtlMs` are the state bounds; the
+    * EXACT-parity regime (spec) is unbounded (0 TTL, large bucket) —
+    * production trades recall horizon for bounded state exactly like
+    * StreamingNearDup documents. */
+  def dupHits(arrivals: DataFrame, indexCorpus: DataFrame,
+      maxBucket: Int = 1 << 20,
+      stateTtlMs: Long = 0): Dataset[StreamingNearDup.Hit] =
+    StreamingNearDup.detectSeeded(arrivals, "doc_id", "text", indexCorpus,
+      k = 16, bands = 4, minSigMatches = 12, maxBucket = maxBucket,
+      stateTtlMs = stateTtlMs)
+
+  /** Window-close compaction: the landed flag/hit tables → b2's
+    * decision frame (one row per arrival with `pre`, `cluster`,
+    * `admitted`). `isArrival` classifies a hit's stored side:
+    * arrival-arrival hits are the batch-internal pair graph,
+    * arrival-index hits are the index-dup drop set. */
+  def compact(flags: DataFrame, hits: DataFrame,
+      isArrival: Column => Column =
+        graft.queries.DedupQueries.isDeltaArrival): DataFrame = {
+    val idxDup = hits.filter(!isArrival(col("d2")))
+      .select(col("d1").as("doc_id")).distinct()
+      .withColumn("dup_index", lit(true))
+    val pairs = hits.filter(isArrival(col("d2")))
+      .select(least(col("d1"), col("d2")).as("d1"),
+        greatest(col("d1"), col("d2")).as("d2"))
+      .distinct()
+    val clusters = graft.operators.ConnectedComponents
+      .run(pairs, "d1", "d2", flags.select(col("doc_id")), "doc_id")
+      .select(col("id").as("doc_id"), col("cluster"))
+    val pre = flags
+      .join(idxDup, Seq("doc_id"), "left")
+      .join(clusters, Seq("doc_id"))
+      .withColumn("pre", col("sampled") && col("contaminated").isNull &&
+        col("dup_index").isNull)
+    val keeper = min(when(col("pre"), col("doc_id")))
+      .over(Window.partitionBy(col("cluster")))
+    pre.withColumn("admitted", col("pre") && col("doc_id") === keeper)
+  }
+}

@@ -19,9 +19,15 @@ import org.apache.spark.sql.functions._
   * [[StreamingCuration]], [[StreamingEnrich]]) is a transport
   * property, and e33 measures it exactly. A 14-day disorder allowance
   * against a transport whose p99 lateness is minutes holds every
-  * window's state ~5000× longer than needed — at 100 TB/day of
-  * events that is the difference between state that fits executor
-  * memory and state that pages to disk forever.
+  * window's state ~5000× longer than needed. MEASURED
+  * (`graft.WatermarkStateAB`, SCALING.md round 13): on the same
+  * time-ordered sf0.1 replay the calibrated delay's session state
+  * PLATEAUS at ~12k rows (zero rows dropped, sessions emitted as the
+  * stream runs) while the 14-day delay's state GROWS monotonically —
+  * 4.7× more rows by the end of even that short replay, unbounded on
+  * a continuous stream. At 100 TB/day of events that is the
+  * difference between state that fits executor memory and state that
+  * pages to disk forever.
   *
   * Production lifecycle: run e33 over yesterday's replay (it is
   * oracle-gated batch SQL — cheap, one pass), store the frame as the
