@@ -42,11 +42,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the disk cost is bounded by the corpus dirs a process touches and
   * is reclaimed at JVM exit (artifact names are process-unique — see
   * [[ArtifactRegistry.dirTag]] — and builders register their durable
-  * paths with [[ArtifactRegistry.deleteDirOnExit]]). One residual,
-  * pre-existing window: REBUILDING an evicted corpus drops and
-  * rewrites its durable tables, so a reader still draining a frame
-  * from before the eviction can race the rewrite — callers that keep
-  * results across eviction horizons should materialize them.
+  * paths with [[ArtifactRegistry.deleteDirOnExit]]). The historical
+  * eviction-rebuild race (a rebuild DROPPING and rewriting its
+  * durable tables under a reader still draining a pre-eviction
+  * frame) is closed for builders that go through
+  * [[graft.etl.DurableArtifacts.bucketedTable]]: rebuild ATTACHES to
+  * the existing table and never rewrites it.
   */
 final class ArtifactRegistry[A](frames: A => Seq[DataFrame],
     maxCorpora: Int = ArtifactRegistry.defaultMaxCorpora,

@@ -43,6 +43,7 @@ object ColdStartAB {
       try {
         graft.queries.DedupQueries.releaseArtifacts(s, sfDir)
         graft.queries.TextQueries.releaseArtifacts(s, sfDir)
+        graft.queries.GraphQueries.releaseArtifacts(s, sfDir)
       } catch { case _: Throwable => () }
     }
 

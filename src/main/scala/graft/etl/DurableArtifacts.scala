@@ -20,18 +20,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Sessions of one JVM share the catalog (SharedState), and artifact
   * table names carry [[graft.ArtifactRegistry.processTag]], so
   * existence in the catalog ⇒ THIS process wrote it for THIS corpus
-  * dir (md5 dir tag) — attaching is always sound. The JVM-wide lock
-  * serializes build-or-attach per process: two sessions racing the
-  * same corpus build exactly once (the registry's per-cell lock only
+  * dir (md5 dir tag) — attaching is always sound. Build-or-attach is
+  * serialized PER TABLE (striped locks): two sessions racing the same
+  * artifact build it exactly once (the registry's per-cell lock only
   * covers one session's cell, so without this the second session
-  * could DROP/rewrite the table mid-scan of the first).
+  * could DROP/rewrite the table mid-scan of the first), while builds
+  * of unrelated artifacts — another corpus, another family — proceed
+  * in parallel.
   *
   * Determinism contract (caller's): only memoize frames whose content
   * is a pure function of the corpus (min-id CC labels, threshold drop
-  * sets) — attach must be indistinguishable from rebuild.
+  * sets, degree-oriented edges) — attach must be indistinguishable
+  * from rebuild. A crashed partial MULTI-table build is safe under
+  * the same contract: the next build attaches the tables that landed
+  * and derives the missing ones from those same scans.
   */
 object DurableArtifacts {
-  private val lock = new Object
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(table: String): Object =
+    locks.computeIfAbsent(table, _ => new Object)
 
   /** Build count per table name — spec instrumentation for the
     * cold-start contract ("a second session attaches, not rebuilds"),
@@ -48,7 +56,7 @@ object DurableArtifacts {
     * table scan — cheap under cache eviction, never the build. */
   def bucketedTable(s: SparkSession, table: String, buckets: Int,
       bucketCols: Seq[String], sortCols: Seq[String])(
-      df: => DataFrame): DataFrame = lock.synchronized {
+      df: => DataFrame): DataFrame = lockFor(table).synchronized {
     if (!s.catalog.tableExists(table)) {
       CorpusLayout.writeBucketed(df, table, buckets, bucketCols, sortCols)
       builds.merge(table, 1L, (a, b) => a + b)
@@ -63,8 +71,9 @@ object DurableArtifacts {
     * table also deletes its directory). Process-wide: the table is
     * shared by every session of this JVM, so releasing it in one
     * session retires the corpus snapshot for all of them. */
-  def drop(s: SparkSession, table: String): Unit = lock.synchronized {
-    s.sql(s"DROP TABLE IF EXISTS `$table`")
-    ()
-  }
+  def drop(s: SparkSession, table: String): Unit =
+    lockFor(table).synchronized {
+      s.sql(s"DROP TABLE IF EXISTS `$table`")
+      ()
+    }
 }

@@ -48,6 +48,30 @@ class DurableArtifactsSpec extends SparkSpec {
     labels3 shouldBe labels1
   }
 
+  test("graph edge tables: a fresh session attaches to all six; release retires them") {
+    val r1 = graft.SparkEntry.queries("g2_triangles")(spark, sfDir)
+      .collect().toSeq
+    val sfx = graft.ArtifactRegistry.dirTag(sfDir)
+    val tables = Seq("inc", "bip", "bipdst", "oriented", "orienteddst",
+      "edgenv").map(t => s"graft_g_${t}_$sfx")
+    tables.foreach(t => withClue(s"$t: ") {
+      spark.catalog.tableExists(t) shouldBe true
+    })
+    val builds0 = tables.map(DurableArtifacts.buildCount)
+
+    val s2 = spark.newSession()
+    val r2 = graft.SparkEntry.queries("g2_triangles")(s2, sfDir)
+      .collect().toSeq
+    tables.map(DurableArtifacts.buildCount) shouldBe builds0 // attached
+    r2 shouldBe r1
+
+    GraphQueries.releaseArtifacts(spark, sfDir)
+    tables.foreach(t => withClue(s"$t: ") {
+      spark.catalog.tableExists(t) shouldBe false
+    })
+    GraphQueries.releaseArtifacts(s2, sfDir)
+  }
+
   test("quarantine drop set: durable table exists; fresh session attaches; release retires") {
     val ids1 = TextQueries.decontamDropIds(spark, sfDir)
       .collect().map(_.getLong(0)).sorted
