@@ -64,6 +64,34 @@ object WatermarkCalibration {
     s"$secs seconds"
   }
 
+  /** Per-PARTITION delay map — for fleets that run ONE STREAMING QUERY
+    * PER TRANSPORT PARTITION (a query per Kafka consumer group /
+    * source feed, a common isolation shape at 100 TB/day). A Spark
+    * watermark is global to its query, so the merged-stream
+    * calibration ([[delayFromAudit]]) must take the max over
+    * partitions — the laggiest partition then inflates EVERY
+    * window's state. A per-partition fleet escapes that: each query
+    * gets its own partition's p99 (times `margin`), so a well-behaved
+    * partition's state finalizes on its own schedule and only the
+    * laggy partition pays for its lag. Keyed by the audit's partition
+    * column rendered as a string; same unit contract as
+    * [[delayFromAudit]] (µs in, "N seconds" out, floor 1 s). */
+  def delaysPerPartition(audit: DataFrame,
+      partitionCol: String = "part", quantileCol: String = "p99_us",
+      margin: Double = 1.25): Map[String, String] = {
+    require(margin >= 1.0, s"margin must be >= 1, got $margin")
+    val rows = audit.select(col(partitionCol).cast("string"),
+      col(quantileCol).cast("long")).collect()
+    require(rows.nonEmpty,
+      "lateness audit is empty — cannot calibrate watermarks from it")
+    rows.map { r =>
+      require(!r.isNullAt(1),
+        s"partition ${r.getString(0)}: no quantile to calibrate from")
+      val secs = math.max(1L, math.ceil(r.getLong(1) * margin / 1e6).toLong)
+      r.getString(0) -> s"$secs seconds"
+    }.toMap
+  }
+
   /** The full loop for the library's own events table: replay `dir`'s
     * events through the partitioned-transport disorder model e33
     * audits and return the calibrated delay. This is the DOCUMENTED

@@ -31,6 +31,30 @@ class WatermarkCalibrationSpec extends SparkSpec {
     WatermarkCalibration.calibrate(spark, dir) shouldBe delay
   }
 
+  test("per-partition delay map: each partition gets ITS OWN p99 (not " +
+      "the fleet max), consistent with the merged-stream calibration") {
+    val audit = SparkEntry.queries("e33_late_audit")(spark, dir)
+    val perPart = WatermarkCalibration.delaysPerPartition(audit)
+    val rows = audit.select(col("part").cast("string"), col("p99_us"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perPart.keySet shouldBe rows.keySet
+    for ((p, delay) <- perPart) withClue(s"partition $p: ") {
+      val secs = delay.stripSuffix(" seconds").toLong
+      // covers its own p99 (with margin), floored at 1 s
+      secs * 1000000L should be >= rows(p)
+      secs should be >= 1L
+      secs shouldBe math.max(1L, math.ceil(rows(p) * 1.25 / 1e6).toLong)
+    }
+    // the merged-stream delay is the max over the per-partition map
+    // (same margin): a per-partition fleet never waits LONGER than
+    // the merged query, and the lag-free partitions wait far less
+    val merged = WatermarkCalibration.delayFromAudit(audit)
+      .stripSuffix(" seconds").toLong
+    perPart.values.map(_.stripSuffix(" seconds").toLong).max shouldBe merged
+    perPart.values.map(_.stripSuffix(" seconds").toLong).min should
+      be < merged
+  }
+
   test("replayed through a windowed streaming agg, the calibrated " +
       "watermark keeps every row; a tight watermark drops late data") {
     implicit val sqlCtx = spark.sqlContext
