@@ -349,10 +349,13 @@ object BuildQueries extends QueryPack {
       .withColumn("sampled", uniformU < col("sample_rate"))
     val bad = TextQueries.decontamDropIds(s, dir)
       .withColumn("contaminated", lit(true))
-    val dupIdx = DedupQueries.deltaIndexDupIds(s, dir)
+    // both drop sets come from the memoized single-pass probe
+    // (DedupQueries.DeltaArtifacts); the standalone two-join pipelines
+    // remain the specs' independent recomputation
+    val dupIdx = DedupQueries.deltaIdxDupArtifact(s, dir)
       .withColumn("dup_index", lit(true))
     val clusters = graft.operators.ConnectedComponents
-      .run(DedupQueries.deltaBatchDupPairs(s, dir), "d1", "d2",
+      .run(DedupQueries.deltaBatchPairsArtifact(s, dir), "d1", "d2",
         Tables(s, dir, "documents")
           .filter(DedupQueries.isDeltaArrival(col("doc_id")))
           .select(col("doc_id")), "doc_id")
