@@ -1239,9 +1239,11 @@ object DedupQueries extends QueryPack {
     * join is pair-frame-sized, keyed on doc id both ends. */
   private def d19(s: SparkSession, dir: String): DataFrame = {
     val edges = DocArtifacts(s, dir).pairs3.select(col("d1"), col("d2"))
-    val assigned = graft.operators.ConnectedComponents
-      .run(edges, "d1", "d2", docs(s, dir), "doc_id")
-      .select(col("id").as("doc_id"), col("cluster"))
+    // the shared durable cluster-label artifact — identical CC input
+    // (pairs3 over all docs), so reading it here is the "clusters
+    // come from the shared artifact" the scaladoc promises, not a
+    // per-call pointer-jumping re-run
+    val assigned = dupClusters(s, dir)
       .withColumn("h",
         expr("conv(substring(md5(cast(cluster as string)), 1, 13), 16, 10)")
           .cast("long") % 10)

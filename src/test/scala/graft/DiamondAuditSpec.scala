@@ -27,8 +27,9 @@ class DiamondAuditSpec extends SparkSpec {
     * id-scale frames where a cache would cost more than the recompute.
     */
   private val allow: Map[String, String] = Map(
-    "d19_leakage_split" -> ("an id-scale distinct inside the " +
-      "once-run CC build (one long per doc, not corpus rows)"),
+    // d19_leakage_split's entry was pruned in round 13: it now reads
+    // the durable cluster-label table instead of re-running the CC
+    // build, so the id-scale distinct diamond no longer exists
     "s13_nprobe_sweep" -> ("the query-side cell-rank frame (10 " +
       "queries x k centroids) re-planned per probe level"),
     "s20_filtered_ann" -> ("the query-side assignment frame (10 " +
