@@ -192,14 +192,19 @@ object StreamBench {
       // "first quartile" below would then measure the middle of the
       // run, skewing the flatness gate. The listener sees every
       // progress event regardless of run length.
+      // Enqueue EVERY progress event and filter by query id AFTER the
+      // run: filtering inside the listener against an id captured
+      // post-start() races registration — a progress event delivered
+      // before the id is set would be silently discarded, and the
+      // completeness require below would then abort the whole bench
+      // instead of just skewing a quartile.
       val progressLog = new java.util.concurrent.ConcurrentLinkedQueue[
         org.apache.spark.sql.streaming.StreamingQueryProgress]()
-      val qid = new java.util.concurrent.atomic.AtomicReference[java.util.UUID]()
       val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
         import org.apache.spark.sql.streaming.StreamingQueryListener._
         override def onQueryStarted(e: QueryStartedEvent): Unit = ()
         override def onQueryProgress(e: QueryProgressEvent): Unit = {
-          if (e.progress.id == qid.get()) { progressLog.add(e.progress); () }
+          progressLog.add(e.progress); ()
         }
         override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
       }
@@ -212,23 +217,22 @@ object StreamBench {
           admitted.addAndGet(batch.count()); ()
         }
         .start()
-      qid.set(q.id)
       try q.processAllAvailable() finally q.stop()
       val secs = (System.nanoTime() - t0) / 1e9
       // listener events are delivered asynchronously: wait (bounded)
       // until the final batch's progress has landed before reading
       val lastBatch = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
       val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
-      while (System.nanoTime() < deadline &&
-          !progressLog.iterator().hasNext()) Thread.sleep(50)
       while (System.nanoTime() < deadline && {
           import scala.jdk.CollectionConverters._
-          !progressLog.iterator().asScala.exists(_.batchId == lastBatch)
+          !progressLog.iterator().asScala
+            .exists(p => p.id == q.id && p.batchId == lastBatch)
         }) Thread.sleep(50)
       spark.streams.removeListener(listener)
       val raw = {
         import scala.jdk.CollectionConverters._
-        progressLog.iterator().asScala.toSeq.sortBy(_.batchId)
+        progressLog.iterator().asScala.toSeq
+          .filter(_.id == q.id).sortBy(_.batchId)
       }
       // coverage gate: the quartile analysis is only meaningful over
       // the WHOLE run — every batch id from 0 to the last must be

@@ -91,14 +91,17 @@ object WatermarkStateAB {
         .schema("user_id LONG, ts TIMESTAMP").json(inDir)
       val sessions = graft.streaming.StreamingSessions.sessionize(
         stream, "user_id", "ts", gap = "30 minutes", lateness = lateness)
+      // enqueue unconditionally, filter by q.id after the stop — a
+      // listener filtering on an id captured post-start() races
+      // registration and silently loses the EARLIEST state-series
+      // points (same fix as StreamBench's sustained series)
       val progressLog = new java.util.concurrent.ConcurrentLinkedQueue[
         org.apache.spark.sql.streaming.StreamingQueryProgress]()
-      val qid = new java.util.concurrent.atomic.AtomicReference[java.util.UUID]()
       val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
         import org.apache.spark.sql.streaming.StreamingQueryListener._
         override def onQueryStarted(e: QueryStartedEvent): Unit = ()
         override def onQueryProgress(e: QueryProgressEvent): Unit = {
-          if (e.progress.id == qid.get()) { progressLog.add(e.progress); () }
+          progressLog.add(e.progress); ()
         }
         override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
       }
@@ -111,19 +114,20 @@ object WatermarkStateAB {
           emitted.addAndGet(b.count()); ()
         }
         .start()
-      qid.set(q.id)
       try q.processAllAvailable() finally q.stop()
       val secs = (System.nanoTime() - t0) / 1e9
       val lastBatch = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
       val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
       while (System.nanoTime() < deadline && {
           import scala.jdk.CollectionConverters._
-          !progressLog.iterator().asScala.exists(_.batchId == lastBatch)
+          !progressLog.iterator().asScala
+            .exists(p => p.id == q.id && p.batchId == lastBatch)
         }) Thread.sleep(50)
       spark.streams.removeListener(listener)
       val series = {
         import scala.jdk.CollectionConverters._
-        progressLog.iterator().asScala.toSeq.sortBy(_.batchId)
+        progressLog.iterator().asScala.toSeq
+          .filter(_.id == q.id).sortBy(_.batchId)
           .filter(_.numInputRows > 0)
           .flatMap { p =>
             p.stateOperators.headOption.map { so =>

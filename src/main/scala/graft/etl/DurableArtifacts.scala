@@ -41,6 +41,30 @@ object DurableArtifacts {
   private def lockFor(table: String): Object =
     locks.computeIfAbsent(table, _ => new Object)
 
+  /** Sessions currently ATTACHED to each table (guarded by the
+    * table's stripe lock). The table is process-shared — every
+    * session of this JVM reads the same catalog entry — but releases
+    * are per-session (each session's registry cell retires
+    * independently), so [[drop]] refcounts: it detaches only the
+    * calling session and DROPs the table when the LAST attached
+    * session releases. Without this, one session's explicit release
+    * deleted the managed directory under sibling sessions whose
+    * persisted frames still root their recompute lineage on the
+    * table scan. A session that stops WITHOUT releasing stays in the
+    * set and pins the table for the JVM's lifetime — bounded by the
+    * corpora a process touches and reclaimed at exit
+    * ([[graft.ArtifactRegistry.deleteDirOnExit]]). */
+  private val attached =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, scala.collection.mutable.Set[SparkSession]]()
+  private def attachSet(table: String) =
+    attached.computeIfAbsent(table,
+      _ => scala.collection.mutable.Set.empty[SparkSession])
+
+  /** Attached-session count (spec hook for the refcount contract). */
+  private[graft] def attachCount(table: String): Int =
+    lockFor(table).synchronized(attachSet(table).size)
+
   /** Build count per table name — spec instrumentation for the
     * cold-start contract ("a second session attaches, not rebuilds"),
     * monotone and process-local. */
@@ -63,17 +87,24 @@ object DurableArtifacts {
       graft.ArtifactRegistry.deleteDirOnExit(
         CorpusLayout.managedTablePath(s, table).toString)
     }
+    attachSet(table) += s
     s.table(table)
   }
 
-  /** Retire the durable side-artifact (explicit-release path — the
-    * caller asserts no session still reads it; DROP on a managed
-    * table also deletes its directory). Process-wide: the table is
-    * shared by every session of this JVM, so releasing it in one
-    * session retires the corpus snapshot for all of them. */
+  /** Detach ONE session from the durable side-artifact; the table is
+    * DROPped (managed-table DROP also deletes its directory) only when
+    * no attached session remains. The caller asserts ITS OWN reads are
+    * done — sibling sessions' cached frames stay safe because their
+    * attach pins the table until they release too. A drop for a table
+    * no session ever attached (cleanup of an orphan) drops
+    * immediately. */
   def drop(s: SparkSession, table: String): Unit =
     lockFor(table).synchronized {
-      s.sql(s"DROP TABLE IF EXISTS `$table`")
-      ()
+      val set = attachSet(table)
+      set -= s
+      if (set.isEmpty) {
+        s.sql(s"DROP TABLE IF EXISTS `$table`")
+        ()
+      }
     }
 }

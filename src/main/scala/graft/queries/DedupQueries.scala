@@ -500,6 +500,15 @@ object DedupQueries extends QueryPack {
       .withColumn("v", col("embedding").cast("array<double>"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
       .select(col("vec_id"), col("v"), col("norm"))
+    // The sampled-universe STAMP: every pair row carries the cap and
+    // the realized sample size, so a downstream recall comparison
+    // (s2/s4/s9 full-corpus ANN output vs this ground truth) can
+    // DETECT the subsampled regime (n_sampled == sample_cap <
+    // corpus) and restrict both sides to the same universe instead of
+    // silently under-counting recall. One-row broadcast, no shape
+    // change.
+    val meta = e.agg(count(lit(1)).as("n_sampled"))
+      .withColumn("sample_cap", lit(d5SampleCap.toLong))
     // Non-equi pair join = nested-loop with one side broadcast. The
     // corpus parquet is a single split, so without a repartition the
     // whole O(n²) stream runs in ONE task; spread it first.
@@ -509,7 +518,9 @@ object DedupQueries extends QueryPack {
       .withColumn("cos", round(dot(col("a.v"), col("b.v")) /
         (col("a.norm") * col("b.norm")), 6))
       .filter(col("cos") >= 0.45)
-      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"), col("cos"))
+      .crossJoin(broadcast(meta))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"), col("cos"),
+        col("sample_cap"), col("n_sampled"))
       .orderBy(col("v1"), col("v2"))
   }
 
@@ -520,6 +531,8 @@ object DedupQueries extends QueryPack {
       |      ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
       |        AS rk
       |    FROM embeddings) WHERE rk <= $d5SampleCap),
+      |meta AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+      |         CAST($d5SampleCap AS BIGINT) AS sample_cap FROM samp),
       |e AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM samp),
@@ -529,8 +542,9 @@ object DedupQueries extends QueryPack {
       |  FROM e)
       |SELECT a.vec_id AS v1, b.vec_id AS v2,
       |  ROUND(list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
-      |        / (a.norm * b.norm), 6) AS cos
-      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |        / (a.norm * b.norm), 6) AS cos,
+      |  meta.sample_cap, meta.n_sampled
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id, meta
       |WHERE ROUND(list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
       |        / (a.norm * b.norm), 6) >= 0.45
       |ORDER BY v1, v2""".stripMargin

@@ -99,10 +99,14 @@ object GraphQueries extends QueryPack {
     // release only; LRU eviction keeps the tables so an in-flight
     // reader's recompute still finds its lineage roots, and process
     // exit reclaims them (deleteDirOnExit — names are process-unique).
+    // Routed through DurableArtifacts.drop so the drop serializes on
+    // the same per-table stripe lock as build-or-attach (a raw DROP
+    // could interleave with another session's attach between its
+    // tableExists check and the scan) and refcounts sibling sessions.
     private val reg = new graft.ArtifactRegistry[Arts](
       a => Seq(a.deg, a.edgesDeg, a.partDeg, a.oriented),
       onRetire = a => a.tables.foreach(t =>
-        a.deg.sparkSession.sql(s"DROP TABLE IF EXISTS `$t`")))
+        graft.etl.DurableArtifacts.drop(a.deg.sparkSession, t)))
 
     def apply(s: SparkSession, dir: String): Arts = reg(s, dir)(build)
 
@@ -290,7 +294,7 @@ object GraphQueries extends QueryPack {
     private val reg = new graft.ArtifactRegistry[Arts](
       a => Seq(a.deg),
       onRetire = a =>
-        a.deg.sparkSession.sql(s"DROP TABLE IF EXISTS `${a.table}`"))
+        graft.etl.DurableArtifacts.drop(a.deg.sparkSession, a.table))
 
     def apply(s: SparkSession, dir: String): Arts = reg(s, dir)(build)
 
@@ -305,15 +309,17 @@ object GraphQueries extends QueryPack {
         .groupBy(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
         .agg(countDistinct(col("o_orderkey")).as("m"))
         .filter(col("m") >= 2)
-      graft.etl.CorpusLayout.writeBucketed(
+      // build-or-attach like every other durable graph table (round
+      // 14): a sibling session attaches to the existing table (and is
+      // refcounted by DurableArtifacts) instead of rewriting it
+      // underneath the first session's scans
+      val edges = graft.etl.DurableArtifacts.bucketedTable(
+        s, tbl, nb, Seq("src"), Seq("src", "dst")) {
         pairs
           .select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
           .unionAll(pairs.select((col("sk") * 2 + 1).as("src"),
-            (col("ck") * 2).as("dst"))),
-        tbl, nb, Seq("src"), Seq("src", "dst"))
-      graft.ArtifactRegistry.deleteDirOnExit(
-        graft.etl.CorpusLayout.managedTablePath(s, tbl).toString)
-      val edges = s.table(tbl)
+            (col("ck") * 2).as("dst")))
+      }
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nNodes = deg.count()
