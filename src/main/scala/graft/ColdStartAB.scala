@@ -44,6 +44,7 @@ object ColdStartAB {
         graft.queries.DedupQueries.releaseArtifacts(s, sfDir)
         graft.queries.TextQueries.releaseArtifacts(s, sfDir)
         graft.queries.GraphQueries.releaseArtifacts(s, sfDir)
+        graft.queries.BuildQueries.releaseArtifacts(s, sfDir)
       } catch { case _: Throwable => () }
     }
 

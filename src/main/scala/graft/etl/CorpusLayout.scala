@@ -131,4 +131,22 @@ object CorpusLayout {
       .mode("overwrite")
       .saveAsTable(table)
   }
+
+  /** APPEND a delta to an existing bucketed table with the same
+    * bucket spec — the maintain-loop write shape: folding an arrival
+    * batch into a durable index is an arrival-sized append (each
+    * bucket gains one delta file), never an index-sized rewrite.
+    * Bucket pruning and bucketed-join co-location stay valid because
+    * the delta is hashed with the table's own bucket spec. Callers
+    * serialize through [[graft.etl.DurableArtifacts]]' per-table
+    * stripe lock. */
+  def appendBucketed(df: DataFrame, table: String, buckets: Int,
+      bucketCols: Seq[String], sortCols: Seq[String]): Unit = {
+    df.repartition(buckets, bucketCols.map(col): _*)
+      .write
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(sortCols.head, sortCols.tail: _*)
+      .mode("append")
+      .saveAsTable(table)
+  }
 }

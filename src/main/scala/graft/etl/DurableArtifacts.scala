@@ -91,6 +91,25 @@ object DurableArtifacts {
     s.table(table)
   }
 
+  /** Arrival-sized APPEND of a delta to an existing durable bucketed
+    * table — the maintain-loop's write shape (fold a batch into the
+    * index; never rewrite the index). Serialized on the same stripe
+    * lock as build-or-attach/drop, with an idempotence predicate
+    * evaluated under the lock (`alreadyFolded(currentScan)`) so a
+    * retried fold lands the delta at most once. Returns true when the
+    * append actually ran. */
+  def appendBucketed(s: SparkSession, table: String, buckets: Int,
+      bucketCols: Seq[String], sortCols: Seq[String],
+      alreadyFolded: DataFrame => Boolean)(delta: => DataFrame): Boolean =
+    lockFor(table).synchronized {
+      if (alreadyFolded(s.table(table))) false
+      else {
+        CorpusLayout.appendBucketed(delta, table, buckets, bucketCols,
+          sortCols)
+        true
+      }
+    }
+
   /** Detach ONE session from the durable side-artifact; the table is
     * DROPped (managed-table DROP also deletes its directory) only when
     * no attached session remains. The caller asserts ITS OWN reads are

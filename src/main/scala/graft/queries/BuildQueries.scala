@@ -446,11 +446,158 @@ object BuildQueries extends QueryPack {
       |GROUP BY source, sample_rate
       |ORDER BY source""".stripMargin
 
+  /** The durable ADMISSION-INDEX state and its FOLD (round 14 — the
+    * maintain loop's missing feedback half). Before this, admitted
+    * arrivals vanished: the signature index and the cluster-label
+    * table still described the pre-arrival snapshot, so the NEXT delta
+    * would re-admit near-dups of this batch's admits. Three durable
+    * doc_id-bucketed tables per corpus snapshot:
+    *
+    *   - `graft_b_idxsigs`:   MinHash signatures of everything SEEN.
+    *     Written once for the ingested index (non-arrival, non-bench);
+    *     the fold APPENDS the arrival batch's signatures — an
+    *     arrival-sized bucketed append (each bucket gains one delta
+    *     file), never an index rewrite. "Seen", not "admitted":
+    *     admission dedups against what was ingested, kept or not
+    *     (b2 stage 3's contract).
+    *   - `graft_b_idxlabels`: near-dup cluster labels over the
+    *     ingested index ("yesterday's" labels — in production these
+    *     already exist; here built once from the index-restricted d3
+    *     pairs).
+    *   - `graft_b_foldlabels`: POST-FOLD labels over index ∪ arrivals,
+    *     maintained INCREMENTALLY via the d20 star∪delta identity:
+    *     CC(star(CC(G_idx)) ∪ Δ) = CC(G_idx ∪ Δ), where Δ is the
+    *     memoized single-pass delta probe's pair evidence
+    *     (arrival↔index + arrival↔arrival). b4's oracle recomputes
+    *     the labels from the FULL pair graph in DuckDB, so the
+    *     identity is hash-gated, not asserted.
+    *
+    * Scale shape: the fold's write is arrival-sized; the star frame is
+    * node-sized (depth-1 chains, so the merged CC converges in ~2
+    * rounds); the delta edges are the already-bounded banded probe.
+    * Nothing rescans or rewrites the index — exactly the daily
+    * maintain loop a 100 TB corpus runs. */
+  private object FoldArtifacts {
+    final case class Art(labels: DataFrame, tables: Seq[String])
+    private val reg = new graft.ArtifactRegistry[Art](a => Seq(a.labels),
+      onRetire = a => a.tables.foreach(t =>
+        graft.etl.DurableArtifacts.drop(a.labels.sparkSession, t)))
+
+    def sigsTable(dir: String): String =
+      s"graft_b_idxsigs_${graft.ArtifactRegistry.dirTag(dir)}"
+    def idxLabelsTable(dir: String): String =
+      s"graft_b_idxlabels_${graft.ArtifactRegistry.dirTag(dir)}"
+    def foldLabelsTable(dir: String): String =
+      s"graft_b_foldlabels_${graft.ArtifactRegistry.dirTag(dir)}"
+
+    def apply(s: SparkSession, dir: String): DataFrame =
+      reg(s, dir) { (s2, d) =>
+        val nb = s2.conf.get("spark.sql.shuffle.partitions", "32").toInt
+        val arrP = DedupQueries.isDeltaArrival(col("doc_id"))
+        val sigs = DedupQueries.docSigs(s2, d)
+        // pre-fold state — what "yesterday's" build wrote (build-or-
+        // attach: a production run attaches; only this static-corpus
+        // harness ever builds them)
+        graft.etl.DurableArtifacts.bucketedTable(
+          s2, sigsTable(d), nb, Seq("doc_id"), Seq("doc_id")) {
+          sigs.filter(!arrP && col("doc_id") % 10 =!= 7)
+        }
+        graft.etl.DurableArtifacts.bucketedTable(
+          s2, idxLabelsTable(d), nb, Seq("doc_id"), Seq("doc_id")) {
+          val idxPairs = DedupQueries.d3PairsArtifact(s2, d)
+            .filter(!DedupQueries.isDeltaArrival(col("d1")) &&
+              col("d1") % 10 =!= 7 &&
+              !DedupQueries.isDeltaArrival(col("d2")) &&
+              col("d2") % 10 =!= 7)
+            .select(col("d1"), col("d2"))
+          graft.operators.ConnectedComponents.run(idxPairs, "d1", "d2",
+            Tables(s2, d, "documents")
+              .filter(!arrP && col("doc_id") % 10 =!= 7)
+              .select(col("doc_id")), "doc_id")
+            .select(col("id").as("doc_id"), col("cluster"))
+        }
+        val foldScan = graft.etl.DurableArtifacts.bucketedTable(
+          s2, foldLabelsTable(d), nb, Seq("doc_id"), Seq("doc_id")) {
+          // (a) signature-index fold: append the arrival batch's
+          // signatures exactly once (idempotence checked under the
+          // sigs table's stripe lock — a retried fold cannot
+          // double-append)
+          graft.etl.DurableArtifacts.appendBucketed(
+            s2, sigsTable(d), nb, Seq("doc_id"), Seq("doc_id"),
+            alreadyFolded = cur => !cur.filter(arrP).isEmpty) {
+            sigs.filter(arrP)
+          }
+          // (b) label fold: star edges off yesterday's labels +
+          // today's delta pair evidence, one ~2-round CC
+          val star = s2.table(idxLabelsTable(d))
+            .filter(col("doc_id") =!= col("cluster"))
+            .select(col("doc_id").as("d1"), col("cluster").as("d2"))
+          val delta = DedupQueries.deltaIdxPairsArtifact(s2, d)
+            .unionByName(DedupQueries.deltaBatchPairsArtifact(s2, d))
+          graft.operators.ConnectedComponents.run(
+            star.unionByName(delta), "d1", "d2",
+            Tables(s2, d, "documents")
+              .filter(col("doc_id") % 10 =!= 7)
+              .select(col("doc_id")), "doc_id")
+            .select(col("id").as("doc_id"), col("cluster"))
+        }
+        val labels = foldScan
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try { labels.count(); Art(labels,
+          Seq(sigsTable(d), idxLabelsTable(d), foldLabelsTable(d))) }
+        catch { case t: Throwable =>
+          labels.unpersist(blocking = false); throw t }
+      }.labels
+
+    def release(s: SparkSession, dir: String): Unit = reg.release(s, dir)
+  }
+
+  /** Spec/lifecycle hooks for the fold artifacts. */
+  private[graft] def foldSigsTableName(dir: String): String =
+    FoldArtifacts.sigsTable(dir)
+  private[graft] def foldLabelsTableName(dir: String): String =
+    FoldArtifacts.foldLabelsTable(dir)
+  private[graft] def foldLabels(s: SparkSession, dir: String): DataFrame =
+    FoldArtifacts(s, dir)
+
+  /** Release the b-family durable fold artifacts for one corpus dir
+    * (the [[DedupQueries.releaseArtifacts]] lifecycle). */
+  def releaseArtifacts(s: SparkSession, dir: String): Unit =
+    FoldArtifacts.release(s, dir)
+
+  /** b4 — the INDEX FOLD: the post-fold cluster-label table (index ∪
+    * arrival batch) produced by the star∪delta incremental path, with
+    * the arrival signatures appended to the durable signature index as
+    * a side effect (spec-gated). The oracle recomputes the labels from
+    * the full pair graph over the same universe, so incremental ≡
+    * full-rebuild is hash-checked per row. */
+  private def b4(s: SparkSession, dir: String): DataFrame =
+    FoldArtifacts(s, dir)
+      .withColumn("is_arrival",
+        DedupQueries.isDeltaArrival(col("doc_id")))
+      .orderBy(col("doc_id"))
+
+  private val b4Sql =
+    s"""WITH RECURSIVE
+      |pairs AS (SELECT d1, d2 FROM (${DedupQueries.d3OracleSql})
+      |          WHERE d1 % 10 <> 7 AND d2 % 10 <> 7),
+      |sym AS (SELECT d1 AS s, d2 AS t FROM pairs
+      |        UNION ALL SELECT d2, d1 FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents WHERE doc_id % 10 <> 7
+      |  UNION
+      |  SELECT reach.id, sym.t FROM reach JOIN sym ON reach.r = sym.s),
+      |clus AS (SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id)
+      |SELECT doc_id, cluster,
+      |  (doc_id % 7 = 3 AND doc_id % 10 <> 7) AS is_arrival
+      |FROM clus
+      |ORDER BY doc_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("b1_corpus_build" -> b1, "b2_corpus_delta" -> b2,
-      "b3_packing_manifest" -> b3)
+      "b3_packing_manifest" -> b3, "b4_index_fold" -> b4)
 
   override def oracle: Map[String, String] =
     Map("b1_corpus_build" -> b1Sql, "b2_corpus_delta" -> b2Sql,
-      "b3_packing_manifest" -> b3Sql)
+      "b3_packing_manifest" -> b3Sql, "b4_index_fold" -> b4Sql)
 }

@@ -721,9 +721,12 @@ object DedupQueries extends QueryPack {
     * [[deltaIndexDupIds]]/[[deltaBatchDupPairs]] pipelines stay fresh
     * as the independent recomputation the specs compare against. */
   private object DeltaArtifacts {
-    final case class Art(idxDupIds: DataFrame, batchPairs: DataFrame)
+    /** `idxPairs` keeps the PAIR evidence (d1 arrival, d2 index) —
+      * round 14: the index-fold's delta edges need the pairs, and
+      * b2's drop set is just their distinct-d1 projection. */
+    final case class Art(idxPairs: DataFrame, batchPairs: DataFrame)
     private val reg = new graft.ArtifactRegistry[Art](
-      a => Seq(a.idxDupIds, a.batchPairs))
+      a => Seq(a.idxPairs, a.batchPairs))
 
     def apply(s: SparkSession, dir: String): Art =
       reg(s, dir) { (s2, d) =>
@@ -738,7 +741,6 @@ object DedupQueries extends QueryPack {
           .select(col("d1"), col("d2"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val idx = hits.filter(!isDeltaArrival(col("d2")))
-          .select(col("d1").as("doc_id")).distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val pairs = hits
           .filter(isDeltaArrival(col("d2")) && col("d1") < col("d2"))
@@ -758,9 +760,20 @@ object DedupQueries extends QueryPack {
 
   /** b2's memoized drop sets (see [[DeltaArtifacts]]). */
   private[graft] def deltaIdxDupArtifact(s: SparkSession, dir: String): DataFrame =
-    DeltaArtifacts(s, dir).idxDupIds
+    DeltaArtifacts(s, dir).idxPairs
+      .select(col("d1").as("doc_id")).distinct()
+  /** The arrival↔index pair evidence itself (the fold's delta edges). */
+  private[graft] def deltaIdxPairsArtifact(s: SparkSession, dir: String): DataFrame =
+    DeltaArtifacts(s, dir).idxPairs
   private[graft] def deltaBatchPairsArtifact(s: SparkSession, dir: String): DataFrame =
     DeltaArtifacts(s, dir).batchPairs
+
+  /** Shared per-doc MinHash signature frame (round-14 fold hook). */
+  private[queries] def docSigs(s: SparkSession, dir: String): DataFrame =
+    DocArtifacts(s, dir).sigs
+  /** The confirmed d3 pair artifact (round-14 fold hook). */
+  private[queries] def d3PairsArtifact(s: SparkSession, dir: String): DataFrame =
+    DocArtifacts(s, dir).pairs3
 
   /** Arrival docs with a confirmed (≥12/16) near-dup already in the
     * ingested index (non-arrival, non-benchmark) — d10's two-sided

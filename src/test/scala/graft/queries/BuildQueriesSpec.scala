@@ -168,4 +168,50 @@ class BuildQueriesSpec extends SparkSpec {
       boundaryDocs should be < nSeq
     }
   }
+
+  test("b4: the fold APPENDS the arrival signatures to the durable " +
+      "index exactly once; a fresh session attaches to the folded state") {
+    // sf0.1: the only SF whose arrival batch carries index dups —
+    // at sf0.01 the evidence sets are empty and the gate is vacuous
+    val dir = "/root/testdata/sf0.1"
+    val arrP = DedupQueries.isDeltaArrival(col("doc_id"))
+    // run the fold (builds the three durable tables on first touch)
+    val labels1 = SparkEntry.queries("b4_index_fold")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val sigsTable = BuildQueries.foldSigsTableName(dir)
+    spark.catalog.tableExists(sigsTable) shouldBe true
+
+    // post-fold signature index covers everything SEEN: the ingested
+    // index PLUS the arrival batch — the base the next delta probes
+    val sigRows = spark.table(sigsTable)
+    val nArr = sigRows.filter(arrP).count()
+    val nIdx = sigRows.filter(!arrP).count()
+    nArr should be > 0L
+    val docs = graft.Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 10 =!= 7)
+      .filter(expr("size(split(text, ' ')) >= 3")) // sig min length
+    nArr shouldBe docs.filter(arrP).count()
+    nIdx shouldBe docs.filter(!arrP).count()
+
+    // idempotence: re-running the fold in THIS session (registry hit)
+    // and in a FRESH session (attach path) never double-appends
+    SparkEntry.queries("b4_index_fold")(spark, dir).count()
+    val s2 = spark.newSession()
+    val labels2 = BuildQueries.foldLabels(s2, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    labels2 shouldBe labels1
+    spark.table(sigsTable).count() shouldBe (nArr + nIdx)
+
+    // the folded labels agree with the d3-pair ground truth on the
+    // same universe: near-dup arrival↔index pairs share a cluster
+    val lbl = labels1.toMap
+    val idxPairs = DedupQueries.deltaIdxPairsArtifact(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    idxPairs.length should be > 0
+    idxPairs.foreach { case (a, b) =>
+      withClue(s"pair ($a,$b): ") { lbl(a) shouldBe lbl(b) }
+    }
+    BuildQueries.releaseArtifacts(s2, dir)
+    BuildQueries.releaseArtifacts(spark, dir)
+  }
 }
