@@ -60,11 +60,18 @@ object BuildQueries extends QueryPack {
     * duplicated region is a #sources-row agg over the cached token
     * frame, cheaper than a cache entry. Shared by b1 and b2 so the
     * build and the delta admission sample at the SAME rates. */
-  private[graft] def mixtureRates(s: SparkSession, dir: String): DataFrame = {
-    val toks = TextArtifacts.toks(s, dir)
+  private[graft] def mixtureRates(s: SparkSession, dir: String): DataFrame =
+    mixtureRatesFromMass(TextArtifacts.toks(s, dir)
       .select(col("source"), col("n_words"))
-    val src = toks.groupBy(col("source"))
-      .agg(sum(col("n_words")).as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_words")).as("n_tokens")))
+
+  /** The t12 rate math over an explicit per-source token-mass frame
+    * `(source, n_tokens)` — factored out (round 14) so the continuous
+    * admission loop can RE-publish the card over corpus ∪ admitted
+    * mass with bit-identical arithmetic
+    * ([[graft.streaming.RatePublisher]]). */
+  private[graft] def mixtureRatesFromMass(src: DataFrame): DataFrame = {
     val tot = src.agg(sum(col("n_tokens")).as("t"))
     val w = src.crossJoin(broadcast(tot))
       .withColumn("sw", sqrt(col("n_tokens").cast("double") / col("t")))

@@ -56,7 +56,17 @@ object StreamingAdmission {
     * card COLLECTED to a local frame (it is #sources rows; inlining
     * it spares every micro-batch the rate recomputation a live
     * static plan would re-run), and the durable quarantine drop set
-    * (already a bucketed table scan — id-scale, cheap per batch). */
+    * (already a bucketed table scan — id-scale, cheap per batch).
+    *
+    * FEEDBACK edges (round 14): this card is the STREAM-START
+    * snapshot; a continuous deployment wraps it in a
+    * [[RatePublisher]], folds each closed window's admitted mass, and
+    * republishes when the mixture-KL trigger fires — the next
+    * micro-batch's [[gateFlags]] joins the new card
+    * (RatePublisherSpec). The dedup index side of the loop is
+    * b4_index_fold: the window's arrivals are appended to the durable
+    * signature index + cluster labels, so the NEXT window's
+    * [[dupHits]] seeds see them (StreamingAdmissionFoldSpec). */
   def publishedStatics(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val rates = graft.queries.BuildQueries.mixtureRates(s, dir)
     val local = s.createDataFrame(
