@@ -2018,7 +2018,145 @@ object SimilarityQueries extends QueryPack {
       |FROM bc LEFT JOIN na ON bc.cell = na.cell
       |ORDER BY bc.cell""".stripMargin
 
+  /** Agreement bar for s23's retrain trigger: retrain when fewer than
+    * half the routed arrivals land in their own label's cell. On this
+    * corpus the agreement sits near 0.1 at every gated SF, so the
+    * oracle exercises the FIRED branch; IvfMaintainSpec forces the
+    * held branch through the threshold parameter. */
+  private[queries] val s23AgreementBar = 0.5
+
+  /** s23 — IVF index maintenance ACTION (round 14): s22 WATCHES the
+    * frozen coarse quantizer drift; s23 acts on it — the s-family
+    * mirror of b4_index_fold. The arrival slice (vec_id ≡ 0 mod 5) is
+    * routed through the frozen quantizer trained on the rest; the
+    * RETRAIN TRIGGER is s22's agreement metric (share of routed
+    * arrivals landing in their own label's cell) dropping below the
+    * bar. Fired ⇒ the quantizer retrains over base ∪ arrivals
+    * (per-label means — landing bit-identically on the from-scratch
+    * [[CentroidArtifacts]] quantizer, the identity IvfMaintainSpec
+    * gates, so the s9/s13 recall audits apply verbatim to the
+    * maintained index); held ⇒ the frozen quantizer stays and the
+    * arrivals fold in as occupancy only. Per cell the report carries
+    * occupancy before/after the fold, the trigger inputs, and the
+    * centroid shift the retrain applies (cosine between frozen and
+    * retrained centroid).
+    *
+    * Scale shape: both quantizers are k-row frames off one
+    * posexplode+agg pass each; the routing is arrivals × broadcast k
+    * cells; the report is a k-row join — maintenance cost is linear
+    * in the ARRIVAL batch, never index-sized. The maintained
+    * quantizer is published as a DURABLE table
+    * (`graft_s_cents`), so the next session/job ATTACHES to the
+    * post-fold index instead of retraining — b4's lifecycle for the
+    * embedding side. */
+  private[graft] def s23Frames(s: SparkSession, dir: String,
+      bar: Double): (DataFrame, DataFrame, DataFrame) = {
+    val e = emb(s, dir).select(col("vec_id"), col("label"), col("v"), col("norm"))
+    val base = e.filter(col("vec_id") % 5 =!= 0)
+    val arr = e.filter(col("vec_id") % 5 === 0)
+    val frozen = centroidsBuild(base.select(col("label"), col("v")))
+      .select(col("label").as("cell"), col("cv"), col("cnorm"))
+    val retrained = centroidsBuild(e.select(col("label"), col("v")))
+      .select(col("label").as("cell"), col("cv").as("rcv"),
+        col("cnorm").as("rcnorm"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cell"))
+    val assigned = arr.crossJoin(broadcast(frozen))
+      .withColumn("ccos",
+        round(dot(col("v"), col("cv")) / (col("norm") * col("cnorm")), 6))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("label"), col("cell"))
+    val trigger = assigned.agg(
+      round(sum(when(col("label") === col("cell"), 1L).otherwise(0L))
+        .cast("double") / count(lit(1)), 6).as("agreement"))
+      .withColumn("retrained", col("agreement") < bar)
+    val nBase = base.groupBy(col("label").as("cell"))
+      .agg(count(lit(1)).as("n_base"))
+    val nArr = arr.groupBy(col("label").as("cell"))
+      .agg(count(lit(1)).as("n_new"))
+    val report = frozen.join(retrained, Seq("cell"))
+      .join(nBase, Seq("cell"))
+      .join(nArr, Seq("cell"), "left")
+      .crossJoin(broadcast(trigger))
+      .select(col("cell").cast("long").as("cell"), col("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        (col("n_base") + coalesce(col("n_new"), lit(0L))).as("n_total"),
+        col("agreement"), col("retrained"),
+        round(dot(col("cv"), col("rcv")) /
+          (col("cnorm") * col("rcnorm")), 6).as("shift"))
+      .orderBy(col("cell"))
+    (report, frozen,
+      retrained.select(col("cell"), col("rcv").as("cv"),
+        col("rcnorm").as("cnorm")))
+  }
+
+  /** Durable maintained-quantizer table name (spec hook). */
+  private[graft] def maintainedCentsTableName(dir: String): String =
+    s"graft_s_cents_${graft.ArtifactRegistry.dirTag(dir)}"
+
+  private def s23(s: SparkSession, dir: String): DataFrame = {
+    val (report, frozen, retrained) = s23Frames(s, dir, s23AgreementBar)
+    // publish the maintained quantizer durably (build-or-attach):
+    // fired ⇒ the retrained centroids, held ⇒ the frozen ones — either
+    // way the next session attaches to the POST-FOLD index
+    val fired = report.select(col("retrained")).limit(1)
+      .collect().headOption.exists(_.getBoolean(0))
+    graft.etl.DurableArtifacts.bucketedTable(
+      s, maintainedCentsTableName(dir), 1, Seq("cell"), Seq("cell")) {
+      if (fired) retrained else frozen
+    }
+    report
+  }
+
+  private val s23Sql = {
+    val centsCte = (src: String, name: String) =>
+      s"""${name}0 AS (
+        |  SELECT label, pos, AVG(x) AS m
+        |  FROM (SELECT label, unnest(v) AS x,
+        |          generate_subscripts(v, 1) AS pos FROM $src) u
+        |  GROUP BY label, pos),
+        |$name AS (
+        |  SELECT label AS cell, list(m ORDER BY pos) AS cv,
+        |    sqrt(list_sum(list_transform(list(m ORDER BY pos), x -> x*x)))
+        |      AS cnorm
+        |  FROM ${name}0 GROUP BY label)""".stripMargin
+    s"""WITH e AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, label, v,
+      |      sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),
+      |base AS (SELECT * FROM n WHERE vec_id % 5 <> 0),
+      |arr AS (SELECT * FROM n WHERE vec_id % 5 = 0),
+      |${centsCte("base", "fc")},
+      |${centsCte("n", "rc")},
+      |assigned AS (
+      |  SELECT vec_id, label, cell FROM (
+      |    SELECT a.vec_id, a.label, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+      |        ROUND(list_sum(list_transform(list_zip(a.v, c.cv),
+      |          x -> x[1]*x[2])) / (a.norm * c.cnorm), 6) DESC, c.cell) AS rk
+      |    FROM arr a CROSS JOIN fc c) t
+      |  WHERE rk = 1),
+      |agr AS (
+      |  SELECT ROUND(CAST(SUM(CASE WHEN label = cell THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / COUNT(*), 6) AS agreement FROM assigned),
+      |nb AS (SELECT label AS cell, COUNT(*) AS n_base FROM base GROUP BY label),
+      |na AS (SELECT label AS cell, COUNT(*) AS n_new FROM arr GROUP BY label)
+      |SELECT CAST(fc.cell AS BIGINT) AS cell, nb.n_base,
+      |  COALESCE(na.n_new, 0) AS n_new,
+      |  nb.n_base + COALESCE(na.n_new, 0) AS n_total,
+      |  agr.agreement, (agr.agreement < $s23AgreementBar) AS retrained,
+      |  ROUND(list_sum(list_transform(list_zip(fc.cv, rc.cv),
+      |    x -> x[1]*x[2])) / (fc.cnorm * rc.cnorm), 6) AS shift
+      |FROM fc JOIN rc ON fc.cell = rc.cell
+      |  JOIN nb ON fc.cell = nb.cell
+      |  LEFT JOIN na ON fc.cell = na.cell, agr
+      |ORDER BY cell""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s23_ivf_retrain" -> s23,
     "s22_index_maintain" -> s22,
     "s21_mmr_serving" -> s21,
     "s20_filtered_ann" -> s20,
@@ -2044,6 +2182,7 @@ object SimilarityQueries extends QueryPack {
     "d8_semdedup"  -> d8)
 
   override def oracle: Map[String, String] = Map(
+    "s23_ivf_retrain" -> s23Sql,
     "s22_index_maintain" -> s22Sql,
     "s21_mmr_serving" -> s21Sql,
     "s20_filtered_ann" -> s20Sql,
