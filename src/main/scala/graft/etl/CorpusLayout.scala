@@ -37,6 +37,93 @@ object CorpusLayout {
       .parquet(path)
   }
 
+  /** One partition's compaction outcome: leaf-relative dir, data
+    * files before, data files after. */
+  final case class CompactedPartition(dir: String, before: Int, after: Int)
+  final case class CompactionReport(partitions: Seq[CompactedPartition],
+      skipped: Int) {
+    def filesBefore: Int = partitions.map(_.before).sum
+    def filesAfter: Int = partitions.map(_.after).sum
+  }
+
+  /** BIN-PACK COMPACTION for a [[writePartitioned]] tree that a
+    * continuous sink has fragmented — per-micro-batch appends land
+    * one small file per partition per batch, and a month of 1-minute
+    * triggers turns a day's directory into ~43k files whose open/plan
+    * overhead dwarfs the scan (round 14, the maintenance job the
+    * serving layout was missing).
+    *
+    * Only partitions holding at least `minFilesToCompact` data files
+    * are touched (SELECTIVE — the already-compact bulk of a 100 TB
+    * tree is never rewritten, so the job is sized by the fragmented
+    * tail, not the table). One Spark job reads exactly those
+    * directories (basePath keeps the partition columns), rewrites
+    * them through the [[writePartitioned]] routing (one task per
+    * directory, in-file sort restored, `maxRecordsPerFile` cap) into
+    * a staging tree, then swaps each fragmented directory's data
+    * files. The swap is per-partition rename — metadata-cheap, but
+    * not transactional: run it under the snapshot lifecycle (no
+    * concurrent readers of the fragmented partitions), the same
+    * contract every compaction outside a table format carries.
+    * Readers' plans are unchanged: same directories, same partition
+    * values, fewer files — PruneFileSourcePartitions sees the
+    * identical tree (CorpusLayoutSpec locks pruned-scan parity). */
+  def compactPartitioned(s: org.apache.spark.sql.SparkSession,
+      path: String, partitionCols: Seq[String], sortCols: Seq[String],
+      maxRecordsPerFile: Int, minFilesToCompact: Int = 2): CompactionReport = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def isData(f: org.apache.hadoop.fs.FileStatus): Boolean =
+      f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith(".")
+    def leaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val st = fs.listStatus(p).filterNot(x =>
+        x.getPath.getName.startsWith("_") || x.getPath.getName.startsWith("."))
+      val dirs = st.filter(_.isDirectory)
+      if (dirs.isEmpty) Seq(p)
+      else dirs.toSeq.flatMap(d => leaves(d.getPath))
+    }
+    val counted = leaves(root)
+      .map(d => d -> fs.listStatus(d).count(isData))
+    val (frag, compactAlready) =
+      counted.partition(_._2 >= minFilesToCompact)
+    if (frag.isEmpty) return CompactionReport(Nil, compactAlready.size)
+
+    val staging = new org.apache.hadoop.fs.Path(path + ".compact-staging")
+    fs.delete(staging, true)
+    s.read.option("basePath", path)
+      .parquet(frag.map(_._1.toString): _*)
+      .repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      .write
+      .partitionBy(partitionCols: _*)
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .mode("overwrite")
+      .parquet(staging.toString)
+
+    // leaf dirs come back fully qualified (file:/…); strip the
+    // qualified root PREFIX to get the partition-relative path —
+    // URI.relativize silently returns the ABSOLUTE uri on any
+    // scheme/prefix mismatch, which would alias staging onto the
+    // destination itself
+    val rootQ = fs.makeQualified(root).toString
+    val done = frag.map { case (d, before) =>
+      val dQ = fs.makeQualified(d).toString
+      require(dQ.startsWith(rootQ), s"leaf $dQ outside root $rootQ")
+      val rel = dQ.stripPrefix(rootQ).stripPrefix("/")
+      val stagedDir = new org.apache.hadoop.fs.Path(staging, rel)
+      val staged = fs.listStatus(stagedDir).filter(isData)
+      require(staged.nonEmpty, s"compaction staged no files for $rel")
+      fs.listStatus(d).filter(isData)
+        .foreach(f => fs.delete(f.getPath, false))
+      staged.foreach(f => fs.rename(f.getPath,
+        new org.apache.hadoop.fs.Path(d, f.getPath.getName)))
+      CompactedPartition(rel, before, staged.length)
+    }
+    fs.delete(staging, true)
+    CompactionReport(done, compactAlready.size)
+  }
+
   /** Morton bit-spread: inserts a 0 between each of the low 16 bits
     * (x₁₅…x₀ → 0x₁₅0x₁₄…0x₀) — the classic interleave mask ladder,
     * pure column bit math (codegen'd, no UDF). */

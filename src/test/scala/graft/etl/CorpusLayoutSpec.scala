@@ -103,6 +103,62 @@ class CorpusLayoutSpec extends SparkSpec {
     plan should include regex "PartitionFilters: \\[.*src1.*\\]"
   }
 
+  test("compactPartitioned: bin-packs fragmented partitions only, " +
+      "keeps rows/sort/pruning identical, and is idempotent") {
+    val dir = Files.createTempDirectory("graft-compact").toString
+    // simulate the continuous sink: 8 micro-batches each appending one
+    // small file per day directory
+    val rows = (1 to 800).map { i =>
+      (i.toLong, s"2024-01-${10 + i % 3}", i * 37 % 1000)
+    }
+    rows.grouped(100).foreach { chunk =>
+      chunk.toDF("id", "day", "v")
+        .repartition(col("day"))
+        .sortWithinPartitions(col("day"), col("v"))
+        .write.partitionBy("day").mode("append").parquet(dir)
+    }
+    def dataFiles(): Map[String, Int] =
+      new java.io.File(dir).listFiles().filter(_.isDirectory).map { d =>
+        d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))
+      }.toMap
+    val before = dataFiles()
+    before.values.foreach(_ shouldBe 8) // one file per batch per day
+    val want = spark.read.parquet(dir)
+      .select("id", "v", "day").collect().map(_.toSeq).toSet
+
+    val rep = CorpusLayout.compactPartitioned(spark, dir,
+      partitionCols = Seq("day"), sortCols = Seq("v"),
+      maxRecordsPerFile = 1000)
+    rep.partitions.map(_.before).sum shouldBe before.values.sum
+    val after = dataFiles()
+    after.keySet shouldBe before.keySet // same partition directories
+    after.values.foreach(_ shouldBe 1)  // bin-packed under the cap
+    rep.filesAfter shouldBe 3
+
+    // content identical, in-file sort restored
+    val back = spark.read.parquet(dir)
+    back.select("id", "v", "day").collect().map(_.toSeq).toSet shouldBe want
+    new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+      .foreach { f =>
+        val vs = spark.read.parquet(f.getAbsolutePath)
+          .select("v").as[Int].collect()
+        vs.sorted.toSeq shouldBe vs.toSeq
+      }
+    // the compacted read prunes identically (plan lock)
+    val plan = back.filter(col("day") === "2024-01-11")
+      .queryExecution.executedPlan.toString
+    plan should include regex "PartitionFilters: \\[.*2024-01-11.*\\]"
+
+    // SELECTIVE + idempotent: a second pass finds nothing fragmented
+    val rep2 = CorpusLayout.compactPartitioned(spark, dir,
+      partitionCols = Seq("day"), sortCols = Seq("v"),
+      maxRecordsPerFile = 1000)
+    rep2.partitions shouldBe empty
+    rep2.skipped shouldBe 3
+    dataFiles() shouldBe after
+  }
+
   test("writeBucketed: equi-join on the bucket key plans without an exchange") {
     spark.sql("DROP TABLE IF EXISTS layout_docs")
     spark.sql("DROP TABLE IF EXISTS layout_scores")
