@@ -127,4 +127,125 @@ class WatermarkCalibrationSpec extends SparkSpec {
       keptTight should be < total
     }
   }
+
+  test("query-per-partition fleet: each stream runs its OWN calibrated " +
+      "delay — zero drops, and peak state strictly under the merged " +
+      "query at the global max-p99 delay") {
+    implicit val sqlCtx = spark.sqlContext
+    // A DENSE two-partition transport (one event/second for 2 h per
+    // partition — dense enough that held window state is visible,
+    // unlike the sparse sf0.001 minutes): partition 0 delivers live,
+    // partition 1 delivers 30 min behind. Merged, partition 1's rows
+    // are ~1800 s late vs the high-water; within each partition the
+    // feed is FIFO.
+    val t0 = 1700000000000000L // µs
+    val nPerPart = 7200
+    val lagUs = 1800L * 1000000
+    val rows = // (ts_us, part, delivery_us)
+      (0 until nPerPart).map(i => (t0 + i * 1000000L, 0L, t0 + i * 1000000L)) ++
+      (0 until nPerPart).map(i => (t0 + i * 1000000L, 1L, t0 + i * 1000000L + lagUs))
+    val replay = rows.sortBy(r => (r._3, r._2)).map(r => (r._1, r._2))
+    val total = replay.length.toLong
+    val chunks = replay.grouped(replay.length / 40 + 1).toSeq
+    val sentinelTs = replay.map(_._1).max + 30L * 86400000000L
+
+    // the lateness AUDIT over this replay — e33's definition (event
+    // lateness vs the merged delivery high-water), then the
+    // per-partition p99 map and the merged max-p99 delay
+    val lateness = {
+      var hw = Long.MinValue
+      replay.map { case (ts, p) =>
+        val late = math.max(0L, hw - ts); hw = math.max(hw, ts); (p, late)
+      }
+    }
+    val p99 = lateness.groupBy(_._1).map { case (p, xs) =>
+      val sorted = xs.map(_._2).sorted
+      (p, sorted(math.ceil(sorted.length * 0.99).toInt - 1))
+    }
+    val audit = p99.toSeq.map { case (p, us) => (p, us) }
+      .toDF("part", "p99_us")
+    val perPart = WatermarkCalibration.delaysPerPartition(audit)
+    val globalDelay = WatermarkCalibration.delayFromAudit(audit)
+    // the laggy partition dominates the merged delay; the live one
+    // gets the 1 s floor in the fleet map
+    perPart("0") shouldBe "1 seconds"
+    globalDelay shouldBe perPart("1")
+
+    /** One leg: feed each stream its chunk slices through a
+      * windowed count at its own delay, recording summed state rows
+      * after every chunk. Returns (admitted real rows, peak state,
+      * per-stream peak). */
+    def leg(name: String, parts: Seq[Long], delayOf: Long => String,
+        partOf: ((Long, Long)) => Long): (Long, Long, Map[Long, Long]) = {
+      // state keyed (window × part) in BOTH legs — the merged query
+      // must hold one row per partition per open window, exactly what
+      // it would with per-partition grouping keys downstream
+      val ins = parts.map(p => p -> MemoryStream[(Long, Long)]).toMap
+      val qs = parts.map { p =>
+        val counts = ins(p).toDF().toDF("ts_us", "part")
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+          .withWatermark("ts", delayOf(p))
+          .groupBy(window(col("ts"), "1 minute"), col("part")).count()
+        p -> counts.writeStream.format("memory")
+          .queryName(s"${name}_p$p").outputMode("append").start()
+      }.toMap
+      try {
+        var peak = 0L
+        val lastRows = scala.collection.mutable.Map.empty[Long, Long]
+        val perStreamPeak = scala.collection.mutable.Map.empty[Long, Long]
+        chunks.foreach { chunk =>
+          chunk.groupBy(partOf).foreach { case (k, rs) =>
+            ins(k).addData(rs)
+            qs(k).processAllAvailable()
+            Option(qs(k).lastProgress)
+              .flatMap(_.stateOperators.headOption)
+              .foreach { so =>
+                lastRows(k) = so.numRowsTotal
+                perStreamPeak(k) = math.max(
+                  perStreamPeak.getOrElse(k, 0L), so.numRowsTotal)
+              }
+          }
+          peak = math.max(peak, lastRows.values.sum)
+        }
+        // sentinels flush every real window through append mode
+        parts.foreach { p =>
+          ins(p).addData((sentinelTs, p)); qs(p).processAllAvailable()
+          ins(p).addData((sentinelTs + 60000000L, p))
+          qs(p).processAllAvailable()
+        }
+        val admitted = parts.map { p =>
+          spark.table(s"${name}_p$p")
+            .filter(col("window.start") <
+              timestamp_micros(lit(sentinelTs - 86400000000L)))
+            .agg(coalesce(sum(col("count")), lit(0L))).head().getLong(0)
+        }.sum
+        (admitted, peak, perStreamPeak.toMap)
+      } finally qs.values.foreach(_.stop())
+    }
+
+    // FLEET: one stream per partition, each with its own p99 delay
+    val (fleetKept, fleetPeak, fleetPer) = leg("wmfleet", Seq(0L, 1L),
+      p => perPart(p.toString), _._2)
+    // MERGED: one stream at the global max-p99 delay (pseudo-id 99)
+    val (mergedKept, mergedPeak, _) = leg("wmmerged", Seq(99L),
+      _ => globalDelay, _ => 99L)
+
+    withClue(s"fleet (delays $perPart) dropped rows: ") {
+      fleetKept shouldBe total
+    }
+    withClue(s"merged ('$globalDelay') dropped rows: ") {
+      mergedKept shouldBe total
+    }
+    // THE claim behind delaysPerPartition: isolated under its own
+    // calibrated delay, the well-behaved partition finalizes its
+    // windows immediately instead of inheriting the laggiest
+    // partition's horizon — the fleet's total held state is a
+    // fraction of the merged query's
+    withClue(s"fleet peak $fleetPeak vs merged peak $mergedPeak: ") {
+      fleetPeak should be < mergedPeak
+    }
+    withClue(s"live partition's peak state ${fleetPer(0L)}: ") {
+      fleetPer(0L) should be <= 3L // finalizes on its own 1 s schedule
+    }
+  }
 }
