@@ -351,8 +351,38 @@ object StreamBench {
         require(admitted == want,
           s"streaming admission parity mismatch: ${admitted.size} admitted" +
             s" vs batch ${want.size}")
+
+        // FEEDBACK edges (round 14) — the window-close maintenance the
+        // loop runs after compaction, both timed in-line:
+        //  (1) b4's index fold: arrival signatures appended to the
+        //      durable signature index + cluster labels updated via
+        //      star∪delta (the next window's probes see this window);
+        //  (2) the gate-statics republish: admitted mass folded into
+        //      the RatePublisher, mixture-KL trigger, new t12 card.
+        val tF = System.nanoTime()
+        val foldLabelRows =
+          graft.queries.BuildQueries.foldLabels(spark, sfDir).count()
+        val foldSecs = (System.nanoTime() - tF) / 1e9
+        val foldSigRows = spark.table(
+          graft.queries.BuildQueries.foldSigsTableName(sfDir)).count()
+        require(foldLabelRows > 0 && foldSigRows > 0,
+          "index fold produced empty durable tables")
+        val pub = graft.streaming.RatePublisher.over(spark, sfDir,
+          docs.filter(!arrPred && col("doc_id") % 10 =!= 7)
+            .select(col("doc_id"), col("source"), col("text")))
+        val admittedMass = fin.filter(col("admitted"))
+          .groupBy(col("source")).agg(sum(col("n_words")).as("m"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val tR = System.nanoTime()
+        pub.fold(admittedMass, klThresholdNats = Double.MaxValue) // accumulate
+        val driftNats = pub.driftNats
+        val republished = pub.fold(Map.empty, klThresholdNats = 0.0)
+        val republishSecs = (System.nanoTime() - tR) / 1e9
+        require(republished && pub.generation == 2 && driftNats > 0,
+          s"gate-statics republish did not fire (drift $driftNats)")
+
         val line =
-          s"""{"arrivals":$nArr,"gate_secs":$gateSecs,"gate_rows_per_sec":${nArr / gateSecs},"probe_secs":$probeSecs,"probe_rows_per_sec":${nArr / probeSecs},"probe_state_rows":$stRows,"probe_state_bytes":$stBytes,"compact_secs":$compactSecs,"admitted":${admitted.size},"batch_parity":true}"""
+          s"""{"arrivals":$nArr,"gate_secs":$gateSecs,"gate_rows_per_sec":${nArr / gateSecs},"probe_secs":$probeSecs,"probe_rows_per_sec":${nArr / probeSecs},"probe_state_rows":$stRows,"probe_state_bytes":$stBytes,"compact_secs":$compactSecs,"admitted":${admitted.size},"batch_parity":true,"fold_secs":$foldSecs,"fold_label_rows":$foldLabelRows,"fold_sig_rows":$foldSigRows,"republish_secs":$republishSecs,"republish_drift_nats":$driftNats,"card_generation":${pub.generation}}"""
         System.err.println(s"STREAMBENCH ADMISSION $line")
         line
       }
