@@ -184,56 +184,22 @@ object StreamBench {
       val facts = graft.streaming.StreamingIngest.transform(
         graft.streaming.StreamingIngest.lineEnvelopes(lines, "ALOWARE"),
         roster = None)
-      // Collect the per-batch series via a LISTENER, not
-      // q.recentProgress: the engine caps recentProgress at
-      // spark.sql.streaming.numRecentProgressUpdates (default 100)
-      // entries, so a long sustained run (more files or replicas than
-      // ~100 batches) silently drops its EARLIEST batches — and the
-      // "first quartile" below would then measure the middle of the
-      // run, skewing the flatness gate. The listener sees every
-      // progress event regardless of run length.
-      // Enqueue EVERY progress event and filter by query id AFTER the
-      // run: filtering inside the listener against an id captured
-      // post-start() races registration — a progress event delivered
-      // before the id is set would be silently discarded, and the
-      // completeness require below would then abort the whole bench
-      // instead of just skewing a quartile.
-      val progressLog = new java.util.concurrent.ConcurrentLinkedQueue[
-        org.apache.spark.sql.streaming.StreamingQueryProgress]()
-      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
-        import org.apache.spark.sql.streaming.StreamingQueryListener._
-        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-        override def onQueryProgress(e: QueryProgressEvent): Unit = {
-          progressLog.add(e.progress); ()
-        }
-        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      // Complete per-batch series via the shared listener harness
+      // (graft.streaming.ProgressCollector — recentProgress caps at
+      // ~100 entries and an id-filtered listener races registration;
+      // both documented there).
+      val collected = graft.streaming.ProgressCollector.run(spark) {
+        facts.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$scratch/chk-sustain")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            admitted.addAndGet(batch.count()); ()
+          }
+          .start()
       }
-      spark.streams.addListener(listener)
-      val t0 = System.nanoTime()
-      val q = facts.writeStream
-        .outputMode("append")
-        .option("checkpointLocation", s"$scratch/chk-sustain")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          admitted.addAndGet(batch.count()); ()
-        }
-        .start()
-      try q.processAllAvailable() finally q.stop()
-      val secs = (System.nanoTime() - t0) / 1e9
-      // listener events are delivered asynchronously: wait (bounded)
-      // until the final batch's progress has landed before reading
-      val lastBatch = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
-      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
-      while (System.nanoTime() < deadline && {
-          import scala.jdk.CollectionConverters._
-          !progressLog.iterator().asScala
-            .exists(p => p.id == q.id && p.batchId == lastBatch)
-        }) Thread.sleep(50)
-      spark.streams.removeListener(listener)
-      val raw = {
-        import scala.jdk.CollectionConverters._
-        progressLog.iterator().asScala.toSeq
-          .filter(_.id == q.id).sortBy(_.batchId)
-      }
+      val secs = collected.secs
+      val lastBatch = collected.lastBatch
+      val raw = collected.series
       // coverage gate: the quartile analysis is only meaningful over
       // the WHOLE run — every batch id from 0 to the last must be
       // present (one progress event per micro-batch on a fresh
@@ -374,7 +340,11 @@ object StreamBench {
           .groupBy(col("source")).agg(sum(col("n_words")).as("m"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         val tR = System.nanoTime()
-        pub.fold(admittedMass, klThresholdNats = Double.MaxValue) // accumulate
+        // accumulate-only: PositiveInfinity, not MaxValue — driftNats
+        // is +Inf when an admitted source has zero index-card mass,
+        // and Inf > MaxValue would republish here and then fail the
+        // generation gate below with a misleading "did not fire"
+        pub.fold(admittedMass, klThresholdNats = Double.PositiveInfinity)
         val driftNats = pub.driftNats
         val republished = pub.fold(Map.empty, klThresholdNats = 0.0)
         val republishSecs = (System.nanoTime() - tR) / 1e9

@@ -91,43 +91,20 @@ object WatermarkStateAB {
         .schema("user_id LONG, ts TIMESTAMP").json(inDir)
       val sessions = graft.streaming.StreamingSessions.sessionize(
         stream, "user_id", "ts", gap = "30 minutes", lateness = lateness)
-      // enqueue unconditionally, filter by q.id after the stop — a
-      // listener filtering on an id captured post-start() races
-      // registration and silently loses the EARLIEST state-series
-      // points (same fix as StreamBench's sustained series)
-      val progressLog = new java.util.concurrent.ConcurrentLinkedQueue[
-        org.apache.spark.sql.streaming.StreamingQueryProgress]()
-      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
-        import org.apache.spark.sql.streaming.StreamingQueryListener._
-        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-        override def onQueryProgress(e: QueryProgressEvent): Unit = {
-          progressLog.add(e.progress); ()
-        }
-        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      // shared listener harness (graft.streaming.ProgressCollector):
+      // complete series, registration-race-free
+      val collected = graft.streaming.ProgressCollector.run(spark) {
+        sessions.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$scratch/chk-$name")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            emitted.addAndGet(b.count()); ()
+          }
+          .start()
       }
-      spark.streams.addListener(listener)
-      val t0 = System.nanoTime()
-      val q = sessions.writeStream
-        .outputMode("append")
-        .option("checkpointLocation", s"$scratch/chk-$name")
-        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-          emitted.addAndGet(b.count()); ()
-        }
-        .start()
-      try q.processAllAvailable() finally q.stop()
-      val secs = (System.nanoTime() - t0) / 1e9
-      val lastBatch = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
-      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
-      while (System.nanoTime() < deadline && {
-          import scala.jdk.CollectionConverters._
-          !progressLog.iterator().asScala
-            .exists(p => p.id == q.id && p.batchId == lastBatch)
-        }) Thread.sleep(50)
-      spark.streams.removeListener(listener)
+      val secs = collected.secs
       val series = {
-        import scala.jdk.CollectionConverters._
-        progressLog.iterator().asScala.toSeq
-          .filter(_.id == q.id).sortBy(_.batchId)
+        collected.series
           .filter(_.numInputRows > 0)
           .flatMap { p =>
             p.stateOperators.headOption.map { so =>

@@ -61,10 +61,16 @@ object CorpusLayout {
     * them through the [[writePartitioned]] routing (one task per
     * directory, in-file sort restored, `maxRecordsPerFile` cap) into
     * a staging tree, then swaps each fragmented directory's data
-    * files. The swap is per-partition rename — metadata-cheap, but
-    * not transactional: run it under the snapshot lifecycle (no
-    * concurrent readers of the fragmented partitions), the same
-    * contract every compaction outside a table format carries.
+    * files. The swap is per-partition rename with a commit-marker
+    * protocol — metadata-cheap, and crash-RECOVERABLE: originals move
+    * (never delete) into the staged leaf's `.orig`, a `_COMMIT`
+    * marker is the durability point, and the next run's
+    * [[recoverInterruptedCompaction]] rolls an interrupted swap
+    * forward (marker present) or back (marker absent) before
+    * touching anything else. It is still not isolated: run it under
+    * the snapshot lifecycle (no concurrent readers of the fragmented
+    * partitions), the same contract every compaction outside a table
+    * format carries.
     * Readers' plans are unchanged: same directories, same partition
     * values, fewer files — PruneFileSourcePartitions sees the
     * identical tree (CorpusLayoutSpec locks pruned-scan parity). */
@@ -73,9 +79,8 @@ object CorpusLayout {
       maxRecordsPerFile: Int, minFilesToCompact: Int = 2): CompactionReport = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    def isData(f: org.apache.hadoop.fs.FileStatus): Boolean =
-      f.isFile && !f.getPath.getName.startsWith("_") &&
-        !f.getPath.getName.startsWith(".")
+    val staging = new org.apache.hadoop.fs.Path(path + ".compact-staging")
+    recoverInterruptedCompaction(fs, root, staging)
     def leaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
       val st = fs.listStatus(p).filterNot(x =>
         x.getPath.getName.startsWith("_") || x.getPath.getName.startsWith("."))
@@ -89,8 +94,6 @@ object CorpusLayout {
       counted.partition(_._2 >= minFilesToCompact)
     if (frag.isEmpty) return CompactionReport(Nil, compactAlready.size)
 
-    val staging = new org.apache.hadoop.fs.Path(path + ".compact-staging")
-    fs.delete(staging, true)
     s.read.option("basePath", path)
       .parquet(frag.map(_._1.toString): _*)
       .repartition(partitionCols.map(col): _*)
@@ -106,22 +109,94 @@ object CorpusLayout {
     // URI.relativize silently returns the ABSOLUTE uri on any
     // scheme/prefix mismatch, which would alias staging onto the
     // destination itself
-    val rootQ = fs.makeQualified(root).toString
     val done = frag.map { case (d, before) =>
-      val dQ = fs.makeQualified(d).toString
-      require(dQ.startsWith(rootQ), s"leaf $dQ outside root $rootQ")
-      val rel = dQ.stripPrefix(rootQ).stripPrefix("/")
+      val rel = relLeaf(fs, root, d)
       val stagedDir = new org.apache.hadoop.fs.Path(staging, rel)
       val staged = fs.listStatus(stagedDir).filter(isData)
       require(staged.nonEmpty, s"compaction staged no files for $rel")
-      fs.listStatus(d).filter(isData)
-        .foreach(f => fs.delete(f.getPath, false))
-      staged.foreach(f => fs.rename(f.getPath,
+      // Crash-safe swap (roll-forward/roll-back via
+      // [[recoverInterruptedCompaction]]): originals RENAME into
+      // .orig under the staged leaf (metadata move, never a delete of
+      // the only copy), a _COMMIT marker makes the swap durable, and
+      // only then do the staged files rename into the live directory.
+      // Any crash before the marker rolls back (originals restored);
+      // any crash after it rolls forward (remaining renames finish).
+      val orig = new org.apache.hadoop.fs.Path(stagedDir, ".orig")
+      require(fs.mkdirs(orig), s"mkdirs failed: $orig")
+      fs.listStatus(d).filter(isData).foreach(f =>
+        renameOrThrow(fs, f.getPath,
+          new org.apache.hadoop.fs.Path(orig, f.getPath.getName)))
+      val marker = new org.apache.hadoop.fs.Path(stagedDir, "_COMMIT")
+      require(fs.createNewFile(marker), s"marker create failed: $marker")
+      staged.foreach(f => renameOrThrow(fs, f.getPath,
         new org.apache.hadoop.fs.Path(d, f.getPath.getName)))
+      fs.delete(stagedDir, true)
       CompactedPartition(rel, before, staged.length)
     }
     fs.delete(staging, true)
     CompactionReport(done, compactAlready.size)
+  }
+
+  private def isData(f: org.apache.hadoop.fs.FileStatus): Boolean =
+    f.isFile && !f.getPath.getName.startsWith("_") &&
+      !f.getPath.getName.startsWith(".")
+
+  private def renameOrThrow(fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"rename failed: $src -> $dst")
+
+  /** Leaf path relative to `base`. Qualified-prefix strip, NOT
+    * URI.relativize — relativize silently returns the ABSOLUTE uri on
+    * any scheme/prefix mismatch, which would alias staging onto the
+    * destination itself. */
+  private def relLeaf(fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path,
+      leaf: org.apache.hadoop.fs.Path): String = {
+    val baseQ = fs.makeQualified(base).toString
+    val leafQ = fs.makeQualified(leaf).toString
+    require(leafQ.startsWith(baseQ), s"leaf $leafQ outside root $baseQ")
+    leafQ.stripPrefix(baseQ).stripPrefix("/")
+  }
+
+  /** Repairs a compaction interrupted mid-swap, then removes the
+    * staging tree. Per staged leaf: a `_COMMIT` marker means the swap
+    * was durable — roll FORWARD (finish renaming staged data files
+    * into the live directory; the displaced originals in `.orig` are
+    * dead). No marker means the swap never committed — roll BACK
+    * (restore any originals already moved into `.orig`; the staged
+    * output is discarded). A staging tree from a crash during the
+    * staging WRITE itself (no `.orig`, no marker) is simply deleted —
+    * the live directories were never touched. Idempotent: a crash
+    * during recovery re-enters the same case on the next run. */
+  private def recoverInterruptedCompaction(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      staging: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(staging)) return
+    def walk(p: org.apache.hadoop.fs.Path): Unit = {
+      val st = fs.listStatus(p)
+      val marker = new org.apache.hadoop.fs.Path(p, "_COMMIT")
+      val orig = new org.apache.hadoop.fs.Path(p, ".orig")
+      val live = {
+        val rel = relLeaf(fs, staging, p)
+        if (rel.isEmpty) root else new org.apache.hadoop.fs.Path(root, rel)
+      }
+      if (fs.exists(marker)) {
+        require(fs.mkdirs(live), s"mkdirs failed: $live")
+        st.filter(isData).foreach(f => renameOrThrow(fs, f.getPath,
+          new org.apache.hadoop.fs.Path(live, f.getPath.getName)))
+      } else if (fs.exists(orig)) {
+        require(fs.mkdirs(live), s"mkdirs failed: $live")
+        fs.listStatus(orig).filter(_.isFile).foreach(f =>
+          renameOrThrow(fs, f.getPath,
+            new org.apache.hadoop.fs.Path(live, f.getPath.getName)))
+      }
+      st.filter(s => s.isDirectory && s.getPath.getName != ".orig")
+        .foreach(d => walk(d.getPath))
+    }
+    walk(staging)
+    fs.delete(staging, true)
   }
 
   /** Morton bit-spread: inserts a 0 between each of the low 16 bits

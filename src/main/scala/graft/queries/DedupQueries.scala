@@ -723,10 +723,13 @@ object DedupQueries extends QueryPack {
   private object DeltaArtifacts {
     /** `idxPairs` keeps the PAIR evidence (d1 arrival, d2 index) —
       * round 14: the index-fold's delta edges need the pairs, and
-      * b2's drop set is just their distinct-d1 projection. */
-    final case class Art(idxPairs: DataFrame, batchPairs: DataFrame)
+      * b2's drop set (`idxDupIds`) is their distinct-d1 projection,
+      * memoized too so each b2 call reads a persisted frame instead
+      * of re-shuffling the distinct. */
+    final case class Art(idxPairs: DataFrame, idxDupIds: DataFrame,
+        batchPairs: DataFrame)
     private val reg = new graft.ArtifactRegistry[Art](
-      a => Seq(a.idxPairs, a.batchPairs))
+      a => Seq(a.idxPairs, a.idxDupIds, a.batchPairs))
 
     def apply(s: SparkSession, dir: String): Art =
       reg(s, dir) { (s2, d) =>
@@ -742,15 +745,18 @@ object DedupQueries extends QueryPack {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val idx = hits.filter(!isDeltaArrival(col("d2")))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val idxIds = idx.select(col("d1").as("doc_id")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val pairs = hits
           .filter(isDeltaArrival(col("d2")) && col("d1") < col("d2"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          idx.count(); pairs.count()
+          idx.count(); idxIds.count(); pairs.count()
           hits.unpersist(blocking = false) // folded into the projections
-          Art(idx, pairs)
+          Art(idx, idxIds, pairs)
         } catch { case t: Throwable =>
-          Seq(hits, idx, pairs).foreach(_.unpersist(blocking = false))
+          Seq(hits, idx, idxIds, pairs)
+            .foreach(_.unpersist(blocking = false))
           throw t
         }
       }
@@ -760,8 +766,7 @@ object DedupQueries extends QueryPack {
 
   /** b2's memoized drop sets (see [[DeltaArtifacts]]). */
   private[graft] def deltaIdxDupArtifact(s: SparkSession, dir: String): DataFrame =
-    DeltaArtifacts(s, dir).idxPairs
-      .select(col("d1").as("doc_id")).distinct()
+    DeltaArtifacts(s, dir).idxDupIds
   /** The arrival↔index pair evidence itself (the fold's delta edges). */
   private[graft] def deltaIdxPairsArtifact(s: SparkSession, dir: String): DataFrame =
     DeltaArtifacts(s, dir).idxPairs

@@ -776,7 +776,16 @@ object SimilarityQueries extends QueryPack {
     * so the watch and the act stages price one posexplode+agg pass
     * between them instead of one each per call. */
   private object BaseCentroidArtifacts {
-    private val reg = new graft.ArtifactRegistry[DataFrame](f => Seq(f))
+    private final case class Art(cents: DataFrame, dir: String)
+    // retiring the frozen-quantizer cell also drops s23's durable
+    // maintained-quantizer table (refcounted DurableArtifacts.drop,
+    // no-op if s23 never ran for this dir) — the same ownership
+    // FoldArtifacts has over the b4 fold tables, so an explicit
+    // releaseArtifacts retires the WHOLE s-family durable surface,
+    // not just the in-memory frames
+    private val reg = new graft.ArtifactRegistry[Art](a => Seq(a.cents),
+      onRetire = a => graft.etl.DurableArtifacts.drop(
+        a.cents.sparkSession, maintainedCentsTableName(a.dir)))
 
     def apply(s: SparkSession, dir: String): DataFrame =
       reg(s, dir) { (s2, d) =>
@@ -784,10 +793,10 @@ object SimilarityQueries extends QueryPack {
           emb(s2, d).filter(col("vec_id") % 5 =!= 0)
             .select(col("label"), col("v")))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try { p.count(); p }
+        try { p.count(); Art(p, d) }
         catch { case t: Throwable =>
           p.unpersist(blocking = false); throw t }
-      }
+      }.cents
 
     def release(s: SparkSession, dir: String): Unit = reg.release(s, dir)
   }
@@ -2128,7 +2137,9 @@ object SimilarityQueries extends QueryPack {
     // a lazy return would re-run the routing plan for the trigger
     // read below and again at materialization
     val rows = report.collect()
-    val fired = rows.headOption.exists(_.getBoolean(5))
+    // agreement (and so retrained) is NULL when the arrival slice is
+    // empty — hold the frozen quantizer instead of unboxing the null
+    val fired = rows.headOption.exists(r => !r.isNullAt(5) && r.getBoolean(5))
     // publish the maintained quantizer durably (build-or-attach):
     // fired ⇒ the retrained centroids, held ⇒ the frozen ones — either
     // way the next session attaches to the POST-FOLD index

@@ -159,6 +159,80 @@ class CorpusLayoutSpec extends SparkSpec {
     dataFiles() shouldBe after
   }
 
+  test("compactPartitioned: recovers an interrupted swap — rolls back " +
+      "before the commit marker, forward after it, losing nothing") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("graft-compact-recover").toString
+    val rows = (1 to 400).map { i =>
+      (i.toLong, s"2024-02-${10 + i % 2}", i * 13 % 100)
+    }
+    rows.grouped(100).foreach { chunk =>
+      chunk.toDF("id", "day", "v")
+        .repartition(col("day"))
+        .sortWithinPartitions(col("day"), col("v"))
+        .write.partitionBy("day").mode("append").parquet(dir)
+    }
+    val want = spark.read.parquet(dir)
+      .select("id", "v", "day").collect().map(_.toSeq).toSet
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(leaf: Path): Seq[Path] =
+      fs.listStatus(leaf).filter(f => f.isFile &&
+        !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith(".")).map(_.getPath).toSeq
+    val staging = new Path(dir + ".compact-staging")
+
+    // CRASH WINDOW 1 (before _COMMIT): two originals already moved
+    // into .orig, uncommitted staged output present → must roll BACK
+    // (originals restored, staged output discarded) and then compact
+    // normally.
+    val leaf10 = new Path(dir, "day=2024-02-10")
+    val staged10 = new Path(staging, "day=2024-02-10")
+    val orig10 = new Path(staged10, ".orig")
+    fs.mkdirs(orig10)
+    val bogus = fs.create(new Path(staged10, "part-bogus.parquet"))
+    bogus.write("not parquet".getBytes); bogus.close()
+    dataFiles(leaf10).take(2).foreach(f =>
+      fs.rename(f, new Path(orig10, f.getName)) shouldBe true)
+    dataFiles(leaf10).size shouldBe 2 // live leaf now missing files
+
+    val rep = CorpusLayout.compactPartitioned(spark, dir,
+      partitionCols = Seq("day"), sortCols = Seq("v"),
+      maxRecordsPerFile = 1000)
+    rep.partitions.map(_.before).sum shouldBe 8 // all originals seen
+    fs.exists(staging) shouldBe false
+    spark.read.parquet(dir)
+      .select("id", "v", "day").collect().map(_.toSeq).toSet shouldBe want
+
+    // CRASH WINDOW 2 (after _COMMIT): every original displaced into
+    // .orig, staged replacement not yet renamed in, live leaf EMPTY →
+    // must roll FORWARD (staged file lands, .orig is dead).
+    val leaf11 = new Path(dir, "day=2024-02-11")
+    val staged11 = new Path(staging, "day=2024-02-11")
+    val orig11 = new Path(staged11, ".orig")
+    fs.mkdirs(orig11)
+    val replTmp = Files.createTempDirectory("graft-compact-repl").toString
+    spark.read.parquet(dir).filter(col("day") === "2024-02-11")
+      .select("id", "v").coalesce(1).write.mode("overwrite").parquet(replTmp)
+    val replFile = new java.io.File(replTmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    fs.rename(new Path(replFile.getAbsolutePath),
+      new Path(staged11, replFile.getName)) shouldBe true
+    dataFiles(leaf11).foreach(f =>
+      fs.rename(f, new Path(orig11, f.getName)) shouldBe true)
+    fs.createNewFile(new Path(staged11, "_COMMIT")) shouldBe true
+    dataFiles(leaf11) shouldBe empty // the crash left the leaf bare
+
+    val rep2 = CorpusLayout.compactPartitioned(spark, dir,
+      partitionCols = Seq("day"), sortCols = Seq("v"),
+      maxRecordsPerFile = 1000)
+    fs.exists(staging) shouldBe false
+    dataFiles(leaf11).size shouldBe 1 // the committed staged file
+    spark.read.parquet(dir)
+      .select("id", "v", "day").collect().map(_.toSeq).toSet shouldBe want
+    rep2.partitions shouldBe empty // nothing fragmented after recovery
+  }
+
   test("writeBucketed: equi-join on the bucket key plans without an exchange") {
     spark.sql("DROP TABLE IF EXISTS layout_docs")
     spark.sql("DROP TABLE IF EXISTS layout_scores")
