@@ -1030,6 +1030,123 @@ object SimilarityQueries extends QueryPack {
       |  ROUND(errsum / n_cands, 6) AS mean_abs_err
       |FROM agg ORDER BY qid""".stripMargin
 
+  /** s24 — PQ REFINE re-rank (the third stage of the production
+    * IVF-PQ serving path, after s11's ADC scan): the compressed scan
+    * keeps a SHORTLIST of the best R=10 candidates by approximate
+    * distance, the refine stage re-scores just those R against the
+    * uncompressed vectors, and the final top-3 comes from the exact
+    * re-rank. Per query the audit reports recall@3 (vs the exact
+    * cell-restricted top-3) for the raw ADC ranking and for the
+    * refined ranking — the table that decides whether a deployment
+    * pays the refine I/O (R raw-vector fetches per query) to claw
+    * back the distortion s12 measures.
+    *
+    * Scale: scoring is s12's cell-restricted join (never query ×
+    * corpus); the re-rank windows partition by query over ≤ cell-
+    * sized (ranks) and R-sized (refine) frames. At 100 TB the raw
+    * fetch is R random reads per query against the vec_id-bucketed
+    * vector store — the refine stage's entire cost, which is why R
+    * is a knob and this audit exists. */
+  private def s24(s: SparkSession, dir: String): DataFrame = {
+    val shortR = 10
+    val base = evec(s, dir)
+    val arts = PqArtifacts(s, dir)
+    val cands = arts.recon.join(arts.cells, "vec_id").join(base, "vec_id")
+      .select(col("vec_id").as("cid_"), col("cell"), col("r"), col("rr"),
+        col("v").as("xv"), col("vv").as("xx"))
+    val qs = base.filter(col("vec_id") < 10).join(arts.cells, "vec_id")
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("vv").as("qq"), col("cell"))
+    val scored = qs.join(cands, "cell").filter(col("qid") =!= col("cid_"))
+      .select(col("qid"), col("cid_"),
+        (col("qq") - lit(2.0) * dot(col("qv"), col("r")) + col("rr"))
+          .as("adc"),
+        (col("qq") - lit(2.0) * dot(col("qv"), col("xv")) + col("xx"))
+          .as("exact"))
+    val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc"), col("cid_"))
+    val wEx = Window.partitionBy(col("qid")).orderBy(col("exact"), col("cid_"))
+    val ranked = scored
+      .withColumn("adc_rk", row_number().over(wAdc))
+      .withColumn("true_rk", row_number().over(wEx))
+    val refined = ranked.filter(col("adc_rk") <= shortR)
+      .withColumn("ref_rk", row_number().over(wEx))
+      .groupBy(col("qid"))
+      .agg(sum(when(col("ref_rk") <= 3 && col("true_rk") <= 3, 1L)
+        .otherwise(0L)).as("n_ref_hit"))
+    ranked.groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_cands"),
+        sum(when(col("adc_rk") <= 3 && col("true_rk") <= 3, 1L)
+          .otherwise(0L)).as("n_adc_hit"))
+      .join(refined, Seq("qid"))
+      .withColumn("k", least(lit(3L), col("n_cands")))
+      .select(col("qid"), col("n_cands"),
+        round(col("n_adc_hit").cast("double") / col("k"), 6)
+          .as("recall_adc"),
+        round(col("n_ref_hit").cast("double") / col("k"), 6)
+          .as("recall_refined"),
+        round((col("n_ref_hit") - col("n_adc_hit")).cast("double")
+          / col("k"), 6).as("lift"))
+      .orderBy(col("qid"))
+  }
+
+  private val s24Sql = kmeansSql + ",\n" +
+    "eall AS (SELECT vec_id, v FROM e),\n" +
+    (0 until 4).map(pqSubSql).mkString(",\n") + s""",
+      |codes AS (
+      |  SELECT a20.vec_id, a20.cluster AS cl0, a21.cluster AS cl1,
+      |         a22.cluster AS cl2, a23.cluster AS cl3
+      |  FROM a20 JOIN a21 ON a20.vec_id = a21.vec_id
+      |           JOIN a22 ON a20.vec_id = a22.vec_id
+      |           JOIN a23 ON a20.vec_id = a23.vec_id),
+      |recon AS (
+      |  SELECT codes.vec_id, cb0.cv || cb1.cv || cb2.cv || cb3.cv AS r
+      |  FROM codes JOIN c10 cb0 ON codes.cl0 = cb0.cid
+      |             JOIN c11 cb1 ON codes.cl1 = cb1.cid
+      |             JOIN c12 cb2 ON codes.cl2 = cb2.cid
+      |             JOIN c13 cb3 ON codes.cl3 = cb3.cid),
+      |cands AS (
+      |  SELECT recon.vec_id AS cid_, a2.cluster AS cell, recon.r,
+      |    list_sum(list_transform(recon.r, x -> x*x)) AS rr,
+      |    ev.v AS xv, ev.vv AS xx
+      |  FROM recon JOIN a2 ON recon.vec_id = a2.vec_id
+      |             JOIN ev ON recon.vec_id = ev.vec_id),
+      |qs AS (
+      |  SELECT ev.vec_id AS qid, ev.v AS qv, ev.vv AS qq, a2.cluster AS cell
+      |  FROM ev JOIN a2 ON ev.vec_id = a2.vec_id WHERE ev.vec_id < 10),
+      |scored AS (
+      |  SELECT qs.qid, cands.cid_,
+      |    qs.qq - 2*list_sum(list_transform(list_zip(qs.qv, cands.r), x -> x[1]*x[2])) + cands.rr AS adc,
+      |    qs.qq - 2*list_sum(list_transform(list_zip(qs.qv, cands.xv), x -> x[1]*x[2])) + cands.xx AS exact
+      |  FROM qs JOIN cands ON qs.cell = cands.cell AND qs.qid <> cands.cid_),
+      |ranked AS (
+      |  SELECT qid, cid_,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc ASC, cid_) AS adc_rk,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY exact ASC, cid_) AS true_rk,
+      |    exact
+      |  FROM scored),
+      |refined AS (
+      |  SELECT qid,
+      |    CAST(SUM(CASE WHEN ref_rk <= 3 AND true_rk <= 3 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_ref_hit
+      |  FROM (SELECT qid, true_rk,
+      |          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY exact ASC, cid_)
+      |            AS ref_rk
+      |        FROM ranked WHERE adc_rk <= 10) t
+      |  GROUP BY qid),
+      |agg AS (
+      |  SELECT qid, COUNT(*) AS n_cands,
+      |    CAST(SUM(CASE WHEN adc_rk <= 3 AND true_rk <= 3 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_adc_hit
+      |  FROM ranked GROUP BY qid)
+      |SELECT agg.qid, agg.n_cands,
+      |  ROUND(CAST(n_adc_hit AS DOUBLE) / least(3, n_cands), 6) AS recall_adc,
+      |  ROUND(CAST(n_ref_hit AS DOUBLE) / least(3, n_cands), 6)
+      |    AS recall_refined,
+      |  ROUND(CAST(n_ref_hit - n_adc_hit AS DOUBLE) / least(3, n_cands), 6)
+      |    AS lift
+      |FROM agg JOIN refined ON agg.qid = refined.qid
+      |ORDER BY agg.qid""".stripMargin
+
   /** s13 — multi-probe IVF sweep (the recall/cost CURVE behind every
     * IVF deployment): queries probe their 1, 2, or 4 nearest coarse
     * cells and the sweep reports recall@3 against the exact top-3
@@ -2197,6 +2314,7 @@ object SimilarityQueries extends QueryPack {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s24_pq_refine" -> s24,
     "s23_ivf_retrain" -> s23,
     "s22_index_maintain" -> s22,
     "s21_mmr_serving" -> s21,
@@ -2223,6 +2341,7 @@ object SimilarityQueries extends QueryPack {
     "d8_semdedup"  -> d8)
 
   override def oracle: Map[String, String] = Map(
+    "s24_pq_refine" -> s24Sql,
     "s23_ivf_retrain" -> s23Sql,
     "s22_index_maintain" -> s22Sql,
     "s21_mmr_serving" -> s21Sql,

@@ -1771,7 +1771,99 @@ object TextQueries extends QueryPack {
       |FROM agg a JOIN ns USING (source) JOIN top t ON a.source = t.source
       |ORDER BY a.source""".stripMargin
 
+  /** t29 — CURRICULUM mixture schedule: the per-epoch generalization
+    * of t12's static mixture. Epoch e of 4 trains on a blend that
+    * interpolates from the corpus's NATURAL source distribution
+    * toward the temperature-flattened t12 target — α = e/4, share =
+    * (1−α)·natural + α·target — the standard curriculum/annealing
+    * recipe (start on the raw distribution, finish on the rebalanced
+    * mix). Each epoch's 10k-token budget is then allocated to
+    * sources as EXACT integers by largest-remainder (Hamilton)
+    * apportionment: floor every share·B, hand the leftover tokens to
+    * the largest fractional remainders (ties by source name) — so
+    * every epoch's allocation sums to exactly B and no float ever
+    * reaches the training manifest.
+    *
+    * Determinism: α = e/4 and the interpolation are single IEEE ops
+    * on identically-derived operands (t12's √-share convention, the
+    * sorted-fold denominator), so both engines floor the same
+    * doubles; everything after is integer.
+    *
+    * Scale: one corpus scan for the per-source token totals; the
+    * schedule itself is #sources × #epochs rows of window math. */
+  private def t29(s: SparkSession, dir: String): DataFrame = {
+    val epochsN = 4
+    val budget = 10000L
+    val src = docs(s, dir).groupBy(col("source"))
+      .agg(sum(expr("size(split(text, ' '))").cast("long")).as("n_tokens"))
+    val tot = src.agg(sum(col("n_tokens")).as("t"))
+    val w = src.crossJoin(broadcast(tot))
+      .withColumn("rawf", col("n_tokens").cast("double") / col("t"))
+      .withColumn("sw", sqrt(col("rawf")))
+    val den = w.agg(
+      expr("aggregate(transform(array_sort(collect_list(struct(source, sw))), " +
+        "s -> s.sw), cast(0.0 AS double), (acc, x) -> acc + x)").as("d"))
+    val epochs = s.range(1, epochsN + 1L).toDF("epoch")
+    val sched = w.crossJoin(broadcast(den))
+      .withColumn("tempf", col("sw") / col("d"))
+      .crossJoin(broadcast(epochs))
+      .withColumn("alpha", col("epoch").cast("double") / lit(4.0))
+      .withColumn("share",
+        (lit(1.0) - col("alpha")) * col("rawf") +
+          col("alpha") * col("tempf"))
+      .withColumn("x", col("share") * lit(10000.0))
+      .withColumn("q", floor(col("x")))
+      .withColumn("rem", col("x") - floor(col("x")))
+    val wE = Window.partitionBy(col("epoch"))
+    val wR = Window.partitionBy(col("epoch"))
+      .orderBy(col("rem").desc, col("source"))
+    sched
+      .withColumn("leftover", lit(budget) - sum(col("q")).over(wE))
+      .withColumn("rrk", row_number().over(wR))
+      .select(col("epoch"), col("source"),
+        round(col("share"), 6).as("share"),
+        (col("q") + when(col("rrk") <= col("leftover"), 1L).otherwise(0L))
+          .as("alloc_tokens"))
+      .orderBy(col("epoch"), col("source"))
+  }
+
+  private val t29Sql =
+    """WITH src AS (
+      |  SELECT source,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM src),
+      |w AS (
+      |  SELECT source,
+      |    CAST(n_tokens AS DOUBLE) / t AS rawf,
+      |    sqrt(CAST(n_tokens AS DOUBLE) / t) AS sw
+      |  FROM src, tot),
+      |den AS (SELECT list_sum(list(sw ORDER BY source)) AS d FROM w),
+      |sched AS (
+      |  SELECT e.epoch, w.source,
+      |    (CAST(1 AS DOUBLE) - CAST(e.epoch AS DOUBLE) / 4) * w.rawf
+      |      + (CAST(e.epoch AS DOUBLE) / 4) * (w.sw / den.d) AS share
+      |  FROM w, den, (SELECT unnest(range(1, 5)) AS epoch) e),
+      |q AS (
+      |  SELECT epoch, source, share,
+      |    CAST(floor(share * CAST(10000 AS DOUBLE)) AS BIGINT) AS q,
+      |    share * CAST(10000 AS DOUBLE)
+      |      - floor(share * CAST(10000 AS DOUBLE)) AS rem
+      |  FROM sched),
+      |a AS (
+      |  SELECT epoch, source, share, q, rem,
+      |    10000 - SUM(q) OVER (PARTITION BY epoch) AS leftover,
+      |    ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY rem DESC, source)
+      |      AS rrk
+      |  FROM q)
+      |SELECT CAST(epoch AS BIGINT) AS epoch, source,
+      |  ROUND(share, 6) AS share,
+      |  CAST(q + CASE WHEN rrk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+      |    AS alloc_tokens
+      |FROM a ORDER BY epoch, source""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t29_mix_schedule" -> t29,
     "t28_mix_kl" -> t28,
     "t27_systematic_sample" -> t27,
     "t26_vocab_growth" -> t26,
@@ -1802,6 +1894,7 @@ object TextQueries extends QueryPack {
     "t25_ppl_buckets" -> t25)
 
   override def oracle: Map[String, String] = Map(
+    "t29_mix_schedule" -> t29Sql,
     "t28_mix_kl" -> t28Sql,
     "t24_boilerplate"    -> t24Sql,
     "t23_token_budget"   -> t23Sql,

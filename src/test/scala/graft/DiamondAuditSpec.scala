@@ -33,7 +33,13 @@ class DiamondAuditSpec extends SparkSpec {
     "s13_nprobe_sweep" -> ("the query-side cell-rank frame (10 " +
       "queries x k centroids) re-planned per probe level"),
     "s20_filtered_ann" -> ("the query-side assignment frame (10 " +
-      "queries x k centroids) shared by pre/post-filter legs"))
+      "queries x k centroids) shared by pre/post-filter legs"),
+    "t29_mix_schedule" -> ("the #sources-row share frame re-planned " +
+      "for the sorted-fold denominator: the corpus scan + per-source " +
+      "agg behind it lands as a ReusedExchange, so the re-executed " +
+      "region is one ~20-row final aggregate + a broadcast cross " +
+      "join — cheaper than any cache (t12 has the same shape but " +
+      "dodges canonical equality via an extra retained column)"))
 
   test("no query re-executes a heavy cascade through an unfused diamond") {
     val heavy = Set("HashAggregate", "ObjectHashAggregate",
