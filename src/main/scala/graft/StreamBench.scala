@@ -351,8 +351,54 @@ object StreamBench {
         require(republished && pub.generation == 2 && driftNats > 0,
           s"gate-statics republish did not fire (drift $driftNats)")
 
+        //  (3) the continuous SERVING SINK + its maintenance job:
+        //      each micro-batch of admitted docs appends one small
+        //      file per source partition (the fragmentation a
+        //      1-minute-trigger deployment accrues), then the
+        //      crash-safe bin-pack compaction restores the serving
+        //      layout — rows identical, same partition dirs, ~1 file
+        //      per partition (CorpusLayout.compactPartitioned).
+        val serveDir = s"$scratch/admserve"
+        val admitIds = fin.filter(col("admitted")).select(col("doc_id"))
+        val tS = System.nanoTime()
+        val qServe = docStream
+          .select(col("doc_id"), col("source"),
+            expr("size(split(text, ' '))").cast("long").as("n_words"))
+          .join(broadcast(admitIds), Seq("doc_id"))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$scratch/chk-admserve")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.partitionBy("source").mode("append").parquet(serveDir)
+            ()
+          }.start()
+        try qServe.processAllAvailable() finally qServe.stop()
+        val serveSecs = (System.nanoTime() - tS) / 1e9
+        def dataFileCount(): Int = {
+          def walk(f: java.io.File): Int =
+            if (f.isDirectory) f.listFiles().map(walk).sum
+            else if (f.getName.startsWith("_") || f.getName.startsWith("."))
+              0
+            else 1
+          walk(new java.io.File(serveDir))
+        }
+        val serveFilesBefore = dataFileCount()
+        val tM = System.nanoTime()
+        graft.etl.CorpusLayout.compactPartitioned(spark, serveDir,
+          partitionCols = Seq("source"), sortCols = Seq("doc_id"),
+          maxRecordsPerFile = 1 << 20)
+        val maintainSecs = (System.nanoTime() - tM) / 1e9
+        val serveFilesAfter = dataFileCount()
+        val served = spark.read.parquet(serveDir)
+        val servedIds =
+          served.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+        require(servedIds == admitted && served.count() == admitted.size,
+          "serving sink lost or duplicated admitted docs across compaction")
+        require(serveFilesAfter < serveFilesBefore,
+          s"maintenance did not bin-pack the serving tree " +
+            s"($serveFilesBefore -> $serveFilesAfter files)")
+
         val line =
-          s"""{"arrivals":$nArr,"gate_secs":$gateSecs,"gate_rows_per_sec":${nArr / gateSecs},"probe_secs":$probeSecs,"probe_rows_per_sec":${nArr / probeSecs},"probe_state_rows":$stRows,"probe_state_bytes":$stBytes,"compact_secs":$compactSecs,"admitted":${admitted.size},"batch_parity":true,"fold_secs":$foldSecs,"fold_label_rows":$foldLabelRows,"fold_sig_rows":$foldSigRows,"republish_secs":$republishSecs,"republish_drift_nats":$driftNats,"card_generation":${pub.generation}}"""
+          s"""{"arrivals":$nArr,"gate_secs":$gateSecs,"gate_rows_per_sec":${nArr / gateSecs},"probe_secs":$probeSecs,"probe_rows_per_sec":${nArr / probeSecs},"probe_state_rows":$stRows,"probe_state_bytes":$stBytes,"compact_secs":$compactSecs,"admitted":${admitted.size},"batch_parity":true,"fold_secs":$foldSecs,"fold_label_rows":$foldLabelRows,"fold_sig_rows":$foldSigRows,"republish_secs":$republishSecs,"republish_drift_nats":$driftNats,"card_generation":${pub.generation},"serve_secs":$serveSecs,"serve_files_before":$serveFilesBefore,"serve_files_after":$serveFilesAfter,"maintain_secs":$maintainSecs}"""
         System.err.println(s"STREAMBENCH ADMISSION $line")
         line
       }
