@@ -303,9 +303,18 @@ object StreamBench {
           StreamingAdmission.dupHits(docStream, index).toDF(),
           s"$scratch/admhits", s"$scratch/chk-admhits")
         val tC = System.nanoTime()
+        // window-close decontam RECHECK: the arrivals' own gram
+        // evidence vs the benchmark index — the stage that catches
+        // contaminated arrivals the published quarantine list never
+        // saw (on a replayed batch it equals quarantine ∩ arrivals,
+        // so batch parity below still holds bit-exactly)
+        val recheckIds = StreamingAdmission.arrivalContamIds(
+          docs.filter(arrPred).select(col("doc_id"), col("text")),
+          graft.queries.TextQueries.benchGramIndex(spark, sfDir))
         val fin = StreamingAdmission.compact(
           spark.read.parquet(s"$scratch/admflags"),
-          spark.read.parquet(s"$scratch/admhits"))
+          spark.read.parquet(s"$scratch/admhits"),
+          recheckContamIds = Some(recheckIds))
         val admitted = fin.filter(col("admitted"))
           .select(col("doc_id")).collect().map(_.getLong(0)).toSet
         val compactSecs = (System.nanoTime() - tC) / 1e9

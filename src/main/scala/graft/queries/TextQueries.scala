@@ -1210,6 +1210,20 @@ object TextQueries extends QueryPack {
   private[graft] def quarantineTableName(dir: String): String =
     DecontamArtifacts.tableName(dir)
 
+  /** The distinct benchmark 8-gram index (one `gram` column) — the
+    * artifact a CONTINUOUS admission loop needs beside the quarantine
+    * id list: the id list enumerates docs the nightly build saw, so a
+    * truly new arrival can only be decontaminated by probing its own
+    * grams against this index
+    * ([[graft.streaming.StreamingAdmission.arrivalContamIds]]).
+    * Benchmark suites are MB-scale against a 100 TB corpus — this
+    * frame broadcasts (the t11 scale note; the bloom fallback covers
+    * the oversized regime). */
+  private[graft] def benchGramIndex(s: SparkSession, dir: String): DataFrame =
+    TextArtifacts.grams8(s, dir)
+      .filter(col("doc_id") % 10 === 7)
+      .select(explode(col("xs")).as("gram")).distinct()
+
   private def t20Path(s: SparkSession, dir: String,
       bloomPath: Boolean): DataFrame = {
     val grams = TextArtifacts.grams8(s, dir)

@@ -113,7 +113,20 @@ object StreamingAdmission {
     * arrival-index hits are the index-dup drop set. */
   def compact(flags: DataFrame, hits: DataFrame,
       isArrival: Column => Column =
-        graft.queries.DedupQueries.isDeltaArrival): DataFrame = {
+        graft.queries.DedupQueries.isDeltaArrival,
+      recheckContamIds: Option[DataFrame] = None): DataFrame = {
+    // the gram-level decontamination RECHECK folds into the same
+    // contaminated gate the id-list join feeds: an arrival the
+    // published quarantine list never saw (it predates the arrival)
+    // is still quarantined by its own gram evidence — admission can
+    // only TIGHTEN
+    val flagsR = recheckContamIds.map { ids =>
+      flags.join(ids.select(col("doc_id")).distinct()
+          .withColumn("recheck_contam", lit(true)), Seq("doc_id"), "left")
+        .withColumn("contaminated",
+          coalesce(col("contaminated"), col("recheck_contam")))
+        .drop("recheck_contam")
+    }.getOrElse(flags)
     val idxDup = hits.filter(!isArrival(col("d2")))
       .select(col("d1").as("doc_id")).distinct()
       .withColumn("dup_index", lit(true))
@@ -122,9 +135,9 @@ object StreamingAdmission {
         greatest(col("d1"), col("d2")).as("d2"))
       .distinct()
     val clusters = graft.operators.ConnectedComponents
-      .run(pairs, "d1", "d2", flags.select(col("doc_id")), "doc_id")
+      .run(pairs, "d1", "d2", flagsR.select(col("doc_id")), "doc_id")
       .select(col("id").as("doc_id"), col("cluster"))
-    val pre = flags
+    val pre = flagsR
       .join(idxDup, Seq("doc_id"), "left")
       .join(clusters, Seq("doc_id"))
       .withColumn("pre", col("sampled") && col("contaminated").isNull &&
@@ -133,4 +146,35 @@ object StreamingAdmission {
       .over(Window.partitionBy(col("cluster")))
     pre.withColumn("admitted", col("pre") && col("doc_id") === keeper)
   }
+
+  /** The decontamination RECHECK for new arrivals — the gap the
+    * published quarantine table cannot cover: that table ENUMERATES
+    * docs the nightly build already saw, so a truly new arrival with
+    * benchmark overlap sails through [[gateFlags]]' id join. This
+    * probe computes the arrival's own 8-gram evidence against the
+    * benchmark gram index (the exact t20 predicate — distinct-gram
+    * overlap ≥ 5% of the doc's grams, UNROUNDED, same ShingleHash
+    * kernel), so on a replayed batch the result is exactly
+    * `quarantine ∩ arrivals` (StreamingAdmissionRecheckSpec), and on
+    * genuinely new docs it is the decision the nightly build WILL
+    * make. Runs at window close beside [[compact]] — per-doc gram
+    * aggregation is a barrier over the landed arrivals, the same
+    * contract as survivor-min; the join side is the broadcast-scale
+    * benchmark index ([[graft.queries.TextQueries.benchGramIndex]]).
+    */
+  def arrivalContamIds(arrivalDocs: DataFrame,
+      benchGrams: DataFrame): DataFrame =
+    arrivalDocs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(org.apache.spark.sql.functions.size(col("w")) >= 8)
+      .select(col("doc_id"),
+        graft.operators.TextDedup.shingleHashes("w", 8).as("xs"))
+      .select(col("doc_id"), expr("size(xs)").cast("long").as("n_grams"),
+        explode(col("xs")).as("gram"))
+      .join(broadcast(benchGrams.select(col("gram")).distinct()),
+        Seq("gram"))
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(countDistinct(col("gram")).as("nc"))
+      .filter(col("nc").cast("double") / col("n_grams") >= 0.05)
+      .select(col("doc_id"))
 }
