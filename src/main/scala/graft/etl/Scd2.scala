@@ -67,6 +67,25 @@ object Scd2 {
       .unionByName(openedNow)
   }
 
+  /** RETENTION vacuum — the maintenance job the SCD2 lifecycle was
+    * missing: history grows one closed row per change forever, and a
+    * production dim prunes versions older than its time-travel
+    * retention window (the Delta/Iceberg VACUUM + RETAIN shape).
+    *
+    * Rule: drop exactly the versions with `validTo < horizon`. This
+    * preserves EVERY as-of read at `t >= horizon` bit-for-bit — a
+    * version alive at such a `t` has `validTo > t >= horizon` (or
+    * null) and is never dropped — while reads before the horizon are
+    * explicitly forfeited (they may now return fewer/no rows; that is
+    * the retention contract, spec-gated in Round14InvariantsSpec).
+    *
+    * Scale: a pure partition-prunable filter — with closed history
+    * partitioned by validTo year (the merge scaladoc's layout), the
+    * vacuum rewrites only expired partitions and never touches the
+    * open slice. */
+  def vacuum(scd: DataFrame, horizon: Column): DataFrame =
+    scd.filter(col("validTo").isNull || col("validTo") >= horizon)
+
   /** The as-of dim lookup SCD2 exists for: the version whose
     * [validFrom, validTo) interval contains `at`. */
   def asOfJoin(facts: DataFrame, dim: DataFrame, keyCol: String,

@@ -89,6 +89,95 @@ object LifecycleQueries extends QueryPack {
       |    AND (ok IS NULL OR o_name <> i_name OR o_seg <> i_seg))
       |ORDER BY c_custkey, valid_from""".stripMargin
 
+  /** Three-snapshot SCD2 table for k4 — k1's two merges plus a third
+    * (effective 2024-03-01): custkey % 11 = 0 moves to 'SEG_V3'
+    * (taking precedence over the % 7 SEG_MOVED rule), everything else
+    * unchanged. This builds keys with TWO closed versions (custkey
+    * % 77 = 0: moved at t2, moved again at t3), so the retention
+    * horizon between t2 and t3 exercises both outcomes — a closed
+    * version expired (validTo = t2 < horizon) and a closed version
+    * retained (validTo = t3 ≥ horizon). */
+  private def scdTable3(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(s, dir, "customer")
+    val snap3 = cust.filter(col("c_custkey") > 300)
+      .select(col("c_custkey"), col("c_name"),
+        when(col("c_custkey") % 11 === 0, lit("SEG_V3"))
+          .when(col("c_custkey") % 7 === 0, lit("SEG_MOVED"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+    Scd2.merge(scdTable(s, dir), snap3, "c_custkey",
+      Seq("c_name", "c_mktsegment"),
+      to_timestamp(lit("2024-03-01 00:00:00")))
+  }
+
+  /** k4 — SCD2 RETENTION vacuum ([[graft.etl.Scd2.vacuum]]): the
+    * three-merge history pruned to the 2024-02-15 horizon. Versions
+    * with validTo < horizon drop (the deleted keys 1-300's only
+    * version, and the first closed version of every % 7 = 0 key);
+    * versions closed AT OR AFTER the horizon survive (the t3-closed
+    * versions of % 11 = 0 keys), as does every open row — so
+    * time travel at any t ≥ horizon is bit-identical to the unpruned
+    * table (the retention contract, gated in Round14InvariantsSpec)
+    * while the table sheds its expired tail. The oracle rebuilds the
+    * full version history independently (change-point runs over the
+    * three snapshots) and applies the same horizon filter. */
+  private def k4(s: SparkSession, dir: String): DataFrame =
+    Scd2.vacuum(scdTable3(s, dir),
+      to_timestamp(lit("2024-02-15 00:00:00")))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("validFrom").cast("date").as("valid_from"),
+        col("validTo").cast("date").as("valid_to"),
+        col("isCurrent").as("is_current"))
+      .orderBy(col("c_custkey"), col("valid_from"))
+
+  private val k4Sql =
+    """WITH s1 AS (
+      |  SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey <= 1200),
+      |s2 AS (
+      |  SELECT c_custkey, c_name,
+      |    CASE WHEN c_custkey % 7 = 0 THEN 'SEG_MOVED' ELSE c_mktsegment END AS c_mktsegment
+      |  FROM customer WHERE c_custkey > 300),
+      |s3 AS (
+      |  SELECT c_custkey, c_name,
+      |    CASE WHEN c_custkey % 11 = 0 THEN 'SEG_V3'
+      |         WHEN c_custkey % 7 = 0 THEN 'SEG_MOVED'
+      |         ELSE c_mktsegment END AS c_mktsegment
+      |  FROM customer WHERE c_custkey > 300),
+      |tl AS (
+      |  SELECT c_custkey, c_name, c_mktsegment, 1 AS gen,
+      |    TIMESTAMP '2024-01-01' AS vf FROM s1
+      |  UNION ALL SELECT c_custkey, c_name, c_mktsegment, 2,
+      |    TIMESTAMP '2024-02-01' FROM s2
+      |  UNION ALL SELECT c_custkey, c_name, c_mktsegment, 3,
+      |    TIMESTAMP '2024-03-01' FROM s3),
+      |m AS (
+      |  SELECT *,
+      |    LAG(c_name) OVER w AS pname,
+      |    LAG(c_mktsegment) OVER w AS pseg,
+      |    LAG(gen) OVER w AS pgen
+      |  FROM tl WINDOW w AS (PARTITION BY c_custkey ORDER BY gen)),
+      |starts AS (
+      |  SELECT c_custkey, c_name, c_mktsegment, gen, vf FROM m
+      |  WHERE pgen IS NULL OR pname <> c_name OR pseg <> c_mktsegment),
+      |ends AS (
+      |  SELECT *,
+      |    LEAD(vf) OVER (PARTITION BY c_custkey ORDER BY gen) AS next_vf
+      |  FROM starts),
+      |fin AS (
+      |  -- a version closes at the next version's start, or — for the
+      |  -- keys deleted from snapshot 2 (c_custkey <= 300, present in
+      |  -- s1 only) — at that snapshot's effective instant
+      |  SELECT c_custkey, c_name, c_mktsegment, vf,
+      |    CASE WHEN next_vf IS NOT NULL THEN next_vf
+      |         WHEN c_custkey <= 300 THEN TIMESTAMP '2024-02-01'
+      |         ELSE NULL END AS vt
+      |  FROM ends)
+      |SELECT c_custkey, c_name, c_mktsegment,
+      |  CAST(vf AS DATE) AS valid_from, CAST(vt AS DATE) AS valid_to,
+      |  (vt IS NULL) AS is_current
+      |FROM fin
+      |WHERE vt IS NULL OR vt >= TIMESTAMP '2024-02-15'
+      |ORDER BY c_custkey, valid_from""".stripMargin
+
   /** k2 — CDC apply ([[graft.etl.CdcApply]], the live-table MERGE
     * beside k1's history-keeping SCD2): the events stream becomes a
     * change log over per-user profiles — every event upserts the
@@ -198,12 +287,20 @@ object LifecycleQueries extends QueryPack {
       |GROUP BY 1, 2 ORDER BY as_of, c_mktsegment""".stripMargin
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k4_retention"  -> k4,
     "k3_time_travel" -> k3,
     "k1_scd2_merge" -> k1,
     "k2_cdc_apply"  -> k2)
 
   override def oracle: Map[String, String] = Map(
+    "k4_retention"  -> k4Sql,
     "k3_time_travel" -> k3Sql,
     "k1_scd2_merge" -> k1Sql,
     "k2_cdc_apply"  -> k2Sql)
+
+  /** Spec hooks for the retention contract
+    * (Round14InvariantsSpec). */
+  private[graft] def scd3ForSpec(s: SparkSession, dir: String): DataFrame =
+    scdTable3(s, dir)
+  private[graft] def vacuumHorizon: String = "2024-02-15 00:00:00"
 }

@@ -47,6 +47,40 @@ class Round14InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("k4: vacuum preserves every as-of read at or after the " +
+      "horizon bit-for-bit, forfeits reads before it, and drops " +
+      "exactly the versions closed before the horizon") {
+    import org.apache.spark.sql.DataFrame
+    val full = LifecycleQueries.scd3ForSpec(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val horizon = to_timestamp(lit(LifecycleQueries.vacuumHorizon))
+    val pruned = graft.etl.Scd2.vacuum(full, horizon)
+    def asOf(t: String, d: DataFrame): Set[Seq[Any]] = {
+      val ts = to_timestamp(lit(t))
+      d.filter(col("validFrom") <= ts &&
+          (col("validTo").isNull || col("validTo") > ts))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .collect().map(_.toSeq).toSet
+    }
+    // the retention window: reads at/after the horizon are identical
+    Seq("2024-02-15 00:00:00", "2024-02-20 00:00:00",
+        "2024-03-01 00:00:00", "2024-06-01 00:00:00").foreach { t =>
+      asOf(t, pruned) shouldBe asOf(t, full)
+    }
+    // forfeited: a pre-horizon read demonstrably lost rows
+    asOf("2024-01-15 00:00:00", pruned).size should be <
+      asOf("2024-01-15 00:00:00", full).size
+    // accounting: dropped == versions with validTo < horizon, and
+    // both retained-closed and dropped-closed versions exist (the
+    // horizon genuinely splits the closed history)
+    val dropped = full.count() - pruned.count()
+    dropped shouldBe full.filter(col("validTo") < horizon).count()
+    dropped should be > 0L
+    pruned.filter(col("validTo").isNotNull).count() should be > 0L
+    full.unpersist(blocking = false)
+    ()
+  }
+
   test("s24: exact re-rank of the ADC shortlist never loses a hit " +
       "the raw ADC ranking had (refine dominance), and recall stays " +
       "in [0, 1]") {
