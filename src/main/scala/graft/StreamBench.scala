@@ -357,6 +357,10 @@ object StreamBench {
         val driftNats = pub.driftNats
         val republished = pub.fold(Map.empty, klThresholdNats = 0.0)
         val republishSecs = (System.nanoTime() - tR) / 1e9
+        // driftNats is +Inf when an admitted source has zero
+        // index-card mass; bare Infinity is invalid JSON
+        val driftJson =
+          if (driftNats.isInfinite) "\"inf\"" else driftNats.toString
         require(republished && pub.generation == 2 && driftNats > 0,
           s"gate-statics republish did not fire (drift $driftNats)")
 
@@ -368,7 +372,15 @@ object StreamBench {
         //      layout — rows identical, same partition dirs, ~1 file
         //      per partition (CorpusLayout.compactPartitioned).
         val serveDir = s"$scratch/admserve"
-        val admitIds = fin.filter(col("admitted")).select(col("doc_id"))
+        // the admitted ids are already ON THE DRIVER (collected for
+        // the parity gate above) — a literal frame keeps the stream-
+        // static join's static side a broadcast of 23 longs instead
+        // of re-executing fin's whole plan (parquet scans + gram
+        // recheck + clustering window) every micro-batch
+        val admitIds = {
+          import spark.implicits._
+          admitted.toSeq.sorted.toDF("doc_id")
+        }
         val tS = System.nanoTime()
         val qServe = docStream
           .select(col("doc_id"), col("source"),
@@ -383,8 +395,11 @@ object StreamBench {
         try qServe.processAllAvailable() finally qServe.stop()
         val serveSecs = (System.nanoTime() - tS) / 1e9
         def dataFileCount(): Int = {
+          // listFiles() is null for a missing dir or an I/O error —
+          // count 0 so the require below reports the real problem
           def walk(f: java.io.File): Int =
-            if (f.isDirectory) f.listFiles().map(walk).sum
+            if (f.isDirectory)
+              Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
             else if (f.getName.startsWith("_") || f.getName.startsWith("."))
               0
             else 1
@@ -407,7 +422,7 @@ object StreamBench {
             s"($serveFilesBefore -> $serveFilesAfter files)")
 
         val line =
-          s"""{"arrivals":$nArr,"gate_secs":$gateSecs,"gate_rows_per_sec":${nArr / gateSecs},"probe_secs":$probeSecs,"probe_rows_per_sec":${nArr / probeSecs},"probe_state_rows":$stRows,"probe_state_bytes":$stBytes,"compact_secs":$compactSecs,"admitted":${admitted.size},"batch_parity":true,"fold_secs":$foldSecs,"fold_label_rows":$foldLabelRows,"fold_sig_rows":$foldSigRows,"republish_secs":$republishSecs,"republish_drift_nats":$driftNats,"card_generation":${pub.generation},"serve_secs":$serveSecs,"serve_files_before":$serveFilesBefore,"serve_files_after":$serveFilesAfter,"maintain_secs":$maintainSecs}"""
+          s"""{"arrivals":$nArr,"gate_secs":$gateSecs,"gate_rows_per_sec":${nArr / gateSecs},"probe_secs":$probeSecs,"probe_rows_per_sec":${nArr / probeSecs},"probe_state_rows":$stRows,"probe_state_bytes":$stBytes,"compact_secs":$compactSecs,"admitted":${admitted.size},"batch_parity":true,"fold_secs":$foldSecs,"fold_label_rows":$foldLabelRows,"fold_sig_rows":$foldSigRows,"republish_secs":$republishSecs,"republish_drift_nats":$driftJson,"card_generation":${pub.generation},"serve_secs":$serveSecs,"serve_files_before":$serveFilesBefore,"serve_files_after":$serveFilesAfter,"maintain_secs":$maintainSecs}"""
         System.err.println(s"STREAMBENCH ADMISSION $line")
         line
       }

@@ -159,6 +159,21 @@ object CorpusLayout {
     leafQ.stripPrefix(baseQ).stripPrefix("/")
   }
 
+  /** Standalone recovery entry point: repairs a compaction of `path`
+    * that was interrupted mid-swap, without running a new compaction.
+    * A serving process should call this at startup (and a reader may
+    * call it on suspicion) — recovery otherwise only happens as a
+    * side effect of the NEXT compaction, and a committed-but-
+    * unapplied swap leaves the live partition empty until then.
+    * No-op when no staging tree exists. */
+  def recoverCompaction(s: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    recoverInterruptedCompaction(fs, root,
+      new org.apache.hadoop.fs.Path(path + ".compact-staging"))
+  }
+
   /** Repairs a compaction interrupted mid-swap, then removes the
     * staging tree. Per staged leaf: a `_COMMIT` marker means the swap
     * was durable — roll FORWARD (finish renaming staged data files

@@ -1156,8 +1156,11 @@ object TextQueries extends QueryPack {
   private def decontamDropIdsBuild(s: SparkSession, dir: String,
       bloomPath: Boolean): DataFrame = {
     val grams = TextArtifacts.grams8(s, dir) // t11's index, built once
-    val bench = grams.filter(col("doc_id") % 10 === 7)
-      .select(explode(col("xs")).as("gram")).distinct()
+    // the ONE definition of the benchmark gram index — shared with
+    // the streaming recheck so the quarantine list and
+    // arrivalContamIds can never disagree on what "benchmark gram"
+    // means
+    val bench = benchGramIndex(s, dir)
     val train = grams.filter(col("doc_id") % 10 =!= 7)
     benchProbe(
       train.select(col("doc_id"), expr("size(xs)").cast("long").as("n_grams"),

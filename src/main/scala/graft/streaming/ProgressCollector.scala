@@ -50,12 +50,17 @@ object ProgressCollector {
       try q.processAllAvailable() finally q.stop()
       val secs = (System.nanoTime() - t0) / 1e9
       val lastBatch = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
-      val deadline = System.nanoTime() + waitSecs * 1000L * 1000 * 1000
-      while (System.nanoTime() < deadline && {
-          import scala.jdk.CollectionConverters._
-          !progressLog.iterator().asScala
-            .exists(p => p.id == q.id && p.batchId == lastBatch)
-        }) Thread.sleep(50)
+      // lastBatch = -1 means the run produced no progress at all
+      // (empty input) — no event can ever match the sentinel, so
+      // waiting would just burn the full deadline
+      if (lastBatch >= 0) {
+        val deadline = System.nanoTime() + waitSecs * 1000L * 1000 * 1000
+        while (System.nanoTime() < deadline && {
+            import scala.jdk.CollectionConverters._
+            !progressLog.iterator().asScala
+              .exists(p => p.id == q.id && p.batchId == lastBatch)
+          }) Thread.sleep(50)
+      }
       val series = {
         import scala.jdk.CollectionConverters._
         progressLog.iterator().asScala.toSeq

@@ -171,8 +171,10 @@ object StreamingAdmission {
         graft.operators.TextDedup.shingleHashes("w", 8).as("xs"))
       .select(col("doc_id"), expr("size(xs)").cast("long").as("n_grams"),
         explode(col("xs")).as("gram"))
-      .join(broadcast(benchGrams.select(col("gram")).distinct()),
-        Seq("gram"))
+      // benchGrams (benchGramIndex) is already distinct; and even
+      // under a duplicated gram frame the countDistinct below keeps
+      // the 5% ratio exact — no second distinct on the hot path
+      .join(broadcast(benchGrams.select(col("gram"))), Seq("gram"))
       .groupBy(col("doc_id"), col("n_grams"))
       .agg(countDistinct(col("gram")).as("nc"))
       .filter(col("nc").cast("double") / col("n_grams") >= 0.05)

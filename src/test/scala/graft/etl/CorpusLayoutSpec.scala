@@ -223,13 +223,16 @@ class CorpusLayoutSpec extends SparkSpec {
     fs.createNewFile(new Path(staged11, "_COMMIT")) shouldBe true
     dataFiles(leaf11) shouldBe empty // the crash left the leaf bare
 
-    val rep2 = CorpusLayout.compactPartitioned(spark, dir,
-      partitionCols = Seq("day"), sortCols = Seq("v"),
-      maxRecordsPerFile = 1000)
+    // the STANDALONE recovery entry point — what a serving process
+    // calls at startup, no new compaction needed
+    CorpusLayout.recoverCompaction(spark, dir)
     fs.exists(staging) shouldBe false
     dataFiles(leaf11).size shouldBe 1 // the committed staged file
     spark.read.parquet(dir)
       .select("id", "v", "day").collect().map(_.toSeq).toSet shouldBe want
+    val rep2 = CorpusLayout.compactPartitioned(spark, dir,
+      partitionCols = Seq("day"), sortCols = Seq("v"),
+      maxRecordsPerFile = 1000)
     rep2.partitions shouldBe empty // nothing fragmented after recovery
   }
 
