@@ -877,17 +877,77 @@ object GraphQueries extends QueryPack {
        |ORDER BY k, peel_round""".stripMargin
   }
 
+  /** g6 — multi-source REACHABILITY (bounded BFS): hop distance ≤ 3
+    * from the seed customers (custkey % 100 = 1 ⇔ node % 200 = 2 on
+    * the doubled encoding) over the repeat-business graph — the
+    * "blast radius" query every graph deployment runs (fraud rings,
+    * recall cascades, influence frontiers). Textbook frontier BFS,
+    * unrolled: each round expands ONLY the newest frontier (a node
+    * discovered at hop h never needs re-expansion — any neighbor is
+    * already ≤ h+1) against the src-bucketed durable edge table, so
+    * the edge side joins with zero exchange (HashPartitioning(src),
+    * g1's serving shape) and only the node-sized frontier shuffles;
+    * per-round localCheckpoint cuts the iterative lineage (the s19
+    * rule). Output: per-hop node counts split by side + key checksum
+    * — the bipartite structure (customers on even hops, suppliers on
+    * odd) is an invariant gate. Oracle: recursive CTE BFS with
+    * dedup-UNION frontier semantics, MIN(d) per node. */
+  private def g6(s: SparkSession, dir: String): DataFrame = {
+    val edges = RepeatGraphArtifacts(s, dir).edges
+    val seeds = edges.select(col("src").as("node")).distinct()
+      .filter(col("node") % 200 === 2)
+    var dist = seeds.withColumn("hops", lit(0L)).localCheckpoint()
+    for (r <- 1 to 3) {
+      val next = dist.filter(col("hops") === (r - 1).toLong)
+        .join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), lit(r.toLong).as("hops"))
+      dist = dist.unionByName(next)
+        .groupBy(col("node")).agg(min(col("hops")).as("hops"))
+        .localCheckpoint()
+    }
+    dist.groupBy(col("hops"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(when(col("node") % 2 === 0, 1L).otherwise(0L))
+          .as("n_customers"),
+        sum(col("node")).as("key_sum"))
+      .orderBy(col("hops"))
+  }
+
+  private val g6Sql =
+    """WITH RECURSIVE pr AS (
+      |  SELECT o_custkey AS ck, l_suppkey AS sk
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  GROUP BY 1, 2 HAVING COUNT(DISTINCT o_orderkey) >= 2),
+      |edges AS (
+      |  SELECT ck * 2 AS src, sk * 2 + 1 AS dst FROM pr
+      |  UNION ALL SELECT sk * 2 + 1, ck * 2 FROM pr),
+      |seeds AS (
+      |  SELECT DISTINCT src AS node FROM edges WHERE src % 200 = 2),
+      |bfs(node, d) AS (
+      |  SELECT node, 0 FROM seeds
+      |  UNION
+      |  SELECT e.dst, bfs.d + 1 FROM bfs
+      |  JOIN edges e ON e.src = bfs.node WHERE bfs.d < 3),
+      |md AS (SELECT node, MIN(d) AS hops FROM bfs GROUP BY node)
+      |SELECT CAST(hops AS BIGINT) AS hops, COUNT(*) AS n_nodes,
+      |  CAST(SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_customers,
+      |  CAST(SUM(node) AS BIGINT) AS key_sum
+      |FROM md GROUP BY hops ORDER BY hops""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g4_label_prop" -> g4,
     "g1_pagerank" -> g1,
     "g2_triangles" -> g2,
     "g3_seeded_ppr" -> g3,
-    "g5_kcore" -> g5)
+    "g5_kcore" -> g5,
+    "g6_reachability" -> g6)
 
   override def oracle: Map[String, String] = Map(
     "g4_label_prop" -> g4Sql,
     "g1_pagerank" -> g1Sql,
     "g2_triangles" -> g2Sql,
     "g3_seeded_ppr" -> g3Sql,
-    "g5_kcore" -> g5Sql)
+    "g5_kcore" -> g5Sql,
+    "g6_reachability" -> g6Sql)
 }

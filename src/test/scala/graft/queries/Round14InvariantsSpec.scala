@@ -81,6 +81,20 @@ class Round14InvariantsSpec extends SparkSpec {
     ()
   }
 
+  test("g6: BFS respects the bipartite structure — customers on " +
+      "even hops, suppliers on odd — and every hop level 0..3 is " +
+      "populated") {
+    val rows = SparkEntry.queries("g6_reachability")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.map(_._1).toSeq shouldBe Seq(0L, 1L, 2L, 3L)
+    rows.foreach { case (hops, n, nCust) =>
+      n should be > 0L
+      // the repeat-business graph is customer↔supplier bipartite on
+      // the doubled-id encoding: a frontier alternates sides exactly
+      if (hops % 2 == 0) nCust shouldBe n else nCust shouldBe 0L
+    }
+  }
+
   test("s24: exact re-rank of the ADC shortlist never loses a hit " +
       "the raw ADC ranking had (refine dominance), and recall stays " +
       "in [0, 1]") {
