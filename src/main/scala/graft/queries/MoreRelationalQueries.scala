@@ -449,34 +449,105 @@ object MoreRelationalQueries extends QueryPack {
     * (count, exact interpolated percentiles) plus the contract
     * BOOLEANs; the engine-specific estimate itself is never emitted.
     *
-    * Scale: sketch pass is one partial+final agg (GK sketches merge);
-    * the rank audit is a second scan with the #groups-row sketch
-    * table broadcast. The audit costs one extra pass — run it on
-    * samples in production, same shape. */
+    * Scale: the sketch pass is one partial+final agg (GK sketches
+    * merge). The EXACT interpolated percentiles are never computed
+    * via `percentile(x, p)` — Spark's exact percentile buffers every
+    * group member in one aggregation buffer (O(n/#groups) memory on
+    * 3 reducers, the classic low-cardinality funnel) — and not even
+    * via a full global rank (q20's OffsetWindow machinery, which
+    * still SORTS the whole table to rank rows nobody asks about).
+    * A quantile is a SELECTION problem: quantile_cont's 0-based
+    * target rank r = p·(n−1) needs only the values at 1-based ranks
+    * ⌊r⌋+1 and ⌊r⌋+2. So: (1) one scan builds a per-(group, value-
+    * bucket) histogram — map-side partials, no sort — FUSED with the
+    * sketch's rank-audit counts; (2) the metadata-scale histogram
+    * (~100 buckets × #groups) comes back to the driver, where prefix
+    * sums locate which bucket holds each target rank — the same
+    * driver-coordinated control plane as q21's bloom build and
+    * Spark's own approxQuantile; (3) a second scan sorts ONLY the
+    * located buckets (≈4 of ~100 per group) and picks the bracketed
+    * values. Two full scans + one ~4%-of-rows window, zero full-table
+    * sorts, O(#buckets) driver memory at any SF. */
   private def q22(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val acc = 1000
     val li = Tables(s, dir, "lineitem")
       .select(col("l_returnflag").as("rf"),
         col("l_extendedprice").cast("double").as("x"))
-    val sketches = li.groupBy(col("rf"))
+      .withColumn("bk", floor(col("x") / 1000).cast("long"))
+    // Pass 1 — GK sketch + group sizes (mergeable partial+final agg),
+    // #groups rows to the driver.
+    val sk = li.groupBy(col("rf"))
       .agg(count(lit(1)).as("n"),
-        round(expr("percentile(x, 0.5D)"), 6).as("exact_p50"),
-        round(expr("percentile(x, 0.9D)"), 6).as("exact_p90"),
         expr(s"percentile_approx(x, array(0.5D, 0.9D), $acc)").as("ap"))
-      .select(col("rf"), col("n"), col("exact_p50"), col("exact_p90"),
+      .select(col("rf"), col("n"),
         col("ap").getItem(0).as("a50"), col("ap").getItem(1).as("a90"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).toSeq.sortBy(_._1)
+    val skDf = broadcast(sk.toDF("rf", "n", "a50", "a90"))
+    // Pass 2 — per-(group, bucket) histogram fused with the sketch's
+    // rank-audit lt/le counts: one scan, no sort, metadata-scale out.
+    val hist = li.join(skDf.select(col("rf"), col("a50"), col("a90")), Seq("rf"))
+      .groupBy(col("rf"), col("bk"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("x") < col("a50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("x") <= col("a50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("x") < col("a90"), 1L).otherwise(0L)).as("lt90"),
+        sum(when(col("x") <= col("a90"), 1L).otherwise(0L)).as("le90"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    // Driver control plane over the ~100·#groups-row histogram:
+    // audit totals, bucket prefix sums, target-rank bucket location.
+    val audit = hist.groupBy(_._1).map { case (rf, rows) =>
+      rf -> (rows.map(_._4).sum, rows.map(_._5).sum,
+        rows.map(_._6).sum, rows.map(_._7).sum)
+    }
+    def targetRanks(n: Long): Seq[Long] = Seq(0.5, 0.9).flatMap { p =>
+      val r = p * (n - 1).toDouble
+      val lo = math.floor(r).toLong + 1
+      Seq(lo, math.min(lo + 1, n))
+    }.distinct
+    val located: Seq[(String, Long, Long)] = sk.flatMap { case (rf, n, _, _) =>
+      val buckets = hist.filter(_._1 == rf).sortBy(_._2)
+      val offs = buckets.scanLeft(0L)(_ + _._3)
+      val wanted = targetRanks(n)
+      buckets.indices.collect { case i
+        if wanted.exists(t => t > offs(i) && t <= offs(i) + buckets(i)._3) =>
+        (rf, buckets(i)._2, offs(i))
+      }
+    }
+    val wantedRanks: Seq[(String, Long)] =
+      sk.flatMap { case (rf, n, _, _) => targetRanks(n).map(rf -> _) }
+    // Pass 3 — sort only the located buckets; local rank + bucket
+    // offset = exact global rank; keep just the bracketed values.
+    val wLoc = Window.partitionBy(col("rf"), col("bk")).orderBy(col("x"))
+    val vals = li
+      .join(broadcast(located.toDF("rf", "bk", "off")), Seq("rf", "bk"))
+      .withColumn("rn", row_number().over(wLoc).cast("long") + col("off"))
+      .join(broadcast(wantedRanks.toDF("rf", "rn")), Seq("rf", "rn"))
+    val valMap = vals.groupBy(col("rf"))
+      .agg(map_from_entries(collect_list(struct(col("rn"), col("x")))).as("m"))
+    // lower + (higher − lower)·frac — the same IEEE arithmetic as
+    // Spark's Percentile and DuckDB's quantile_cont interpolation.
+    def rd(p: Double): Column = lit(p) * (col("n") - 1).cast("double")
+    def interp(p: Double): Column = {
+      val lo = element_at(col("m"), floor(rd(p)).cast("long") + 1)
+      val hi = element_at(col("m"),
+        least(floor(rd(p)).cast("long") + 2, col("n")))
+      round(lo + (hi - lo) * (rd(p) - floor(rd(p))), 6)
+    }
     def rankOk(lt: Column, le: Column, p: Double): Column = {
       val target = lit(p) * col("n")
       val tol = col("n") / acc + 1
       (lt + 1 <= target + tol) && (le >= target - tol)
     }
-    li.join(broadcast(sketches), Seq("rf"))
-      .groupBy(col("rf"), col("n"), col("exact_p50"), col("exact_p90"))
-      .agg(sum(when(col("x") < col("a50"), 1L).otherwise(0L)).as("lt50"),
-        sum(when(col("x") <= col("a50"), 1L).otherwise(0L)).as("le50"),
-        sum(when(col("x") < col("a90"), 1L).otherwise(0L)).as("lt90"),
-        sum(when(col("x") <= col("a90"), 1L).otherwise(0L)).as("le90"))
-      .select(col("rf"), col("n"), col("exact_p50"), col("exact_p90"),
+    val auditDf = broadcast(sk.map { case (rf, n, _, _) =>
+      val (lt50, le50, lt90, le90) = audit(rf)
+      (rf, n, lt50, le50, lt90, le90)
+    }.toDF("rf", "n", "lt50", "le50", "lt90", "le90"))
+    auditDf.join(valMap, Seq("rf"))
+      .select(col("rf"), col("n"),
+        interp(0.5).as("exact_p50"), interp(0.9).as("exact_p90"),
         rankOk(col("lt50"), col("le50"), 0.5).as("p50_ok"),
         rankOk(col("lt90"), col("le90"), 0.9).as("p90_ok"))
       .orderBy(col("rf"))
@@ -513,9 +584,17 @@ object MoreRelationalQueries extends QueryPack {
     import org.apache.spark.sql.functions.udaf
     val k = 256
     val bottomk = udaf(new graft.functions.TopKAgg(k))
+    // Hash AFTER the key-distinct, not before: the (rf, partkey)
+    // distinct shuffles narrow longs with map-side combine, and the
+    // md5/conv string kernels then run on ~10× fewer rows. A second
+    // distinct on (rf, h) keeps the exact oracle semantics (DISTINCT
+    // over hashes) in the 2^-52-probability event two partkeys share
+    // a 52-bit prefix.
     val d = Tables(s, dir, "lineitem")
-      .select(col("l_returnflag").as("rf"),
-        conv(substring(md5(col("l_partkey").cast("string")), 1, 13), 16, 10)
+      .select(col("l_returnflag").as("rf"), col("l_partkey").as("pk"))
+      .distinct()
+      .select(col("rf"),
+        conv(substring(md5(col("pk").cast("string")), 1, 13), 16, 10)
           .cast("long").as("h"))
       .distinct()
     val agg = d.groupBy(col("rf"))
