@@ -127,7 +127,16 @@ object CorpusLayout {
         renameOrThrow(fs, f.getPath,
           new org.apache.hadoop.fs.Path(orig, f.getPath.getName)))
       val marker = new org.apache.hadoop.fs.Path(stagedDir, "_COMMIT")
-      require(fs.createNewFile(marker), s"marker create failed: $marker")
+      // create + hsync before close: createNewFile alone leaves the
+      // durability point process-crash-safe only — on a machine/power
+      // crash a buffered marker can vanish AFTER staged renames began,
+      // and recovery's roll-back branch would then restore .orig
+      // originals alongside already-landed staged files (duplicates).
+      // hsync persists the marker (and, on HDFS, its length) before
+      // the first live-dir rename, so the marker's existence is
+      // ordered ahead of every roll-forward effect it licenses.
+      val out = fs.create(marker, false)
+      try out.hsync() finally out.close()
       staged.foreach(f => renameOrThrow(fs, f.getPath,
         new org.apache.hadoop.fs.Path(d, f.getPath.getName)))
       fs.delete(stagedDir, true)

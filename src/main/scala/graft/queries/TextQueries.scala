@@ -1824,11 +1824,11 @@ object TextQueries extends QueryPack {
     val sched = w.crossJoin(broadcast(den))
       .withColumn("tempf", col("sw") / col("d"))
       .crossJoin(broadcast(epochs))
-      .withColumn("alpha", col("epoch").cast("double") / lit(4.0))
+      .withColumn("alpha", col("epoch").cast("double") / lit(epochsN.toDouble))
       .withColumn("share",
         (lit(1.0) - col("alpha")) * col("rawf") +
           col("alpha") * col("tempf"))
-      .withColumn("x", col("share") * lit(10000.0))
+      .withColumn("x", col("share") * lit(budget.toDouble))
       .withColumn("q", floor(col("x")))
       .withColumn("rem", col("x") - floor(col("x")))
     val wE = Window.partitionBy(col("epoch"))
