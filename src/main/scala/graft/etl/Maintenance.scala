@@ -1,0 +1,135 @@
+package graft.etl
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The combined storage-lifecycle job (SURVEY §2.8's K4 control plane
+  * at production shape): ONE idempotent entry point that, per run,
+  *
+  *  1. bin-packs fragmented serving partitions
+  *     ([[CorpusLayout.compactPartitioned]] — selective, sized by the
+  *     fragmented tail);
+  *  2. vacuums expired SCD2 history ([[Scd2.vacuum]]) IN PLACE with a
+  *     crash-recoverable clear-and-replace swap (the reference's K4
+  *     dim sync is exactly this shape: stage the replacement, then
+  *     swap — `tools/dimagent-sync` clears and repushes because its
+  *     sink can't update);
+  *  3. drops retired durable artifacts (lapsed serving copies, old
+  *     snapshot trees) by path.
+  *
+  * Idempotent: every step starts with its own crash recovery, a
+  * re-run after success is a no-op (already-compact partitions are
+  * skipped, a vacuumed table loses no further rows, missing artifact
+  * paths are ignored), and a re-run after ANY crash point converges
+  * to the same final state (MaintenanceSpec drives each window).
+  *
+  * The SCD2 swap protocol (directory-level twin of the compaction's
+  * per-partition one — the marker is the durability point):
+  *
+  *  - stage the vacuumed table at `P.vacuum-staging` (no marker);
+  *  - create + hsync `_COMMIT` inside staging;
+  *  - rename `P` → `P.vacuum-orig`; rename staging → `P`;
+  *  - delete the marker (it traveled into `P`) and the orig tree.
+  *
+  * Crash before the marker → roll BACK (staging deleted, `P`
+  * untouched). Crash after → roll FORWARD (remaining renames finish;
+  * `P` is readable at every intermediate state because parquet
+  * readers ignore `_`-prefixed files). Like the compaction swap it
+  * is crash-safe, not isolated: run under the snapshot lifecycle
+  * (no concurrent writers of the same dim).
+  */
+object Maintenance {
+
+  final case class ServingTree(path: String, partitionCols: Seq[String],
+      sortCols: Seq[String], maxRecordsPerFile: Int,
+      minFilesToCompact: Int = 2)
+
+  /** An SCD2 dim table at `path` whose closed versions expire before
+    * `horizonTs` (a `yyyy-MM-dd HH:mm:ss` literal). */
+  final case class Scd2Table(path: String, horizonTs: String)
+
+  final case class Scd2Report(path: String, rowsBefore: Long, rowsAfter: Long)
+
+  final case class Report(
+      compaction: Seq[(String, CorpusLayout.CompactionReport)],
+      scd2: Seq[Scd2Report],
+      artifactsDropped: Seq[String])
+
+  /** The one entry point. Order matters for cost, not correctness:
+    * artifact drops first (free space before the rewrites), then
+    * vacuums (dim-sized), then compaction (corpus-sized tail). */
+  def run(s: SparkSession,
+      serving: Seq[ServingTree] = Nil,
+      dims: Seq[Scd2Table] = Nil,
+      retiredArtifacts: Seq[String] = Nil): Report = {
+    val dropped = retiredArtifacts.filter(dropPath(s, _))
+    val scd = dims.map(vacuumInPlace(s, _))
+    val comp = serving.map(t => t.path -> CorpusLayout.compactPartitioned(
+      s, t.path, t.partitionCols, t.sortCols, t.maxRecordsPerFile,
+      t.minFilesToCompact))
+    Report(comp, scd, dropped)
+  }
+
+  private def fsOf(s: SparkSession, p: HPath): FileSystem =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** true iff the path existed and was deleted. */
+  private def dropPath(s: SparkSession, path: String): Boolean = {
+    val p = new HPath(path)
+    val fs = fsOf(s, p)
+    fs.exists(p) && fs.delete(p, true)
+  }
+
+  /** Crash-recoverable in-place vacuum of a parquet-backed SCD2 dim. */
+  def vacuumInPlace(s: SparkSession, d: Scd2Table): Scd2Report = {
+    val p = new HPath(d.path)
+    val staging = new HPath(d.path + ".vacuum-staging")
+    val orig = new HPath(d.path + ".vacuum-orig")
+    val fs = fsOf(s, p)
+    recoverInterruptedVacuum(fs, p, staging, orig)
+    require(fs.exists(p), s"SCD2 table missing: ${d.path}")
+    val before = s.read.parquet(d.path).count()
+    val kept = Scd2.vacuum(s.read.parquet(d.path),
+      to_timestamp(lit(d.horizonTs)))
+    kept.write.mode("overwrite").parquet(staging.toString)
+    val marker = new HPath(staging, "_COMMIT")
+    val out = fs.create(marker, false)
+    try out.hsync() finally out.close()
+    renameOrThrow(fs, p, orig)
+    renameOrThrow(fs, staging, p)
+    fs.delete(new HPath(p, "_COMMIT"), false)
+    fs.delete(orig, true)
+    Scd2Report(d.path, before, s.read.parquet(d.path).count())
+  }
+
+  /** Converges any crash point of [[vacuumInPlace]]'s swap. Decision
+    * table over (staging S, marker M in S, table P, orig O):
+    *  - S ∧ ¬M            → roll back: delete S (P untouched);
+    *  - S ∧ M ∧ P         → roll forward from the P→O rename;
+    *  - S ∧ M ∧ ¬P        → roll forward from the S→P rename;
+    *  - ¬S, then any leftover marker inside P or leftover O tree is
+    *    the tail of a completed swap → delete both. */
+  private[etl] def recoverInterruptedVacuum(fs: FileSystem,
+      p: HPath, staging: HPath, orig: HPath): Unit = {
+    val markerS = new HPath(staging, "_COMMIT")
+    if (fs.exists(staging)) {
+      if (!fs.exists(markerS)) fs.delete(staging, true)
+      else {
+        if (fs.exists(p)) {
+          require(!fs.exists(orig),
+            s"vacuum recovery found staging+table+orig all present: $p")
+          renameOrThrow(fs, p, orig)
+        }
+        renameOrThrow(fs, staging, p)
+      }
+    }
+    val markerP = new HPath(p, "_COMMIT")
+    if (fs.exists(markerP)) fs.delete(markerP, false)
+    if (fs.exists(orig)) fs.delete(orig, true)
+  }
+
+  private def renameOrThrow(fs: FileSystem, src: HPath, dst: HPath): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"rename failed: $src -> $dst")
+}
