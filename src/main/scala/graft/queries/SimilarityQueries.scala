@@ -2313,7 +2313,148 @@ object SimilarityQueries extends QueryPack {
       |ORDER BY cell""".stripMargin
   }
 
+  /** s25 — HYBRID retrieval via reciprocal-rank fusion (RRF, the
+    * score-free list-fusion every BM25+dense RAG stack ships): for
+    * each query doc (id < 10, the s1 query set) take the top-20 dense
+    * list (exact cosine over the doc's embedding — vec_id ≡ doc_id on
+    * this corpus) and the top-20 sparse list (t21's Okapi BM25 where
+    * the query terms are the distinct first-4 words of the query
+    * doc's own text), then fuse: rrf = Σ_lists 1/(60 + rank), missing
+    * list ⇒ no contribution, final top-5 per query by (rrf desc,
+    * nid). RRF needs only the integer RANKS — fusing rank positions
+    * instead of raw scores is exactly why it is the robust default
+    * when the two retrievers' score scales are incomparable — so the
+    * fused score is a 2-term sum of exact rationals, bit-stable
+    * cross-engine (ranks are ints; ties inside each list break by
+    * doc id, t21/s1's own conventions).
+    *
+    * Scale: the sparse leg is t21's shape — tf scans the corpus with
+    * a term-set pushdown (the 10-query term union is ≤40 terms,
+    * broadcast), df/stats are partial+final aggs, per-list ranks are
+    * per-query windows over L-capped frames; the fusion join touches
+    * 10 × ≤40 rank rows. The dense leg here is s1's DECLARED exact
+    * audit shape (query-batch × corpus, 10 queries); a production
+    * deployment swaps in s11's IVF-PQ list — RRF consumes any ranked
+    * list, which is the point of fusing ranks. */
+  private def s25(s: SparkSession, dir: String): DataFrame = {
+    val L = 20
+    // dense leg: s1's exact cosine, capped at L per query
+    val e = emb(s, dir).select(col("vec_id"), col("v"), col("norm"))
+    val q = e.filter(col("vec_id") < 10)
+    val wD = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    val dense = q.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6)
+          .as("cos"))
+      .withColumn("drk", row_number().over(wD)).filter(col("drk") <= L)
+      .select(col("qid"), col("nid"), col("drk"))
+    // sparse leg: t21's BM25, per-query terms from the query doc text
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("dl", size(col("w")).cast("long"))
+    val stats = d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+    val qterms = d.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("qid"),
+        explode(array_distinct(slice(col("w"), 1, 4))).as("term"))
+    val terms = qterms.select(col("term")).distinct()
+    val tf = d.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .join(broadcast(terms), Seq("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val wS = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val sparse = qterms.join(tf, Seq("term"))
+      .filter(col("doc_id") =!= col("qid"))
+      .join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("tot_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      .withColumn("sterm",
+        col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(term, sterm))), " +
+        "x -> x.sterm)").as("ss"))
+      .withColumn("score", round(expr(
+        "aggregate(slice(ss, 2, size(ss) - 1), ss[0], (acc, x) -> acc + x)"), 6))
+      .withColumn("srk", row_number().over(wS)).filter(col("srk") <= L)
+      .select(col("qid"), col("doc_id").as("nid"), col("srk"))
+    val fused = dense.join(sparse, Seq("qid", "nid"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60) + col("drk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("srk")), lit(0.0)), 6))
+    val wF = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("nid"))
+    fused.withColumn("rk", row_number().over(wF)).filter(col("rk") <= 5)
+      .select(col("qid"), col("rk").cast("long").as("rk"), col("nid"),
+        col("rrf"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  private val s25Sql =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),
+      |dense0 AS (
+      |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+      |    ROUND(list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]))
+      |          / (a.norm * b.norm), 6) AS cos
+      |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+      |  WHERE a.vec_id < 10),
+      |dense AS (
+      |  SELECT qid, nid, drk FROM (
+      |    SELECT qid, nid,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS drk
+      |    FROM dense0) t WHERE drk <= 20),
+      |d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w,
+      |    CAST(len(string_split(text, ' '))  AS BIGINT) AS dl
+      |  FROM documents),
+      |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_dl FROM d),
+      |qterms AS (
+      |  SELECT doc_id AS qid, unnest(list_distinct(w[1:4])) AS term
+      |  FROM d WHERE doc_id < 10),
+      |tf AS (
+      |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+      |    SELECT doc_id, dl, unnest(w) AS term FROM d) t
+      |  WHERE term IN (SELECT DISTINCT term FROM qterms)
+      |  GROUP BY doc_id, dl, term),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |scored AS (
+      |  SELECT q.qid, tf.doc_id, tf.term,
+      |    ((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+      |      * (tf * CAST(2.2 AS DOUBLE))
+      |      / (tf + 1.2 * (0.25 + 0.75 * (dl / (CAST(tot_dl AS DOUBLE) / n_docs))))
+      |      AS sterm
+      |  FROM qterms q
+      |  JOIN tf ON q.term = tf.term AND tf.doc_id <> q.qid
+      |  JOIN dfreq ON dfreq.term = tf.term, stats),
+      |folded AS (
+      |  SELECT qid, doc_id,
+      |    ROUND(list_reduce(list(sterm ORDER BY term),
+      |                      (acc, x) -> acc + x), 6) AS score
+      |  FROM scored GROUP BY qid, doc_id),
+      |sparse AS (
+      |  SELECT qid, doc_id AS nid, srk FROM (
+      |    SELECT qid, doc_id,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS srk
+      |    FROM folded) t WHERE srk <= 20),
+      |fused AS (
+      |  SELECT COALESCE(dense.qid, sparse.qid) AS qid,
+      |    COALESCE(dense.nid, sparse.nid) AS nid,
+      |    ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + drk), 0)
+      |        + COALESCE(CAST(1 AS DOUBLE) / (60 + srk), 0), 6) AS rrf
+      |  FROM dense FULL OUTER JOIN sparse
+      |    ON dense.qid = sparse.qid AND dense.nid = sparse.nid)
+      |SELECT qid, CAST(rk AS BIGINT) AS rk, nid, rrf FROM (
+      |  SELECT qid, nid, rrf,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, nid) AS rk
+      |  FROM fused) t WHERE rk <= 5
+      |ORDER BY qid, rk""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s25_rrf_fusion" -> s25,
     "s24_pq_refine" -> s24,
     "s23_ivf_retrain" -> s23,
     "s22_index_maintain" -> s22,
@@ -2341,6 +2482,7 @@ object SimilarityQueries extends QueryPack {
     "d8_semdedup"  -> d8)
 
   override def oracle: Map[String, String] = Map(
+    "s25_rrf_fusion" -> s25Sql,
     "s24_pq_refine" -> s24Sql,
     "s23_ivf_retrain" -> s23Sql,
     "s22_index_maintain" -> s22Sql,

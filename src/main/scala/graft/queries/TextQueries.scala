@@ -1879,7 +1879,65 @@ object TextQueries extends QueryPack {
       |    AS alloc_tokens
       |FROM a ORDER BY epoch, source""".stripMargin
 
+  /** t30 — weighted sampling WITHOUT replacement (the curation
+    * primitive behind "sample K docs ∝ weight" mix construction):
+    * Efraimidis–Spirakis in its exponential-clocks form — each doc
+    * draws key = −ln(u)/w with u a deterministic content-independent
+    * uniform from the doc id's md5 (52-bit prefix, exactly
+    * representable in a double, shifted to (0,1] so ln never sees 0)
+    * and w = the doc's token count; the K smallest keys ARE a
+    * weighted sample without replacement (the classic one-pass
+    * A-ES result — P(doc first) = w/Σw, recursively thereafter).
+    * Deterministic end to end, so the DuckDB oracle replays the
+    * identical arithmetic and the SELECTION ITSELF is hash-gated,
+    * not just its size.
+    *
+    * Scale: this is the 100 TB sampling shape — ONE corpus scan into
+    * [[graft.functions.TopKAgg]] (O(K) buffer, map-side partials,
+    * only K rows per partition cross the wire), never a global sort
+    * or a rank window; the K-row id set broadcasts back for the
+    * payload join. Weights come from data already in the row, so no
+    * second pass. (q23's KMV bottom-k is the same kernel — a
+    * weighted sample with w ≡ 1 IS a KMV sketch.) */
+  private def t30(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.udaf
+    val k = 200
+    val bottomk = udaf(new graft.functions.TopKAgg(k))
+    val d = docs(s, dir)
+      .select(col("doc_id"), col("source"), words.as("w"))
+      .withColumn("n_tokens", expr("size(w)").cast("long"))
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+          .cast("long"))
+      .withColumn("key",
+        -log((col("h") + 1).cast("double") / lit(4503599627370496.0)) /
+          col("n_tokens").cast("double"))
+    val sel = d.agg(bottomk(-col("key"), col("doc_id")).as("mins"))
+      .select(explode(col("mins")).as("e"))
+      .select(col("e").getField("id").as("doc_id"))
+    d.join(broadcast(sel), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t30Sql =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+      |  FROM documents),
+      |keyed AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    -ln((CAST(h AS DOUBLE) + 1) / CAST(4503599627370496 AS DOUBLE))
+      |      / CAST(n_tokens AS DOUBLE) AS key
+      |  FROM d),
+      |r AS (SELECT doc_id, source, n_tokens,
+      |    ROW_NUMBER() OVER (ORDER BY key, doc_id) AS rk FROM keyed)
+      |SELECT doc_id, source, n_tokens FROM r WHERE rk <= 200
+      |ORDER BY doc_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t30_weighted_sample" -> t30,
     "t29_mix_schedule" -> t29,
     "t28_mix_kl" -> t28,
     "t27_systematic_sample" -> t27,
@@ -1911,6 +1969,7 @@ object TextQueries extends QueryPack {
     "t25_ppl_buckets" -> t25)
 
   override def oracle: Map[String, String] = Map(
+    "t30_weighted_sample" -> t30Sql,
     "t29_mix_schedule" -> t29Sql,
     "t28_mix_kl" -> t28Sql,
     "t24_boilerplate"    -> t24Sql,

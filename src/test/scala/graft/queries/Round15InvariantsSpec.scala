@@ -1,0 +1,111 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the round-15 additions (t30 weighted
+  * sampling, s25 RRF fusion, q22's selection rewrite) that the
+  * hash-vs-oracle gate can't express: selection optimality and
+  * permutation invariance for the sampler, the fusion algebra for
+  * RRF, and the interpolation identity for the quantile selection. */
+class Round15InvariantsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.01"
+
+  test("t30: the sampled set IS the K smallest exponential-clock keys " +
+      "(brute-force replay), at the exact sample size") {
+    val sel = SparkEntry.queries("t30_weighted_sample")(spark, sfDir)
+      .select(col("doc_id")).as[Long].collect().toSet
+    sel should have size 200
+    // independent driver-side replay of key = -ln(u)/w over all docs
+    val keys = graft.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        expr("size(split(text, ' '))").cast("long").as("w"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+          .cast("long").as("h"))
+      .collect().map { r =>
+        val u = (r.getLong(2) + 1).toDouble / 4503599627370496.0
+        (r.getLong(0), -math.log(u) / r.getLong(1).toDouble)
+      }
+    val want = keys.sortBy(t => (t._2, t._1)).take(200).map(_._1).toSet
+    sel shouldBe want
+    // weighting is real: the sample over-represents long docs
+    // relative to a uniform draw (mean sampled weight > corpus mean)
+    val wById = graft.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), expr("size(split(text, ' '))").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val meanSel = sel.toSeq.map(wById).sum.toDouble / sel.size
+    val meanAll = wById.values.sum.toDouble / wById.size
+    meanSel should be > meanAll
+  }
+
+  test("t30: selection is partitioning/permutation invariant (the " +
+      "TopKAgg merge is order-free)") {
+    val a = SparkEntry.queries("t30_weighted_sample")(spark, sfDir)
+      .select(col("doc_id")).as[Long].collect().toSeq
+    // same corpus through a different physical layout
+    val shuffled = graft.Tables(spark, sfDir, "documents").repartition(17)
+    shuffled.createOrReplaceTempView("t30_shuffled_probe")
+    val b = SparkEntry.queries("t30_weighted_sample")(spark, sfDir)
+      .select(col("doc_id")).as[Long].collect().toSeq
+    a shouldBe b
+  }
+
+  test("s25: fusion algebra — fused scores are exactly the rank " +
+      "reciprocal sums of the two source lists") {
+    val fused = SparkEntry.queries("s25_rrf_fusion")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    fused.size shouldBe 50 // 10 queries x top-5
+    // rebuild the two source lists with the library's own queries:
+    // dense = s1's cosine order extended to depth 20 via its own
+    // convention; here recompute from s1's full frame is not
+    // available, so replay the fusion from the emitted evidence:
+    // every fused score must be expressible as 1/(60+i) [+ 1/(60+j)]
+    // with 1 <= i, j <= 20 — the complete value lattice of RRF@20.
+    val singles = (1 to 20).map(r => 1.0 / (60 + r))
+    val lattice = (singles ++
+      (for (i <- singles; j <- singles) yield i + j))
+      .map(v => math.round(v * 1e6) / 1e6).toSet
+    fused.values.foreach(v => lattice should contain(v))
+    // per query: 5 rows, ranks 1..5, descending scores
+    val byQ = SparkEntry.queries("s25_rrf_fusion")(spark, sfDir)
+      .collect().groupBy(_.getLong(0))
+    byQ should have size 10
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(1))
+      sorted.map(_.getLong(1)).toSeq shouldBe (1L to 5L)
+      val scores = sorted.map(_.getDouble(3)).toSeq
+      scores.zip(scores.tail).foreach { case (x, y) => x should be >= y }
+    }
+    // both retrievers demonstrably contribute: at least one fused
+    // score from the two-list region (> max single contribution)
+    fused.values.max should be > 1.0 / 61 + 1e-9
+  }
+
+  test("q22: the distributed selection reproduces Spark's own exact " +
+      "percentile on the same column") {
+    val got = SparkEntry.queries("q22_approx_quantile")(spark, sfDir)
+      .select(col("rf"), col("exact_p50"), col("exact_p90"),
+        col("p50_ok"), col("p90_ok"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getBoolean(3), r.getBoolean(4)))
+      .toMap
+    val want = graft.Tables(spark, sfDir, "lineitem")
+      .select(col("l_returnflag").as("rf"),
+        col("l_extendedprice").cast("double").as("x"))
+      .groupBy(col("rf"))
+      .agg(round(expr("percentile(x, 0.5D)"), 6).as("p50"),
+        round(expr("percentile(x, 0.9D)"), 6).as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    got.keySet shouldBe want.keySet
+    got.foreach { case (rf, (p50, p90, ok50, ok90)) =>
+      p50 shouldBe want(rf)._1
+      p90 shouldBe want(rf)._2
+      ok50 shouldBe true // the GK sketch honors its rank contract
+      ok90 shouldBe true
+    }
+  }
+}
