@@ -407,9 +407,14 @@ object StreamBench {
         }
         val serveFilesBefore = dataFileCount()
         val tM = System.nanoTime()
-        graft.etl.CorpusLayout.compactPartitioned(spark, serveDir,
-          partitionCols = Seq("source"), sortCols = Seq("doc_id"),
-          maxRecordsPerFile = 1 << 20)
+        // the combined lifecycle entry point (Maintenance.run) is the
+        // production maintain stage — here it carries one serving
+        // tree; its crash recovery + idempotence are what make an
+        // unattended cron deployment of this stage safe
+        graft.etl.Maintenance.run(spark,
+          serving = Seq(graft.etl.Maintenance.ServingTree(serveDir,
+            partitionCols = Seq("source"), sortCols = Seq("doc_id"),
+            maxRecordsPerFile = 1 << 20)))
         val maintainSecs = (System.nanoTime() - tM) / 1e9
         val serveFilesAfter = dataFileCount()
         val served = spark.read.parquet(serveDir)

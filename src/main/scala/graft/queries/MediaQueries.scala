@@ -286,7 +286,114 @@ object MediaQueries extends QueryPack {
       |  ROUND(CAST(SUM(cnt - 1) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6) AS dedup_ratio
       |FROM g GROUP BY kind ORDER BY kind""".stripMargin
 
+  /** m7 — MULTIMODAL TRAINING MANIFEST: the per-source admission
+    * accounting a text+image+embedding pipeline closes each snapshot
+    * with — every doc passes four modality gates and only the
+    * conjunction trains:
+    *
+    *  - `lang_ok`: declared language is the target (en);
+    *  - `media_ok`: payload size inside the decode-budget band
+    *    [100, 520] bytes (stand-in for resolution/duration bounds);
+    *  - `quality_ok`: t2's quality score at or above the CORPUS MEAN
+    *    — compared in integers (micro = ⌊score·1e6 + 0.5⌋, gate
+    *    micro·n ≥ Σmicro) so no float sum ever crosses engines;
+    *  - `modal_ok`: the doc's embedding cluster label agrees with its
+    *    source's majority label — the cross-modal consistency filter
+    *    (the CLIP-score-agreement shape: text provenance and
+    *    embedding geometry must tell the same story).
+    *
+    * Scale: all joins are doc_id-keyed (co-partitioned fact joins);
+    * the corpus quality stat and the per-source majority-label frame
+    * are metadata-scale broadcasts (majority = one window over
+    * #source × #label count rows); the rollup is one partial+final
+    * agg. Reuses [[TextQueries.docScores]] so "quality" stays ONE
+    * definition across the library (d17/c1's convention). */
+  private def m7(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"),
+        expr("size(split(text, ' '))").cast("long").as("n_tokens"))
+    val score = TextQueries.docScores(s, dir)
+      .select(col("doc_id"),
+        floor(col("score") * 1e6 + 0.5).cast("long").as("micro"))
+    val stats = score.agg(sum(col("micro")).as("sum_micro"),
+      count(lit(1)).as("n_tot"))
+    val bytes = media(s, dir)
+      .select(col("media_id").as("doc_id"),
+        col("meta.n_bytes").as("n_bytes"))
+    val lab = Tables(s, dir, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("label"))
+    val wMaj = Window.partitionBy(col("source"))
+      .orderBy(col("cnt").desc, col("label"))
+    val maj = d.join(lab, Seq("doc_id"))
+      .groupBy(col("source"), col("label")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(wMaj)).filter(col("rk") === 1)
+      .select(col("source"), col("label").as("maj_label"))
+    d.join(score, Seq("doc_id")).join(bytes, Seq("doc_id"))
+      .join(lab, Seq("doc_id"))
+      .join(broadcast(maj), Seq("source"))
+      .crossJoin(broadcast(stats))
+      .withColumn("lang_ok", col("lang") === "en")
+      .withColumn("media_ok", col("n_bytes").between(100, 520))
+      .withColumn("quality_ok",
+        col("micro") * col("n_tot") >= col("sum_micro"))
+      .withColumn("modal_ok", col("label") === col("maj_label"))
+      .withColumn("trainable", col("lang_ok") && col("media_ok") &&
+        col("quality_ok") && col("modal_ok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lang_ok"), 1L).otherwise(0L)).as("n_lang_ok"),
+        sum(when(col("media_ok"), 1L).otherwise(0L)).as("n_media_ok"),
+        sum(when(col("quality_ok"), 1L).otherwise(0L)).as("n_quality_ok"),
+        sum(when(col("modal_ok"), 1L).otherwise(0L)).as("n_modal_ok"),
+        sum(when(col("trainable"), 1L).otherwise(0L)).as("n_trainable"),
+        sum(when(col("trainable"), col("n_tokens")).otherwise(0L))
+          .as("trainable_tokens"))
+      .orderBy(col("source"))
+  }
+
+  private val m7Sql =
+    s"""WITH sc AS (${TextQueries.docScoresSql}),
+      |micro AS (
+      |  SELECT doc_id, CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) AS micro
+      |  FROM sc),
+      |stats AS (
+      |  SELECT CAST(SUM(micro) AS BIGINT) AS sum_micro,
+      |    COUNT(*) AS n_tot FROM micro),
+      |d AS (
+      |  SELECT doc_id, source, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |  FROM documents),
+      |lab AS (SELECT vec_id AS doc_id, label FROM embeddings),
+      |maj AS (
+      |  SELECT source, label AS maj_label FROM (
+      |    SELECT d.source, lab.label, COUNT(*) AS cnt,
+      |      ROW_NUMBER() OVER (PARTITION BY d.source
+      |        ORDER BY COUNT(*) DESC, lab.label) AS rk
+      |    FROM d JOIN lab USING (doc_id) GROUP BY d.source, lab.label) t
+      |  WHERE rk = 1),
+      |g AS (
+      |  SELECT d.source, d.n_tokens,
+      |    (d.lang = 'en') AS lang_ok,
+      |    (d.n_bytes BETWEEN 100 AND 520) AS media_ok,
+      |    (micro.micro * stats.n_tot >= stats.sum_micro) AS quality_ok,
+      |    (lab.label = maj.maj_label) AS modal_ok
+      |  FROM d JOIN micro USING (doc_id) JOIN lab USING (doc_id)
+      |  JOIN maj ON maj.source = d.source, stats)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_ok,
+      |  CAST(SUM(CASE WHEN media_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_media_ok,
+      |  CAST(SUM(CASE WHEN quality_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok,
+      |  CAST(SUM(CASE WHEN modal_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_modal_ok,
+      |  CAST(SUM(CASE WHEN lang_ok AND media_ok AND quality_ok AND modal_ok
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_trainable,
+      |  CAST(SUM(CASE WHEN lang_ok AND media_ok AND quality_ok AND modal_ok
+      |                THEN n_tokens ELSE 0 END) AS BIGINT) AS trainable_tokens
+      |FROM g GROUP BY source ORDER BY source""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m7_train_manifest" -> m7,
     "m6_block_dedup"   -> m6,
     "m5_storage_profile" -> m5,
     "m1_media_profile" -> m1,
@@ -295,6 +402,7 @@ object MediaQueries extends QueryPack {
     "m4_media_clusters" -> m4)
 
   override def oracle: Map[String, String] = Map(
+    "m7_train_manifest" -> m7Sql,
     "m6_block_dedup"   -> m6Sql,
     "m5_storage_profile" -> m5Sql,
     "m1_media_profile" -> m1Sql,

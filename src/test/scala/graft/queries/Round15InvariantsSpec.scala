@@ -84,6 +84,31 @@ class Round15InvariantsSpec extends SparkSpec {
     fused.values.max should be > 1.0 / 61 + 1e-9
   }
 
+  test("m7: gates are individually selective and the manifest is " +
+      "conservation-consistent") {
+    val rows = SparkEntry.queries("m7_train_manifest")(spark, sfDir).collect()
+    rows.length should be > 1
+    def tot(i: Int) = rows.map(_.getLong(i)).sum
+    val (nDocs, nLang, nMedia, nQual, nModal, nTrain) =
+      (tot(1), tot(2), tot(3), tot(4), tot(5), tot(6))
+    // every gate drops SOMETHING and keeps SOMETHING (non-vacuous)
+    Seq(nLang, nMedia, nQual, nModal).foreach { g =>
+      g should be > 0L
+      g should be < nDocs
+    }
+    // the conjunction is at most the tightest gate, and nonzero
+    nTrain should be > 0L
+    nTrain should be <= Seq(nLang, nMedia, nQual, nModal).min
+    // quality gate is the integerized mean-threshold: recompute
+    val micro = TextQueries.docScores(spark, sfDir)
+      .select(col("doc_id"),
+        floor(col("score") * 1e6 + 0.5).cast("long").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val sum = micro.map(_._2).sum
+    val n = micro.length
+    micro.count { case (_, m) => m * n >= sum }.toLong shouldBe nQual
+  }
+
   test("q22: the distributed selection reproduces Spark's own exact " +
       "percentile on the same column") {
     val got = SparkEntry.queries("q22_approx_quantile")(spark, sfDir)
