@@ -1809,8 +1809,8 @@ object TextQueries extends QueryPack {
     * Scale: one corpus scan for the per-source token totals; the
     * schedule itself is #sources × #epochs rows of window math. */
   private def t29(s: SparkSession, dir: String): DataFrame = {
-    val epochsN = 4
-    val budget = 10000L
+    val epochsN = t29EpochsN
+    val budget = t29Budget
     val src = docs(s, dir).groupBy(col("source"))
       .agg(sum(expr("size(split(text, ' '))").cast("long")).as("n_tokens"))
     val tot = src.agg(sum(col("n_tokens")).as("t"))
@@ -1844,8 +1844,13 @@ object TextQueries extends QueryPack {
       .orderBy(col("epoch"), col("source"))
   }
 
+  /** The t29 schedule constants — single-sourced for BOTH the Spark
+    * side and the DuckDB oracle (changing one changes both). */
+  private val t29EpochsN = 4
+  private val t29Budget = 10000L
+
   private val t29Sql =
-    """WITH src AS (
+    s"""WITH src AS (
       |  SELECT source,
       |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
       |  FROM documents GROUP BY source),
@@ -1858,18 +1863,18 @@ object TextQueries extends QueryPack {
       |den AS (SELECT list_sum(list(sw ORDER BY source)) AS d FROM w),
       |sched AS (
       |  SELECT e.epoch, w.source,
-      |    (CAST(1 AS DOUBLE) - CAST(e.epoch AS DOUBLE) / 4) * w.rawf
-      |      + (CAST(e.epoch AS DOUBLE) / 4) * (w.sw / den.d) AS share
-      |  FROM w, den, (SELECT unnest(range(1, 5)) AS epoch) e),
+      |    (CAST(1 AS DOUBLE) - CAST(e.epoch AS DOUBLE) / $t29EpochsN) * w.rawf
+      |      + (CAST(e.epoch AS DOUBLE) / $t29EpochsN) * (w.sw / den.d) AS share
+      |  FROM w, den, (SELECT unnest(range(1, ${t29EpochsN + 1})) AS epoch) e),
       |q AS (
       |  SELECT epoch, source, share,
-      |    CAST(floor(share * CAST(10000 AS DOUBLE)) AS BIGINT) AS q,
-      |    share * CAST(10000 AS DOUBLE)
-      |      - floor(share * CAST(10000 AS DOUBLE)) AS rem
+      |    CAST(floor(share * CAST($t29Budget AS DOUBLE)) AS BIGINT) AS q,
+      |    share * CAST($t29Budget AS DOUBLE)
+      |      - floor(share * CAST($t29Budget AS DOUBLE)) AS rem
       |  FROM sched),
       |a AS (
       |  SELECT epoch, source, share, q, rem,
-      |    10000 - SUM(q) OVER (PARTITION BY epoch) AS leftover,
+      |    $t29Budget - SUM(q) OVER (PARTITION BY epoch) AS leftover,
       |    ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY rem DESC, source)
       |      AS rrk
       |  FROM q)

@@ -104,7 +104,11 @@ object HttpEnvelopeRelay {
           val raw = new String(
             ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
           try {
-            if (raw.nonEmpty) mapper.readTree(raw) // parse gate only
+            // parse gate only; an EMPTY body is accepted untouched —
+            // the reference's `raw ? JSON.parse(raw) : undefined`
+            // ternary (server.ts:49) admits it with body undefined,
+            // and the adapters' null-drop (F2) discards it downstream
+            if (raw.nonEmpty) mapper.readTree(raw)
             spool(ex, spoolDir, mapper, source, raw)
             respond(ex, 200, """{"ok":true}""")
           } catch {
@@ -131,8 +135,9 @@ object HttpEnvelopeRelay {
         hdrs.put(e.getKey.toLowerCase, e.getValue.get(0))
     }
     env.put("body", raw)
+    val now = java.time.Instant.now()
     env.put("receivedAtMicros",
-      java.time.Instant.now().toEpochMilli * 1000L)
+      now.getEpochSecond * 1000000L + now.getNano / 1000L)
     val line = mapper.writeValueAsString(env) + "\n"
     val name = source + "-" + java.util.UUID.randomUUID().toString + ".json"
     val tmp = Paths.get(spoolDir, "." + name + ".tmp")
@@ -143,5 +148,13 @@ object HttpEnvelopeRelay {
     } finally out.close()
     Files.move(tmp, Paths.get(spoolDir, name),
       StandardCopyOption.ATOMIC_MOVE)
+    // fsync the DIRECTORY too: the rename's directory entry must be
+    // journaled before the 200 ack, or a machine crash can lose an
+    // acknowledged delivery (the file's own fsync does not cover its
+    // parent's entry) — same crash model as the _COMMIT hsync in
+    // CorpusLayout/Maintenance.
+    val dirCh = java.nio.channels.FileChannel.open(
+      Paths.get(spoolDir), java.nio.file.StandardOpenOption.READ)
+    try dirCh.force(true) finally dirCh.close()
   }
 }

@@ -42,14 +42,34 @@ class Round15InvariantsSpec extends SparkSpec {
 
   test("t30: selection is partitioning/permutation invariant (the " +
       "TopKAgg merge is order-free)") {
-    val a = SparkEntry.queries("t30_weighted_sample")(spark, sfDir)
-      .select(col("doc_id")).as[Long].collect().toSeq
-    // same corpus through a different physical layout
-    val shuffled = graft.Tables(spark, sfDir, "documents").repartition(17)
-    shuffled.createOrReplaceTempView("t30_shuffled_probe")
-    val b = SparkEntry.queries("t30_weighted_sample")(spark, sfDir)
-      .select(col("doc_id")).as[Long].collect().toSeq
+    import org.apache.spark.sql.functions.udaf
+    val bottomk = udaf(new graft.functions.TopKAgg(200))
+    // the gated query's own key pipeline, materialized so it can be
+    // re-laid-out physically before the aggregator
+    def keys = graft.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        expr("size(split(text, ' '))").cast("long").as("w"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+          .cast("long").as("h"))
+      .withColumn("key",
+        -log((col("h") + 1).cast("double") / lit(4503599627370496.0)) /
+          col("w").cast("double"))
+    def select(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.agg(bottomk(-col("key"), col("doc_id")).as("mins"))
+        .select(explode(col("mins")).as("e"))
+        .select(col("e").getField("id")).as[Long].collect().sorted.toSeq
+    // three genuinely different physical layouts: partition counts
+    // change which partial buffers exist, the range layout changes
+    // which rows co-reside, the desc sort reverses reduce order
+    val a = select(keys.coalesce(1))
+    val b = select(keys.repartition(17))
+    val c = select(keys.repartitionByRange(5, col("key").desc))
     a shouldBe b
+    b shouldBe c
+    // and the invariant set is the gated query's own selection
+    val gated = SparkEntry.queries("t30_weighted_sample")(spark, sfDir)
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    a shouldBe gated
   }
 
   test("s25: fusion algebra — fused scores are exactly the rank " +

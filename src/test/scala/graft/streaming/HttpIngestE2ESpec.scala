@@ -74,15 +74,19 @@ class HttpIngestE2ESpec extends SparkSpec {
         request(s"$base/webhook/aloware", "POST", Some("{not json"))
       badStatus shouldBe 500
       badBody should include("\"ok\":false")
+      // an EMPTY body is ACCEPTED — the reference's
+      // `raw ? JSON.parse(raw) : undefined` ternary admits it with
+      // body undefined (server.ts:49); the adapters drop it later
+      request(s"$base/webhook/aloware", "POST", Some(""))._1 shouldBe 200
 
       // the real deliveries (case-insensitive source segment)
       deliveries.foreach { d =>
         request(s"$base/webhook/Aloware", "POST", Some(d))._1 shouldBe 200
       }
-      // only the 6 accepted deliveries spooled — the malformed one
-      // must NOT leave a file behind
+      // the 6 deliveries + the accepted empty envelope spooled — the
+      // malformed one must NOT leave a file behind
       Files.list(spool).filter(p =>
-        !p.getFileName.toString.startsWith(".")).count() shouldBe 6
+        !p.getFileName.toString.startsWith(".")).count() shouldBe 7
     } finally relay.close()
 
     // headers survive the envelope (P5's delivery-id seam)
