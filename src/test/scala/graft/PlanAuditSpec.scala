@@ -396,6 +396,39 @@ class PlanAuditSpec extends SparkSpec {
       .size should be <= 1
   }
 
+  test("q22: the exact legs stay a SELECTION — no exact-percentile " +
+      "aggregate, no full-table rank window") {
+    // round 15 rewrote q22's exact percentiles from `percentile(x,p)`
+    // (per-group whole-column aggregation buffers — the last
+    // low-cardinality memory funnel, 28.3 s at sf3) to bucket-
+    // histogram selection (4.0 s). Lock the shape: the plan may carry
+    // percentile_approx (the audited sketch) but never the exact
+    // Percentile aggregate, and its only windows are over the
+    // broadcast-joined HOT buckets, never a full-table global rank.
+    val p = plan("q22_approx_quantile")
+    // the GK sketch + histogram passes ran eagerly at build time, so
+    // the served plan reads their results as driver literals...
+    p should include("LocalTableScan")
+    // ...and never an exact-percentile aggregate
+    p should not include "percentile(x"
+    // the hot-bucket values ride a collect_list map, not a rank
+    // window over the table; the only global sort is the final
+    // #groups-row orderBy
+    p should include("collect_list")
+    p.linesIterator.filter(l => l.contains("Sort") &&
+      l.contains("global=true")).size should be <= 1
+  }
+
+  test("t30: the weighted sample is one aggregator pass — no rank " +
+      "window over the corpus") {
+    // the K-smallest-keys selection must ride the mergeable O(K)
+    // TopKAgg (ObjectHashAggregate), never a row_number window (which
+    // would sort the whole corpus on one reducer for a global rank)
+    val p = plan("t30_weighted_sample")
+    p should include("ObjectHashAggregate")
+    p should not include "Window"
+  }
+
   test("no query plans an unpartitioned window (single-reducer funnel)") {
     // A Window with an empty partitionSpec requires AllTuples — every
     // row funnels through ONE task (Spark warns "No Partition Defined
