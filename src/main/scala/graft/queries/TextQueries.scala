@@ -1941,7 +1941,70 @@ object TextQueries extends QueryPack {
       |SELECT doc_id, source, n_tokens FROM r WHERE rk <= 200
       |ORDER BY doc_id""".stripMargin
 
+  /** t31 — sequence-BUCKETING padding-waste sweep (the d18 operating-
+    * point pattern applied to training-batch economics): when batches
+    * are formed within length buckets and every sequence pads to its
+    * bucket's max, the padding waste is a function of HOW MANY
+    * buckets you run — 1 bucket = pad-to-global-max (worst), more
+    * buckets = tighter fit but smaller/more batches. For each bucket
+    * count k ∈ {1,2,4,8,16} (equal-width over the fixed cap 128),
+    * report buckets actually used, real token mass, padded tokens
+    * (Σ per bucket: n·max − Σlen — the upper bound batch-level
+    * packing can only improve on), and the waste fraction. The
+    * numbers every trainer reads before picking a bucketing config.
+    *
+    * Determinism: everything is INTEGER until the final fraction —
+    * lengths, bucket ids (floor of an exact small-int product over
+    * 128), maxima, sums — so the sweep is bit-stable cross-engine by
+    * construction.
+    *
+    * Scale: ONE corpus scan exploded by the 5 k-values, then a
+    * partial+final agg on (k, bucket) (≤ 5×16 groups) and a
+    * metadata-scale rollup — no joins, no windows. */
+  private def t31(s: SparkSession, dir: String): DataFrame = {
+    val ks = Seq(1, 2, 4, 8, 16)
+    val cap = 128
+    val d = docs(s, dir)
+      .select(least(expr("size(split(text, ' '))"), lit(cap - 1))
+        .cast("long").as("len"))
+      .select(col("len"), explode(lit(ks.toArray)).as("k"))
+      .withColumn("bucket",
+        floor((col("len") * col("k")).cast("double") / cap).cast("long"))
+    d.groupBy(col("k"), col("bucket"))
+      .agg(count(lit(1)).as("n"), max(col("len")).as("mx"),
+        sum(col("len")).as("tok"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("buckets_used"),
+        sum(col("tok")).as("real_tokens"),
+        sum(col("n") * col("mx") - col("tok")).as("padded_tokens"))
+      .select(col("k").cast("long").as("k"), col("buckets_used"),
+        col("real_tokens"), col("padded_tokens"),
+        round(col("padded_tokens").cast("double") /
+          (col("real_tokens") + col("padded_tokens")), 6).as("waste_frac"))
+      .orderBy(col("k"))
+  }
+
+  private val t31Sql =
+    """WITH d AS (
+      |  SELECT LEAST(len(string_split(text, ' ')), 127) AS len
+      |  FROM documents),
+      |e AS (
+      |  SELECT d.len, k.k,
+      |    CAST(FLOOR(CAST(d.len * k.k AS DOUBLE) / 128) AS BIGINT) AS bucket
+      |  FROM d CROSS JOIN (SELECT unnest([1, 2, 4, 8, 16]) AS k) k),
+      |g AS (
+      |  SELECT k, bucket, COUNT(*) AS n, MAX(len) AS mx,
+      |    CAST(SUM(len) AS BIGINT) AS tok
+      |  FROM e GROUP BY k, bucket)
+      |SELECT CAST(k AS BIGINT) AS k, COUNT(*) AS buckets_used,
+      |  CAST(SUM(tok) AS BIGINT) AS real_tokens,
+      |  CAST(SUM(n * mx - tok) AS BIGINT) AS padded_tokens,
+      |  ROUND(CAST(SUM(n * mx - tok) AS DOUBLE) /
+      |        (SUM(tok) + SUM(n * mx - tok)), 6) AS waste_frac
+      |FROM g GROUP BY k ORDER BY k""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t31_padding_sweep" -> t31,
     "t30_weighted_sample" -> t30,
     "t29_mix_schedule" -> t29,
     "t28_mix_kl" -> t28,
@@ -1974,6 +2037,7 @@ object TextQueries extends QueryPack {
     "t25_ppl_buckets" -> t25)
 
   override def oracle: Map[String, String] = Map(
+    "t31_padding_sweep" -> t31Sql,
     "t30_weighted_sample" -> t30Sql,
     "t29_mix_schedule" -> t29Sql,
     "t28_mix_kl" -> t28Sql,

@@ -104,6 +104,26 @@ class Round15InvariantsSpec extends SparkSpec {
     fused.values.max should be > 1.0 / 61 + 1e-9
   }
 
+  test("t31: waste is monotone non-increasing in bucket count, and " +
+      "k=1 is exactly pad-to-global-max") {
+    val rows = SparkEntry.queries("t31_padding_sweep")(spark, sfDir)
+      .collect().sortBy(_.getLong(0))
+    rows.map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L, 4L, 8L, 16L)
+    // more buckets can only tighten the fit
+    val waste = rows.map(_.getDouble(4)).toSeq
+    waste.zip(waste.tail).foreach { case (a, b) => b should be <= a }
+    // buckets actually used never exceed k
+    rows.foreach(r => r.getLong(1) should be <= r.getLong(0))
+    // k=1 identity: real + padded = n_docs × global max length
+    val lens = graft.Tables(spark, sfDir, "documents")
+      .select(least(expr("size(split(text, ' '))"), lit(127))
+        .cast("long").as("len"))
+      .as[Long].collect()
+    val k1 = rows.head
+    k1.getLong(2) shouldBe lens.sum
+    k1.getLong(2) + k1.getLong(3) shouldBe lens.length * lens.max
+  }
+
   test("m7: gates are individually selective and the manifest is " +
       "conservation-consistent") {
     val rows = SparkEntry.queries("m7_train_manifest")(spark, sfDir).collect()
