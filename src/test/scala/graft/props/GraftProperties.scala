@@ -174,4 +174,71 @@ object GraftProperties extends Properties("graft") {
         c(p.reverse) == full &&
         p.map(x => c(Seq(x))).sum == full // distinct probes partition the hits
     }
+
+  // ---- round 15: the remaining kernels' algebraic laws ----
+
+  /** Classic O(mn) Levenshtein DP — the reference the bit-parallel
+    * Myers kernel must agree with. */
+  private def levDp(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = dp(0); dp(0) = j
+      for (i <- 1 to a.length) {
+        val t = dp(i)
+        dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+          prev + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+        prev = t
+      }
+    }
+    dp(a.length)
+  }
+
+  private val shortStr = Gen.listOf(Gen.oneOf('a', 'b', 'c', ' '))
+    .map(_.take(90).mkString)
+
+  property("levBound agrees with the classic DP inside the bound, -1 outside") =
+    forAll(shortStr, shortStr, Gen.choose(0, 8)) { (a, b, k) =>
+      val exact = levDp(a, b)
+      val got = graft.functions.LevBound.dist(a, b, k)
+      if (exact <= k) got == exact else got == -1
+    }
+
+  property("levBound is symmetric and zero on self") =
+    forAll(shortStr, shortStr, Gen.choose(0, 8)) { (a, b, k) =>
+      graft.functions.LevBound.dist(a, b, k) ==
+        graft.functions.LevBound.dist(b, a, k) &&
+        graft.functions.LevBound.dist(a, a, 0) == 0
+    }
+
+  private val idSet = Gen.listOf(Gen.choose(0L, 4096L))
+  private def larr(xs: Seq[Long]) = new GenericArrayData(xs.map(x => x: Any))
+
+  property("packed adjacency: pack/intersect/common implement exact SET algebra") =
+    forAll(idSet, idSet) { (xs, ys) =>
+      val pa = graft.functions.PackSortedLongs.pack(larr(xs))
+      val pb = graft.functions.PackSortedLongs.pack(larr(ys))
+      val want = xs.toSet.intersect(ys.toSet).toSeq.sorted
+      val inter = graft.functions.PackedIntersect.intersect(pa, pb)
+      val got = (0 until inter.numElements()).map(inter.getLong)
+      got == want &&
+        graft.functions.PackedCommonCount.common(pa, pb) == want.length &&
+        // self-intersection recovers the sorted distinct set (codec roundtrip)
+        {
+          val self = graft.functions.PackedIntersect.intersect(pa, pa)
+          (0 until self.numElements()).map(self.getLong) ==
+            xs.distinct.sorted
+        }
+    }
+
+  property("norm is idempotent and its alphabet is closed under [a-z0-9 ]") =
+    forAll(Gen.asciiPrintableStr, Gen.listOf(Gen.oneOf('é', '中', '\t', 'Z'))) {
+      (s, extra) =>
+        val raw = UTF8String.fromString(s + extra.mkString)
+        val once = graft.functions.NormText.norm(raw).toString
+        graft.functions.NormText.norm(
+          UTF8String.fromString(once)).toString == once &&
+          once.forall(c => c.isDigit || (c >= 'a' && c <= 'z') || c == ' ') &&
+          !once.startsWith(" ") && !once.endsWith(" ") &&
+          !once.contains("  ")
+    }
 }
