@@ -140,4 +140,50 @@ class HttpIngestE2ESpec extends SparkSpec {
     httpBoard.length should be > 0
     httpBoard.mkString should include("CALLS")
   }
+
+  test("relay redelivery across a consumer restart is absorbed exactly once") {
+    import spark.implicits._
+    // the relay's at-least-once story: a client whose 200 ack was
+    // lost re-POSTs the same delivery — here AFTER the consumer
+    // stopped and restarted from its checkpoint, so the dedup must
+    // come from the ledger STATE resuming over the spool transport,
+    // not from within-batch dedup
+    val spool = tmp("graft-http-rd-spool"); val out = tmp("graft-http-rd-out")
+    val chk = tmp("graft-http-rd-chk")
+    def call(id: Int, hhmm: String) =
+      s"""{"event":"outbound_call","body":{"id":$id,"owner_id":10,""" +
+        s""""created_at":"2025-11-05 $hhmm:00"}}"""
+    def run(expect: Long): Unit = {
+      val facts = StreamingIngest.transform(
+        HttpEnvelopeRelay.spoolSource(spark, spool.toString), roster = None)
+      val q = StreamingIngest
+        .parquetSink(facts, out.toString, chk.toString, triggerMs = 100)
+        .start()
+      try {
+        val deadline = System.currentTimeMillis() + 60000
+        var n = 0L
+        while (n < expect && System.currentTimeMillis() < deadline) {
+          q.processAllAvailable()
+          n = try spark.read.parquet(out.toString).count()
+            catch { case _: Throwable => 0L }
+          if (n < expect) Thread.sleep(200)
+        }
+      } finally q.stop()
+    }
+    val relay = HttpEnvelopeRelay.start(spool.toString)
+    try {
+      val base = s"http://localhost:${relay.port}/webhook/aloware"
+      request(base, "POST", Some(call(1, "14:00")))._1 shouldBe 200
+      request(base, "POST", Some(call(2, "15:00")))._1 shouldBe 200
+      run(expect = 2)
+      // lost-ack retry of delivery 1 (a NEW spool file — the file
+      // source will deliver it) plus a genuinely new delivery
+      request(base, "POST", Some(call(1, "14:00")))._1 shouldBe 200
+      request(base, "POST", Some(call(3, "16:00")))._1 shouldBe 200
+      run(expect = 3)
+    } finally relay.close()
+    val ids = spark.read.parquet(out.toString)
+      .select(col("eventId")).as[String].collect().sorted
+    ids shouldBe Array("ALOWARE:1", "ALOWARE:2", "ALOWARE:3") // 1 exactly once
+  }
 }
