@@ -103,6 +103,10 @@ object CorpusLayout {
       .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
       .mode("overwrite")
       .parquet(staging.toString)
+    // staged data must be durable BEFORE any leaf's _COMMIT marker:
+    // the marker licenses roll-forward, and roll-forward trusts the
+    // staged bytes (one recursive pass covers every leaf's files)
+    syncStagedTree(fs, staging)
 
     // leaf dirs come back fully qualified (file:/…); strip the
     // qualified root PREFIX to get the partition-relative path —
@@ -146,9 +150,71 @@ object CorpusLayout {
     CompactionReport(done, compactAlready.size)
   }
 
-  private def isData(f: org.apache.hadoop.fs.FileStatus): Boolean =
+  private[etl] def isData(f: org.apache.hadoop.fs.FileStatus): Boolean =
     f.isFile && !f.getPath.getName.startsWith("_") &&
       !f.getPath.getName.startsWith(".")
+
+  /** Persist already-written staged files before a commit marker is
+    * created — the marker's durability is only meaningful if the data
+    * it licenses a roll-forward onto is at least as durable. On a
+    * local/POSIX filesystem Spark's parquet writes land through
+    * buffered streams whose pages may still sit in the page cache
+    * when the stream closes, so a power crash can persist the
+    * (hsync'd) marker while the staged data it points at is
+    * truncated. Here every data file under `dir` (recursively) is
+    * re-opened and fsync'd, then each directory entry is fsync'd too.
+    * Non-`file:` schemes are a no-op: on HDFS `close()` only returns
+    * after the last packet is acknowledged by the datanode pipeline,
+    * which is the durability contract these swaps rely on there. */
+  private[etl] def syncStagedTree(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Unit = {
+    if (fs.getScheme != "file") return
+    def localPath(p: org.apache.hadoop.fs.Path): java.nio.file.Path =
+      java.nio.file.Paths.get(fs.makeQualified(p).toUri.getPath)
+    def walk(p: org.apache.hadoop.fs.Path): Unit = {
+      val st = fs.listStatus(p)
+      st.filter(isData).foreach { f =>
+        val ch = java.nio.channels.FileChannel.open(
+          localPath(f.getPath), java.nio.file.StandardOpenOption.READ)
+        try ch.force(true) finally ch.close()
+      }
+      st.filter(_.isDirectory).foreach(d => walk(d.getPath))
+      val dch = java.nio.channels.FileChannel.open(
+        localPath(p), java.nio.file.StandardOpenOption.READ)
+      try dch.force(true) finally dch.close()
+    }
+    walk(dir)
+  }
+
+  /** true iff every data file directly under `dir` is a plausibly
+    * COMPLETE parquet file (non-empty, ends with the `PAR1` footer
+    * magic). Recovery's roll-forward validation: a durable marker
+    * normally implies durable staged data (see [[syncStagedTree]]),
+    * but on filesystems outside that guarantee this cheap footer
+    * probe is the difference between rolling forward onto truncated
+    * files — silent data loss once the original tree is dropped —
+    * and rolling back to the intact original. */
+  private[etl] def parquetLeafReadable(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Boolean = {
+    val magic = "PAR1".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val files = fs.listStatus(dir).filter(isData)
+    files.nonEmpty && files.forall { f =>
+      f.getLen >= 8L && {
+        // any read/seek failure (truncation, checksum mismatch on a
+        // ChecksumFileSystem whose .crc outlived the data pages) IS
+        // the corruption the probe exists to detect
+        try {
+          val in = fs.open(f.getPath)
+          try {
+            in.seek(f.getLen - 4L)
+            val buf = new Array[Byte](4)
+            in.readFully(buf)
+            java.util.Arrays.equals(buf, magic)
+          } finally in.close()
+        } catch { case _: java.io.IOException => false }
+      }
+    }
+  }
 
   private def renameOrThrow(fs: org.apache.hadoop.fs.FileSystem,
       src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =

@@ -28,6 +28,8 @@ import org.apache.spark.sql.functions._
   * per-partition one — the marker is the durability point):
   *
   *  - stage the vacuumed table at `P.vacuum-staging` (no marker);
+  *  - fsync the staged data files ([[CorpusLayout.syncStagedTree]] —
+  *    the marker must never be durable ahead of the data it commits);
   *  - create + hsync `_COMMIT` inside staging;
   *  - rename `P` → `P.vacuum-orig`; rename staging → `P`;
   *  - delete the marker (it traveled into `P`) and the orig tree.
@@ -93,6 +95,11 @@ object Maintenance {
     val kept = Scd2.vacuum(s.read.parquet(d.path),
       to_timestamp(lit(d.horizonTs)))
     kept.write.mode("overwrite").parquet(staging.toString)
+    // staged data durable BEFORE the marker: the hsync'd marker
+    // licenses roll-forward onto these very bytes, so their
+    // persistence must be ordered ahead of it (local FS: explicit
+    // per-file fsync; HDFS: close() already pipelines to datanodes)
+    CorpusLayout.syncStagedTree(fs, staging)
     val marker = new HPath(staging, "_COMMIT")
     val out = fs.create(marker, false)
     try out.hsync() finally out.close()
@@ -106,16 +113,32 @@ object Maintenance {
   /** Converges any crash point of [[vacuumInPlace]]'s swap. Decision
     * table over (staging S, marker M in S, table P, orig O):
     *  - S ∧ ¬M            → roll back: delete S (P untouched);
+    *  - S ∧ M ∧ corrupt S → roll back: the marker outlived its data
+    *    (a power-crash window only reachable on filesystems outside
+    *    [[CorpusLayout.syncStagedTree]]'s guarantee) — delete S and,
+    *    if P already moved aside, restore O → P;
     *  - S ∧ M ∧ P         → roll forward from the P→O rename;
     *  - S ∧ M ∧ ¬P        → roll forward from the S→P rename;
     *  - ¬S, then any leftover marker inside P or leftover O tree is
-    *    the tail of a completed swap → delete both. */
+    *    the tail of a completed swap → delete both.
+    * Roll-forward VALIDATES staging first (parquet footer probe,
+    * [[CorpusLayout.parquetLeafReadable]]): because this swap is
+    * directory-level, no staged file has reached P before the S→P
+    * rename, so a failed probe can still roll back without mixing
+    * staged and original files. */
   private[etl] def recoverInterruptedVacuum(fs: FileSystem,
       p: HPath, staging: HPath, orig: HPath): Unit = {
     val markerS = new HPath(staging, "_COMMIT")
     if (fs.exists(staging)) {
       if (!fs.exists(markerS)) fs.delete(staging, true)
-      else {
+      else if (!CorpusLayout.parquetLeafReadable(fs, staging)) {
+        fs.delete(staging, true)
+        if (!fs.exists(p)) {
+          require(fs.exists(orig),
+            s"vacuum recovery: staging corrupt and no table/orig: $p")
+          renameOrThrow(fs, orig, p)
+        }
+      } else {
         if (fs.exists(p)) {
           require(!fs.exists(orig),
             s"vacuum recovery found staging+table+orig all present: $p")

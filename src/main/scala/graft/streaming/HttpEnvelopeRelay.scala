@@ -141,13 +141,24 @@ object HttpEnvelopeRelay {
     val line = mapper.writeValueAsString(env) + "\n"
     val name = source + "-" + java.util.UUID.randomUUID().toString + ".json"
     val tmp = Paths.get(spoolDir, "." + name + ".tmp")
-    val out = new java.io.FileOutputStream(tmp.toFile)
+    // on ANY failure before the rename lands, reclaim the dot-hidden
+    // tmp — the file source never lists it (correctness is safe) but
+    // failed deliveries would otherwise accumulate residue invisible
+    // to retention tooling keyed on visible spool names
     try {
-      out.write(line.getBytes(StandardCharsets.UTF_8))
-      out.getFD.sync()
-    } finally out.close()
-    Files.move(tmp, Paths.get(spoolDir, name),
-      StandardCopyOption.ATOMIC_MOVE)
+      val out = new java.io.FileOutputStream(tmp.toFile)
+      try {
+        out.write(line.getBytes(StandardCharsets.UTF_8))
+        out.getFD.sync()
+      } finally out.close()
+      Files.move(tmp, Paths.get(spoolDir, name),
+        StandardCopyOption.ATOMIC_MOVE)
+    } catch {
+      case t: Throwable =>
+        try Files.deleteIfExists(tmp)
+        catch { case cleanup: Throwable => t.addSuppressed(cleanup) }
+        throw t
+    }
     // fsync the DIRECTORY too: the rename's directory entry must be
     // journaled before the 200 ack, or a machine crash can lose an
     // acknowledged delivery (the file's own fsync does not cover its

@@ -4,6 +4,8 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths}
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -123,6 +125,48 @@ class MaintenanceSpec extends SparkSpec {
     Files.move(dim, Paths.get(dim.toString + ".vacuum-orig"))
     rerun(dim)
     attrsAt(dim.toString) shouldBe Set("MOVED", "NEW", "STAY", "SENTINEL")
+    Files.exists(Paths.get(dim.toString + ".vacuum-orig")) shouldBe false
+  }
+
+  /** Truncates the tail off every staged parquet data file — the
+    * power-crash artifact (durable marker, unpersisted data pages)
+    * recovery's footer probe must catch. */
+  private def corruptStaging(stagingDir: Path): Unit = {
+    Files.list(stagingDir).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .foreach { p =>
+        val ch = java.nio.channels.FileChannel.open(p,
+          java.nio.file.StandardOpenOption.WRITE)
+        try ch.truncate(math.max(0L, ch.size() - 4L)) finally ch.close()
+      }
+  }
+
+  test("crash window: marker durable but staging truncated, table intact -> roll BACK") {
+    val (dim, staged) = stagedState()
+    val staging = Paths.get(dim.toString + ".vacuum-staging")
+    staged.write.mode("overwrite").parquet(staging.toString)
+    Files.write(staging.resolve("_COMMIT"), Array.emptyByteArray)
+    corruptStaging(staging)
+    // footer probe fails -> the corrupt staged tree is discarded and a
+    // FRESH vacuum runs over the intact table (no SENTINEL, no loss)
+    rerun(dim)
+    attrsAt(dim.toString) shouldBe Set("MOVED", "NEW", "STAY")
+    Files.exists(staging) shouldBe false
+  }
+
+  test("crash window: marker durable but staging truncated, table moved -> orig restored") {
+    val (dim, staged) = stagedState()
+    val staging = Paths.get(dim.toString + ".vacuum-staging")
+    staged.write.mode("overwrite").parquet(staging.toString)
+    Files.write(staging.resolve("_COMMIT"), Array.emptyByteArray)
+    corruptStaging(staging)
+    Files.move(dim, Paths.get(dim.toString + ".vacuum-orig"))
+    // the ORIGINAL table (pre-vacuum, all 4 rows incl. OLD) comes back
+    // rather than rolling forward onto truncated files, then the rerun
+    // vacuums it fresh
+    rerun(dim)
+    attrsAt(dim.toString) shouldBe Set("MOVED", "NEW", "STAY")
+    Files.exists(staging) shouldBe false
     Files.exists(Paths.get(dim.toString + ".vacuum-orig")) shouldBe false
   }
 
