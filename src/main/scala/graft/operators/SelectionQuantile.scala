@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact order statistics as a SELECTION problem (round 16, factoring
+  * the shape q22 proved out in round 15 so every rank read shares one
+  * implementation).
+  *
+  * A quantile/percentile read needs the values at a handful of global
+  * ranks per group — never a full ranking. The two standard Spark
+  * shapes both overpay at scale: `percentile(x, p)` buffers every
+  * group member in one aggregation buffer (the low-cardinality-group
+  * memory funnel), and a full global rank (OffsetWindow.globalRank)
+  * still SORTS the whole table to rank rows nobody asks about. The
+  * selection plan instead:
+  *
+  *  1. one sortless scan builds a per-(group, value-bucket) histogram
+  *     — map-side partial counts, metadata-scale output (~#buckets ×
+  *     #groups rows to the driver);
+  *  2. driver-side prefix sums over that histogram locate which
+  *     bucket holds each wanted rank — the same driver-coordinated
+  *     control plane as Spark's own `approxQuantile` and the q21
+  *     bloom build, O(#buckets) memory at any SF;
+  *  3. a second scan windows ONLY the located buckets (typically a
+  *     few % of rows): local rank + the bucket's prefix offset is the
+  *     exact global rank, and a broadcast join keeps just the wanted
+  *     ranks.
+  *
+  * Callers that already scan for other per-(group, bucket) aggregates
+  * (q22 fuses its sketch-audit counts into the histogram pass) hand
+  * the collected histogram in via `histOpt` and pay no extra scan.
+  *
+  * 100 TB: every stage is partial+final or bucket-local; the only
+  * sort is within located buckets (bucket width is the skew knob),
+  * and nothing group-sized ever sits in one buffer or one reducer.
+  */
+object SelectionQuantile {
+
+  /** Values at caller-chosen 1-based global ranks per group.
+    *
+    * @param rows    input with columns `group` (string), `value`
+    *                (numeric) and `bucket` (long, a deterministic
+    *                monotone-in-value bucket id, e.g. floor(x/1000))
+    * @param ranksOf the wanted 1-based ranks for a group of size n
+    *                (deduplicated internally)
+    * @param histOpt pre-collected (group, bucket, count) rows from a
+    *                caller-fused histogram scan; when absent one
+    *                count-only scan runs here
+    * @return (frame of (group, rn, x) — one row per wanted rank —
+    *         and the per-group sizes)
+    */
+  def valuesAtRanks(rows: DataFrame, group: String, value: String,
+      bucket: String, ranksOf: Long => Seq[Long],
+      histOpt: Option[Seq[(String, Long, Long)]] = None)
+      : (DataFrame, Map[String, Long]) = {
+    val s = rows.sparkSession
+    import s.implicits._
+    val hist: Seq[(String, Long, Long)] = histOpt.getOrElse {
+      rows.groupBy(col(group), col(bucket)).agg(count(lit(1)).as("__c"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+    }
+    val ns: Map[String, Long] =
+      hist.groupBy(_._1).map { case (g, rs) => g -> rs.map(_._3).sum }
+    // prefix sums locate each wanted rank's bucket; offsets ride along
+    // so the located-bucket window can promote local ranks to global
+    val located: Seq[(String, Long, Long)] =
+      ns.keys.toSeq.sorted.flatMap { g =>
+        val buckets = hist.filter(_._1 == g).sortBy(_._2)
+        val offs = buckets.scanLeft(0L)(_ + _._3)
+        val wanted = ranksOf(ns(g)).distinct
+        buckets.indices.collect { case i
+          if wanted.exists(t => t > offs(i) && t <= offs(i) + buckets(i)._3) =>
+          (g, buckets(i)._2, offs(i))
+        }
+      }
+    val wantedRanks: Seq[(String, Long)] =
+      ns.toSeq.sortBy(_._1).flatMap { case (g, n) =>
+        ranksOf(n).distinct.map(g -> _)
+      }
+    val wLoc = Window.partitionBy(col(group), col(bucket)).orderBy(col(value))
+    val vals = rows
+      .join(broadcast(located.toDF(group, bucket, "__off")),
+        Seq(group, bucket))
+      .withColumn("__rn", row_number().over(wLoc).cast("long") + col("__off"))
+      .join(broadcast(wantedRanks.toDF(group, "__rn")), Seq(group, "__rn"))
+      .select(col(group), col("__rn").as("rn"), col(value).as("x"))
+    (vals, ns)
+  }
+
+  /** The CUMULATIVE-COUNT rank read (e33's shape): when the value
+    * domain is already aggregated to (value, cnt) rows with a running
+    * `cum` and group total `n`, the value at rank ⌈(num/den)·n⌉ is
+    * the smallest value whose cumulative count reaches it — exact
+    * integer predicate, no float quantile math. Use inside the final
+    * aggregation over the cumulated frame. */
+  def pickAtFrac(value: Column, cum: Column, n: Column,
+      num: Int, den: Int): Column =
+    min(when(cum * den >= n * num, value))
+}

@@ -1536,8 +1536,10 @@ object EventsQueries extends QueryPack {
       .agg(
         sum(when(col("late_us") > 0, col("cnt")).otherwise(0L)).as("n_late"),
         max(col("late_us")).as("max_late_us"),
-        min(when(col("cum") * 2 >= col("n"), col("late_us"))).as("p50_us"),
-        min(when(col("cum") * 100 >= col("n") * 99, col("late_us"))).as("p99_us"))
+        graft.operators.SelectionQuantile.pickAtFrac(
+          col("late_us"), col("cum"), col("n"), 1, 2).as("p50_us"),
+        graft.operators.SelectionQuantile.pickAtFrac(
+          col("late_us"), col("cum"), col("n"), 99, 100).as("p99_us"))
       .select(col("part"), col("n"), col("n_late"),
         round(col("n_late").cast("double") / col("n"), 6).as("late_frac"),
         col("max_late_us"), col("p50_us"), col("p99_us"))

@@ -332,45 +332,53 @@ object MoreRelationalQueries extends QueryPack {
     * though the raw estimate is not — which is exactly why the raw
     * estimate is not emitted (same reasoning as q15's HLL).
     *
-    * Scale: the exact path computes global ranks WITHOUT a per-group
-    * sort (a `partitionBy(rf)` window over 3 returnflags funnels the
-    * whole table through 3 reducers): rows are bucketed by a
-    * deterministic value formula (`floor(x / 1000)` — ~110 buckets
-    * per group), ranked locally per (group, bucket) — hundreds of
-    * independent window partitions, fully parallel — and the local
-    * ranks are promoted to global ones by adding per-bucket offsets
-    * from a metadata-scale prefix-sum frame (one row per bucket,
-    * broadcast back). Two parallel passes instead of one 3-reducer
-    * sort; bucket width is the skew knob. The sketch path is the one
-    * that survives corpus-sized groups (mergeable partials,
-    * O(accuracy) memory), and the contract gate is how the pipeline
-    * PROVES the cheap path tracks the exact one before switching
-    * over. */
+    * Scale: the exact path is the shared SELECTION operator
+    * ([[graft.operators.SelectionQuantile]], the q22 shape factored
+    * round 16): one sortless histogram scan, driver prefix sums
+    * locate the 6 target-rank buckets (p50/p95 plus the ±2%-rank band
+    * edges), one window over only those buckets. Nothing sorts the
+    * full table (the previous globalRank machinery still ranked every
+    * row), nothing funnels a group through one reducer. The sketch
+    * path is the one that survives corpus-sized groups (mergeable
+    * partials, O(accuracy) memory), and the contract gate is how the
+    * pipeline PROVES the cheap path tracks the exact one before
+    * switching over. */
   private def q20(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val t = Tables(s, dir, "lineitem")
       .select(col("l_returnflag").as("rf"), col("l_extendedprice").as("x"))
-    val ns = t.groupBy(col("rf")).agg(count(lit(1)).as("n"))
-    val ranked = graft.operators.OffsetWindow
-      .globalRank(t, Seq("rf"),
-        bucket = floor(col("x") / 1000).cast("long"),
-        order = Seq(col("x")), out = "rn")
-      .join(broadcast(ns), Seq("rf"))
-    def atRank(r: Column): Column = max(when(col("rn") === r, col("x")))
-    def target(p: Double): Column = ceil(lit(p) * col("n")).cast("long")
-    def clamp(c: Column): Column = greatest(lit(1L), least(col("n"), c))
-    val out = ranked.groupBy(col("rf"))
-      .agg(max(col("n")).as("n"),
-        atRank(target(0.50)).as("p50"),
-        atRank(target(0.95)).as("p95"),
-        atRank(clamp(target(0.48))).as("lo50"),
-        atRank(clamp(target(0.52))).as("hi50"),
-        atRank(clamp(target(0.93))).as("lo95"),
-        atRank(clamp(target(0.97))).as("hi95"),
+      .withColumn("bk", floor(col("x") / 1000).cast("long"))
+    // Pass 1 — group sizes + the GK sketches (one mergeable agg;
+    // #groups rows to the driver).
+    val sk = t.groupBy(col("rf"))
+      .agg(count(lit(1)).as("n"),
         percentile_approx(col("x"), lit(0.50), lit(1000)).as("a50"),
         percentile_approx(col("x"), lit(0.95), lit(1000)).as("a95"))
-    out.select(col("rf").as("l_returnflag"), col("n"), col("p50"), col("p95"),
-        (col("a50") >= col("lo50") && col("a50") <= col("hi50")).as("est50_ok"),
-        (col("a95") >= col("lo95") && col("a95") <= col("hi95")).as("est95_ok"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).toSeq.sortBy(_._1)
+    // the driver-side rank formulas mirror the Column ones below
+    // bit-for-bit (same double multiply, same ceil)
+    def tgt(n: Long, p: Double): Long = math.ceil(p * n).toLong
+    def clmp(n: Long, r: Long): Long = math.max(1L, math.min(n, r))
+    def ranks(n: Long): Seq[Long] = Seq(
+      tgt(n, 0.50), tgt(n, 0.95),
+      clmp(n, tgt(n, 0.48)), clmp(n, tgt(n, 0.52)),
+      clmp(n, tgt(n, 0.93)), clmp(n, tgt(n, 0.97)))
+    // Passes 2+3 — histogram + located-bucket selection.
+    val (vals, _) = graft.operators.SelectionQuantile.valuesAtRanks(
+      t, "rf", "x", "bk", ranks)
+    val valMap = vals.groupBy(col("rf"))
+      .agg(map_from_entries(collect_list(struct(col("rn"), col("x")))).as("m"))
+    def target(p: Double): Column = ceil(lit(p) * col("n")).cast("long")
+    def clamp(c: Column): Column = greatest(lit(1L), least(col("n"), c))
+    def at(r: Column): Column = element_at(col("m"), r)
+    broadcast(sk.toDF("rf", "n", "a50", "a95")).join(valMap, Seq("rf"))
+      .select(col("rf").as("l_returnflag"), col("n"),
+        at(target(0.50)).as("p50"), at(target(0.95)).as("p95"),
+        (col("a50") >= at(clamp(target(0.48))) &&
+          col("a50") <= at(clamp(target(0.52)))).as("est50_ok"),
+        (col("a95") >= at(clamp(target(0.93))) &&
+          col("a95") <= at(clamp(target(0.97)))).as("est95_ok"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -507,24 +515,14 @@ object MoreRelationalQueries extends QueryPack {
       val lo = math.floor(r).toLong + 1
       Seq(lo, math.min(lo + 1, n))
     }.distinct
-    val located: Seq[(String, Long, Long)] = sk.flatMap { case (rf, n, _, _) =>
-      val buckets = hist.filter(_._1 == rf).sortBy(_._2)
-      val offs = buckets.scanLeft(0L)(_ + _._3)
-      val wanted = targetRanks(n)
-      buckets.indices.collect { case i
-        if wanted.exists(t => t > offs(i) && t <= offs(i) + buckets(i)._3) =>
-        (rf, buckets(i)._2, offs(i))
-      }
-    }
-    val wantedRanks: Seq[(String, Long)] =
-      sk.flatMap { case (rf, n, _, _) => targetRanks(n).map(rf -> _) }
-    // Pass 3 — sort only the located buckets; local rank + bucket
-    // offset = exact global rank; keep just the bracketed values.
-    val wLoc = Window.partitionBy(col("rf"), col("bk")).orderBy(col("x"))
-    val vals = li
-      .join(broadcast(located.toDF("rf", "bk", "off")), Seq("rf", "bk"))
-      .withColumn("rn", row_number().over(wLoc).cast("long") + col("off"))
-      .join(broadcast(wantedRanks.toDF("rf", "rn")), Seq("rf", "rn"))
+    // Pass 3 — the shared selection operator (factored round 16):
+    // driver prefix sums locate the target-rank buckets over the
+    // FUSED histogram from pass 2, then one window over only those
+    // buckets promotes local ranks to global and keeps the bracketed
+    // values.
+    val (vals, _) = graft.operators.SelectionQuantile.valuesAtRanks(
+      li, "rf", "x", "bk", targetRanks,
+      histOpt = Some(hist.map(t => (t._1, t._2, t._3)).toSeq))
     val valMap = vals.groupBy(col("rf"))
       .agg(map_from_entries(collect_list(struct(col("rn"), col("x")))).as("m"))
     // lower + (higher − lower)·frac — the same IEEE arithmetic as
