@@ -569,8 +569,167 @@ object BuildQueries extends QueryPack {
 
   /** Release the b-family durable fold artifacts for one corpus dir
     * (the [[DedupQueries.releaseArtifacts]] lifecycle). */
-  def releaseArtifacts(s: SparkSession, dir: String): Unit =
+  def releaseArtifacts(s: SparkSession, dir: String): Unit = {
     FoldArtifacts.release(s, dir)
+    ForgetArtifacts.release(s, dir)
+  }
+
+  /** b5's keyed forget batch: doc_id ≡ 5 (mod 11) — decorrelated from
+    * the source key (%20), the arrival split (%7) and the bench split
+    * (%10), so the cascade touches every universe. Restricted to
+    * non-bench docs (the only universe the artifacts cover). */
+  private[graft] def isForgotten(c: org.apache.spark.sql.Column) =
+    c % 11 === 5 && c % 10 =!= 7
+
+  /** The POST-FORGET snapshot (round 16 — the delete-by-key cascade):
+    * three NEW durable doc_id-bucketed tables derived from the
+    * [[FoldArtifacts]] snapshot by deleting the forget batch AND its
+    * derivatives:
+    *
+    *   - `graft_b_fsigs`:      the signature index minus the batch
+    *     (bucketed anti-join rewrite);
+    *   - `graft_b_ffoldlabels`: post-forget near-dup labels over the
+    *     folded universe, via [[graft.etl.Forget.retractLabels]] —
+    *     only components that lost a member recompute (q37's
+    *     semi-join-pruned retraction), everything else carries over
+    *     verbatim;
+    *   - `graft_b_fidxlabels`:  the same retraction applied to the
+    *     pre-fold index labels (every derivative of the doc set must
+    *     forget, not just the latest view).
+    *
+    * The PRE-forget snapshot is never mutated (b2/b4/d20 keep
+    * reading it); production retires it through `Maintenance.run`'s
+    * artifact-drop hook once consumers switch — the swap protocol
+    * ForgetSpec drives. b5's oracle rebuilds all three views from
+    * documents-minus-batch in DuckDB, so retraction ≡ rebuild is
+    * hash-gated per row. */
+  private object ForgetArtifacts {
+    final case class Art(view: DataFrame, tables: Seq[String])
+    private val reg = new graft.ArtifactRegistry[Art](a => Seq(a.view),
+      onRetire = a => a.tables.foreach(t =>
+        graft.etl.DurableArtifacts.drop(a.view.sparkSession, t)))
+
+    def sigsTable(dir: String): String =
+      s"graft_b_fsigs_${graft.ArtifactRegistry.dirTag(dir)}"
+    def foldLabelsTable(dir: String): String =
+      s"graft_b_ffoldlabels_${graft.ArtifactRegistry.dirTag(dir)}"
+    def idxLabelsTable(dir: String): String =
+      s"graft_b_fidxlabels_${graft.ArtifactRegistry.dirTag(dir)}"
+
+    def apply(s: SparkSession, dir: String): Art =
+      reg(s, dir) { (s2, d) =>
+        FoldArtifacts(s2, d) // the pre-forget snapshot must exist
+        val nb = s2.conf.get("spark.sql.shuffle.partitions", "32").toInt
+        val forget = Tables(s2, d, "documents")
+          .filter(isForgotten(col("doc_id"))).select(col("doc_id"))
+        // surviving pair evidence over the non-bench universe (edges
+        // touching a forgotten endpoint die with it)
+        val pairs = DedupQueries.d3PairsArtifact(s2, d)
+          .filter(col("d1") % 10 =!= 7 && col("d2") % 10 =!= 7)
+          .select(col("d1"), col("d2"))
+        graft.etl.DurableArtifacts.bucketedTable(
+          s2, sigsTable(d), nb, Seq("doc_id"), Seq("doc_id")) {
+          s2.table(FoldArtifacts.sigsTable(d))
+            .join(forget, Seq("doc_id"), "left_anti")
+        }
+        graft.etl.DurableArtifacts.bucketedTable(
+          s2, foldLabelsTable(d), nb, Seq("doc_id"), Seq("doc_id")) {
+          graft.etl.Forget.retractLabels(
+            s2.table(FoldArtifacts.foldLabelsTable(d)), pairs, forget)
+        }
+        val idxScan = graft.etl.DurableArtifacts.bucketedTable(
+          s2, idxLabelsTable(d), nb, Seq("doc_id"), Seq("doc_id")) {
+          graft.etl.Forget.retractLabels(
+            s2.table(FoldArtifacts.idxLabelsTable(d)),
+            pairs.filter(!DedupQueries.isDeltaArrival(col("d1")) &&
+              !DedupQueries.isDeltaArrival(col("d2"))), forget)
+        }
+        val v = idxScan
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try { v.count(); Art(v,
+          Seq(sigsTable(d), foldLabelsTable(d), idxLabelsTable(d))) }
+        catch { case t: Throwable =>
+          v.unpersist(blocking = false); throw t }
+      }
+
+    def release(s: SparkSession, dir: String): Unit = reg.release(s, dir)
+  }
+
+  /** Spec/lifecycle hooks for the forget snapshot. */
+  private[graft] def forgetSigsTableName(dir: String): String =
+    ForgetArtifacts.sigsTable(dir)
+  private[graft] def forgetFoldLabelsTableName(dir: String): String =
+    ForgetArtifacts.foldLabelsTable(dir)
+  private[graft] def forgetIdxLabelsTableName(dir: String): String =
+    ForgetArtifacts.idxLabelsTable(dir)
+  private[graft] def forgetSnapshot(s: SparkSession, dir: String): Seq[String] = {
+    ForgetArtifacts(s, dir).tables
+  }
+
+  /** b5 — the forget-cascade audit: one row per non-bench doc with
+    * its POST-FORGET state read from the REAL snapshot tables (not
+    * recomputed inline): still in the signature index?, post-forget
+    * fold-universe cluster, post-forget index-universe cluster
+    * (null for arrivals and for forgotten docs). The oracle rebuilds
+    * every view from documents-minus-batch, so a hash match proves
+    * the anti-join delete actually landed AND the pruned retraction
+    * equals a full rebuild across all three artifact tables. */
+  private def b5(s: SparkSession, dir: String): DataFrame = {
+    ForgetArtifacts(s, dir)
+    val docs = Tables(s, dir, "documents")
+      .filter(col("doc_id") % 10 =!= 7)
+      .select(col("doc_id"), col("source"))
+    docs
+      .join(s.table(ForgetArtifacts.sigsTable(dir))
+        .select(col("doc_id"), lit(true).as("present")),
+        Seq("doc_id"), "left")
+      .join(s.table(ForgetArtifacts.foldLabelsTable(dir))
+        .select(col("doc_id"), col("cluster").as("cluster_fold")),
+        Seq("doc_id"), "left")
+      .join(s.table(ForgetArtifacts.idxLabelsTable(dir))
+        .select(col("doc_id"), col("cluster").as("cluster_idx")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        isForgotten(col("doc_id")).as("forgotten"),
+        coalesce(col("present"), lit(false)).as("in_sigs"),
+        col("cluster_fold"), col("cluster_idx"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val b5Sql =
+    s"""WITH RECURSIVE
+      |pairs AS (SELECT d1, d2 FROM (${DedupQueries.d3OracleSql})
+      |          WHERE d1 % 10 <> 7 AND d2 % 10 <> 7
+      |            AND d1 % 11 <> 5 AND d2 % 11 <> 5),
+      |sym AS (SELECT d1 AS s, d2 AS t FROM pairs
+      |        UNION ALL SELECT d2, d1 FROM pairs),
+      |u AS (SELECT doc_id FROM documents
+      |      WHERE doc_id % 10 <> 7 AND doc_id % 11 <> 5),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM u
+      |  UNION
+      |  SELECT reach.id, sym.t FROM reach JOIN sym ON reach.r = sym.s),
+      |clusf AS (SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id),
+      |symi AS (SELECT d1 AS s, d2 AS t FROM pairs
+      |         WHERE d1 % 7 <> 3 AND d2 % 7 <> 3
+      |         UNION ALL
+      |         SELECT d2, d1 FROM pairs WHERE d1 % 7 <> 3 AND d2 % 7 <> 3),
+      |ui AS (SELECT doc_id FROM u WHERE doc_id % 7 <> 3),
+      |reach2(id, r) AS (
+      |  SELECT doc_id, doc_id FROM ui
+      |  UNION
+      |  SELECT reach2.id, symi.t FROM reach2 JOIN symi ON reach2.r = symi.s),
+      |clusi AS (SELECT id AS doc_id, MIN(r) AS cluster FROM reach2 GROUP BY id)
+      |SELECT d.doc_id, d.source,
+      |  (d.doc_id % 11 = 5) AS forgotten,
+      |  (d.doc_id % 11 <> 5) AS in_sigs,
+      |  cf.cluster AS cluster_fold,
+      |  ci.cluster AS cluster_idx
+      |FROM documents d
+      |LEFT JOIN clusf cf ON d.doc_id = cf.doc_id
+      |LEFT JOIN clusi ci ON d.doc_id = ci.doc_id
+      |WHERE d.doc_id % 10 <> 7
+      |ORDER BY d.doc_id""".stripMargin
 
   /** b4 — the INDEX FOLD: the post-fold cluster-label table (index ∪
     * arrival batch) produced by the star∪delta incremental path, with
@@ -602,9 +761,11 @@ object BuildQueries extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("b1_corpus_build" -> b1, "b2_corpus_delta" -> b2,
-      "b3_packing_manifest" -> b3, "b4_index_fold" -> b4)
+      "b3_packing_manifest" -> b3, "b4_index_fold" -> b4,
+      "b5_forget_cascade" -> b5)
 
   override def oracle: Map[String, String] =
     Map("b1_corpus_build" -> b1Sql, "b2_corpus_delta" -> b2Sql,
-      "b3_packing_manifest" -> b3Sql, "b4_index_fold" -> b4Sql)
+      "b3_packing_manifest" -> b3Sql, "b4_index_fold" -> b4Sql,
+      "b5_forget_cascade" -> b5Sql)
 }
