@@ -37,9 +37,15 @@ import org.apache.spark.sql.functions._
   * Crash before the marker → roll BACK (staging deleted, `P`
   * untouched). Crash after → roll FORWARD (remaining renames finish;
   * `P` is readable at every intermediate state because parquet
-  * readers ignore `_`-prefixed files). Like the compaction swap it
-  * is crash-safe, not isolated: run under the snapshot lifecycle
-  * (no concurrent writers of the same dim).
+  * readers ignore `_`-prefixed files).
+  *
+  * ISOLATION (round 16): every per-tree step runs under the
+  * exclusive writer lease ([[MaintenanceLease.withLease]] on the
+  * tree's path) — two concurrent runs on one tree serialize (the
+  * second sees an already-maintained tree and no-ops), a run racing
+  * a foreign process fails fast on the live lease file, and a
+  * streaming sink that wraps its appends in the same lease can never
+  * land a micro-batch inside a half-swapped directory.
   */
 object Maintenance {
 
@@ -66,10 +72,12 @@ object Maintenance {
       dims: Seq[Scd2Table] = Nil,
       retiredArtifacts: Seq[String] = Nil): Report = {
     val dropped = retiredArtifacts.filter(dropPath(s, _))
-    val scd = dims.map(vacuumInPlace(s, _))
-    val comp = serving.map(t => t.path -> CorpusLayout.compactPartitioned(
-      s, t.path, t.partitionCols, t.sortCols, t.maxRecordsPerFile,
-      t.minFilesToCompact))
+    val scd = dims.map(d =>
+      MaintenanceLease.withLease(s, d.path)(vacuumInPlace(s, d)))
+    val comp = serving.map(t => t.path ->
+      MaintenanceLease.withLease(s, t.path)(CorpusLayout.compactPartitioned(
+        s, t.path, t.partitionCols, t.sortCols, t.maxRecordsPerFile,
+        t.minFilesToCompact)))
     Report(comp, scd, dropped)
   }
 

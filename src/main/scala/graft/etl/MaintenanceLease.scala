@@ -1,0 +1,107 @@
+package graft.etl
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.SparkSession
+
+/** Exclusive WRITER LEASE for the storage-lifecycle swaps. The swap
+  * protocols ([[Maintenance.vacuumInPlace]],
+  * [[CorpusLayout.compactPartitioned]]) are crash-safe but were
+  * documented "not isolated": two concurrent runs on one tree — or a
+  * maintenance run racing a streaming sink's appends — can interleave
+  * renames (one run's recovery rolling back the other's in-flight
+  * staging, a sink appending into a directory mid-swap). The lease
+  * makes "run under the snapshot lifecycle" enforceable instead of
+  * aspirational:
+  *
+  *  - IN-PROCESS: a striped monitor per qualified path (the
+  *    [[DurableArtifacts]] per-table stripe-lock precedent) —
+  *    concurrent same-JVM holders serialize, never fail;
+  *  - CROSS-PROCESS: a lease FILE at `<path>.lease`, acquired by
+  *    atomic create-no-overwrite + hsync, carrying holder id and an
+  *    expiry wall-clock. A live foreign lease fails fast
+  *    ([[MaintenanceLease.HeldException]] — the caller's scheduler
+  *    retries later); an EXPIRED lease is broken and re-acquired
+  *    (the holder crashed mid-run; the swap protocols' own crash
+  *    recovery repairs whatever it left).
+  *
+  * The TTL must exceed the longest step run under the lease (default
+  * 15 min; compactions sized by `minFilesToCompact` stay well under).
+  * There is no mid-run refresh — a deliberate simplification: a
+  * refresh loop that dies still leaves a stale lease, while a
+  * generous TTL plus idempotent recovery bounds the damage to one
+  * delayed run. Streaming sinks that append into a maintained tree
+  * wrap each micro-batch's write in [[withLease]] with the same path,
+  * so appends and swaps serialize on the same token
+  * (MaintenanceLeaseSpec drives both races).
+  */
+object MaintenanceLease {
+
+  final class HeldException(msg: String) extends RuntimeException(msg)
+
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def fsOf(s: SparkSession, p: HPath): FileSystem =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Run `body` holding the exclusive lease for `path`. Same-JVM
+    * contenders block until the holder finishes; a live lease from
+    * another process throws [[HeldException]]; a stale one is broken. */
+  def withLease[T](s: SparkSession, path: String,
+      ttlMs: Long = 15L * 60 * 1000,
+      holder: String = s"${graft.ArtifactRegistry.processTag}-" +
+        s"${Thread.currentThread().getId}")(body: => T): T = {
+    val p = new HPath(path)
+    val fs = fsOf(s, p)
+    val key = fs.makeQualified(p).toString
+    val mon = locks.computeIfAbsent(key, _ => new Object)
+    mon.synchronized {
+      val lease = new HPath(path + ".lease")
+      acquireFile(fs, lease, holder, ttlMs)
+      try body
+      finally fs.delete(lease, false)
+    }
+  }
+
+  /** Atomic create-no-overwrite; one stale-break retry. */
+  private def acquireFile(fs: FileSystem, lease: HPath, holder: String,
+      ttlMs: Long): Unit = {
+    var attempts = 0
+    while (attempts < 2) {
+      attempts += 1
+      try {
+        val out = fs.create(lease, false)
+        try {
+          out.write(s"$holder ${System.currentTimeMillis() + ttlMs}"
+            .getBytes(StandardCharsets.UTF_8))
+          out.hsync()
+        } finally out.close()
+        return
+      } catch {
+        case _: java.io.IOException =>
+          // somebody holds it — live or stale?
+          val (who, expiry) = readLease(fs, lease)
+          if (System.currentTimeMillis() <= expiry)
+            throw new HeldException(
+              s"maintenance lease on ${lease} held by $who until $expiry")
+          // stale: the holder crashed mid-run — break and retry once
+          // (the swap protocols' own recovery repairs its leftovers)
+          fs.delete(lease, false)
+      }
+    }
+    throw new HeldException(s"could not acquire $lease after stale break")
+  }
+
+  /** (holder, expiryMillis); a vanished/corrupt file reads as expired
+    * so the next acquire attempt proceeds. */
+  private def readLease(fs: FileSystem, lease: HPath): (String, Long) =
+    try {
+      val in = fs.open(lease)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val parts = txt.trim.split(' ')
+      (parts(0), parts(1).toLong)
+    } catch { case _: Exception => ("unknown", Long.MinValue) }
+}

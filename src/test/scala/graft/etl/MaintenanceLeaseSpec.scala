@@ -1,0 +1,103 @@
+package graft.etl
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The maintenance writer lease: concurrent runs on one tree
+  * serialize, a sink's leased appends never land inside a half-swapped
+  * directory, foreign live leases fail fast, stale leases break. */
+class MaintenanceLeaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): Path = {
+    val p = Files.createTempDirectory(prefix)
+    p.toFile.deleteOnExit(); p
+  }
+
+  private val horizon = "2024-02-15 00:00:00"
+
+  private def scdRows = Seq(
+    (1L, "OLD", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      Option(java.sql.Timestamp.valueOf("2024-02-01 00:00:00")), false),
+    (2L, "STAY", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      Option.empty[java.sql.Timestamp], true))
+    .toDF("key", "attr", "validFrom", "validTo", "isCurrent")
+
+  test("two concurrent maintenance runs on one dim serialize; both converge") {
+    val dim = tmp("graft-lease-dim")
+    scdRows.write.mode("overwrite").parquet(dim.toString)
+    val job = () => Maintenance.run(spark,
+      dims = Seq(Maintenance.Scd2Table(dim.toString, horizon))).scd2.head
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val (a, b) = (Future(job()), Future(job()))
+    val results = Seq(Await.result(a, 5.minutes), Await.result(b, 5.minutes))
+    // one run vacuumed 2 -> 1; the other saw either the pre state
+    // (2 -> 1, idempotent) or the post state (1 -> 1, no-op) — never
+    // an interleaved swap (which would lose the table or duplicate it)
+    results.foreach(_.rowsAfter shouldBe 1L)
+    spark.read.parquet(dim.toString).select(col("attr"))
+      .collect().map(_.getString(0)).toSet shouldBe Set("STAY")
+    Files.exists(Paths.get(dim.toString + ".lease")) shouldBe false
+  }
+
+  test("a sink's leased appends and a concurrent compaction never interleave") {
+    val serve = tmp("graft-lease-serve")
+    // fragment the tree so the compaction has real work
+    (1 to 3).foreach { i =>
+      Seq(("a", i.toLong)).toDF("source", "id")
+        .repartition(1).write.mode("append")
+        .partitionBy("source").parquet(serve.toString)
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val compact = Future {
+      Maintenance.run(spark, serving = Seq(Maintenance.ServingTree(
+        serve.toString, Seq("source"), Seq("id"),
+        maxRecordsPerFile = 1 << 20)))
+    }
+    // the sink appends 5 micro-batches, each under the SAME lease the
+    // compaction holds — serialization means every batch lands either
+    // wholly before or wholly after the swap, never inside it
+    val sink = Future {
+      (100 to 104).foreach { i =>
+        MaintenanceLease.withLease(spark, serve.toString) {
+          Seq(("a", i.toLong)).toDF("source", "id")
+            .repartition(1).write.mode("append")
+            .partitionBy("source").parquet(serve.toString)
+        }
+      }
+    }
+    Await.result(compact, 5.minutes)
+    Await.result(sink, 5.minutes)
+    // zero lost rows: 3 original + 5 appended
+    spark.read.parquet(serve.toString).select(col("id"))
+      .collect().map(_.getLong(0)).toSet shouldBe
+      Set(1L, 2L, 3L, 100L, 101L, 102L, 103L, 104L)
+    Files.exists(Paths.get(serve.toString + ".lease")) shouldBe false
+  }
+
+  test("a live foreign lease fails fast; a stale one is broken") {
+    val tree = tmp("graft-lease-foreign")
+    val lease = Paths.get(tree.toString + ".lease")
+    // live foreign lease (expiry far in the future)
+    Files.write(lease, s"other-process ${System.currentTimeMillis() + 600000}"
+      .getBytes(StandardCharsets.UTF_8))
+    an[MaintenanceLease.HeldException] should be thrownBy {
+      MaintenanceLease.withLease(spark, tree.toString)(())
+    }
+    // stale foreign lease (already expired) is broken and re-acquired
+    Files.write(lease, s"other-process ${System.currentTimeMillis() - 1000}"
+      .getBytes(StandardCharsets.UTF_8))
+    var ran = false
+    MaintenanceLease.withLease(spark, tree.toString) { ran = true }
+    ran shouldBe true
+    Files.exists(lease) shouldBe false
+  }
+}
