@@ -273,9 +273,37 @@ object CorpusLayout {
         if (rel.isEmpty) root else new org.apache.hadoop.fs.Path(root, rel)
       }
       if (fs.exists(marker)) {
-        require(fs.mkdirs(live), s"mkdirs failed: $live")
-        st.filter(isData).foreach(f => renameOrThrow(fs, f.getPath,
-          new org.apache.hadoop.fs.Path(live, f.getPath.getName)))
+        // roll-forward VALIDATION (the vacuum probe applied here too):
+        // a durable marker normally implies durable staged data
+        // (syncStagedTree ordered them), but on a filesystem outside
+        // that guarantee the staged files can be truncated. Probe what
+        // is still in staging before renaming it into the live dir.
+        val stagedData = st.filter(isData)
+        val liveHasData = fs.exists(live) &&
+          fs.listStatus(live).exists(isData)
+        if (stagedData.isEmpty || parquetLeafReadable(fs, p)) {
+          require(fs.mkdirs(live), s"mkdirs failed: $live")
+          stagedData.foreach(f => renameOrThrow(fs, f.getPath,
+            new org.apache.hadoop.fs.Path(live, f.getPath.getName)))
+        } else if (!liveHasData && fs.exists(orig)) {
+          // no staged file reached the live dir yet → the originals in
+          // .orig are intact and unambiguous: roll BACK
+          require(fs.mkdirs(live), s"mkdirs failed: $live")
+          fs.listStatus(orig).filter(_.isFile).foreach(f =>
+            renameOrThrow(fs, f.getPath,
+              new org.apache.hadoop.fs.Path(live, f.getPath.getName)))
+        } else {
+          // mixed state (some staged files already live, the rest
+          // truncated) — restoring .orig would duplicate rows and
+          // rolling forward would land corrupt files. Refuse to
+          // destroy either copy; this state is only reachable on a
+          // filesystem with neither POSIX-fsync nor HDFS-close
+          // durability AND partially-persisted renames.
+          throw new java.io.IOException(
+            s"compaction recovery: staged leaf $p is corrupt after a " +
+              "partial roll-forward — manual reconciliation required " +
+              "(originals quarantined in its .orig)")
+        }
       } else if (fs.exists(orig)) {
         require(fs.mkdirs(live), s"mkdirs failed: $live")
         fs.listStatus(orig).filter(_.isFile).foreach(f =>

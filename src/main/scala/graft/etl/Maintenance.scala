@@ -140,12 +140,17 @@ object Maintenance {
     if (fs.exists(staging)) {
       if (!fs.exists(markerS)) fs.delete(staging, true)
       else if (!CorpusLayout.parquetLeafReadable(fs, staging)) {
-        fs.delete(staging, true)
+        // restore BEFORE discarding: if the restore (or a crash between
+        // the two steps) left ¬S∧¬P∧O, the tail below would read the
+        // orig tree as a completed swap's leftover and delete the only
+        // copy — the rename must land first, the corrupt staging dies
+        // second
         if (!fs.exists(p)) {
           require(fs.exists(orig),
             s"vacuum recovery: staging corrupt and no table/orig: $p")
           renameOrThrow(fs, orig, p)
         }
+        fs.delete(staging, true)
       } else {
         if (fs.exists(p)) {
           require(!fs.exists(orig),
@@ -157,7 +162,13 @@ object Maintenance {
     }
     val markerP = new HPath(p, "_COMMIT")
     if (fs.exists(markerP)) fs.delete(markerP, false)
-    if (fs.exists(orig)) fs.delete(orig, true)
+    // an orig tree is a completed swap's leftover ONLY while the table
+    // itself exists; ¬P∧O means orig holds the sole surviving copy
+    // (e.g. a crash mid-restore above) — put it back, never delete it
+    if (fs.exists(orig)) {
+      if (!fs.exists(p)) renameOrThrow(fs, orig, p)
+      else fs.delete(orig, true)
+    }
   }
 
   private def renameOrThrow(fs: FileSystem, src: HPath, dst: HPath): Unit =

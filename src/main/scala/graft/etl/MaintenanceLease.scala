@@ -61,15 +61,32 @@ object MaintenanceLease {
       val lease = new HPath(path + ".lease")
       acquireFile(fs, lease, holder, ttlMs)
       try body
-      finally fs.delete(lease, false)
+      finally {
+        // release only what we still OWN: if this run outlived its TTL
+        // and another process broke the lease and took its own, an
+        // unconditional delete would free THAT holder's live lease and
+        // let a third run start concurrently. Unreadable content is
+        // left in place too — the TTL reclaims it.
+        val (who, _) = readLease(fs, lease)
+        if (who == holder) fs.delete(lease, false)
+      }
     }
   }
 
-  /** Atomic create-no-overwrite; one stale-break retry. */
+  /** Create-no-overwrite claim with a FENCED stale break: an expired
+    * lease is first RENAMED to a unique tombstone — rename-of-missing
+    * fails, so of N breakers exactly one wins and the rest re-enter
+    * the loop (where the winner's fresh lease now reads as live).
+    * Without the fence, two processes that both read the same expired
+    * lease would each delete-and-create, the second deleting the
+    * first's LIVE lease. Content lands before hsync, so a lease is
+    * never durable without its holder/expiry; a reader that still
+    * catches the empty-file window falls back to the file's mtime
+    * (see [[readLease]]) instead of treating it as expired. */
   private def acquireFile(fs: FileSystem, lease: HPath, holder: String,
       ttlMs: Long): Unit = {
     var attempts = 0
-    while (attempts < 2) {
+    while (attempts < 3) {
       attempts += 1
       try {
         val out = fs.create(lease, false)
@@ -82,26 +99,37 @@ object MaintenanceLease {
       } catch {
         case _: java.io.IOException =>
           // somebody holds it — live or stale?
-          val (who, expiry) = readLease(fs, lease)
+          val (who, expiry) = readLease(fs, lease, ttlMs)
           if (System.currentTimeMillis() <= expiry)
             throw new HeldException(
               s"maintenance lease on ${lease} held by $who until $expiry")
-          // stale: the holder crashed mid-run — break and retry once
-          // (the swap protocols' own recovery repairs its leftovers)
-          fs.delete(lease, false)
+          // stale: the holder crashed mid-run. Fence the break — only
+          // the process whose rename wins may reclaim; losers loop and
+          // find the winner's fresh lease live.
+          val tombstone = new HPath(lease.getParent,
+            lease.getName + ".stale-" + java.util.UUID.randomUUID())
+          if (fs.rename(lease, tombstone)) fs.delete(tombstone, false)
       }
     }
-    throw new HeldException(s"could not acquire $lease after stale break")
+    throw new HeldException(s"could not acquire $lease after stale breaks")
   }
 
-  /** (holder, expiryMillis); a vanished/corrupt file reads as expired
-    * so the next acquire attempt proceeds. */
-  private def readLease(fs: FileSystem, lease: HPath): (String, Long) =
+  /** (holder, expiryMillis). A file whose content is missing/corrupt
+    * (the create-to-write window, or a torn write) is judged by its
+    * MODIFICATION TIME instead: fresh ⇒ live (conservative — never
+    * break a lease someone may be mid-writing), older than the ttl ⇒
+    * expired. A vanished file reads as expired. */
+  private def readLease(fs: FileSystem, lease: HPath,
+      ttlMs: Long = 15L * 60 * 1000): (String, Long) =
     try {
       val in = fs.open(lease)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
       val parts = txt.trim.split(' ')
       (parts(0), parts(1).toLong)
-    } catch { case _: Exception => ("unknown", Long.MinValue) }
+    } catch {
+      case _: Exception =>
+        try ("unknown", fs.getFileStatus(lease).getModificationTime + ttlMs)
+        catch { case _: Exception => ("unknown", Long.MinValue) }
+    }
 }

@@ -62,24 +62,27 @@ object SelectionQuantile {
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
         .toSeq
     }
+    // one pass to group (not a filter per group — the control plane
+    // must stay O(|hist|), not O(#groups × |hist|))
+    val byGroup: Map[String, Seq[(String, Long, Long)]] = hist.groupBy(_._1)
     val ns: Map[String, Long] =
-      hist.groupBy(_._1).map { case (g, rs) => g -> rs.map(_._3).sum }
+      byGroup.map { case (g, rs) => g -> rs.map(_._3).sum }
+    val wanted: Map[String, Seq[Long]] =
+      ns.map { case (g, n) => g -> ranksOf(n).distinct }
     // prefix sums locate each wanted rank's bucket; offsets ride along
     // so the located-bucket window can promote local ranks to global
     val located: Seq[(String, Long, Long)] =
       ns.keys.toSeq.sorted.flatMap { g =>
-        val buckets = hist.filter(_._1 == g).sortBy(_._2)
+        val buckets = byGroup(g).sortBy(_._2)
         val offs = buckets.scanLeft(0L)(_ + _._3)
-        val wanted = ranksOf(ns(g)).distinct
+        val w = wanted(g)
         buckets.indices.collect { case i
-          if wanted.exists(t => t > offs(i) && t <= offs(i) + buckets(i)._3) =>
+          if w.exists(t => t > offs(i) && t <= offs(i) + buckets(i)._3) =>
           (g, buckets(i)._2, offs(i))
         }
       }
     val wantedRanks: Seq[(String, Long)] =
-      ns.toSeq.sortBy(_._1).flatMap { case (g, n) =>
-        ranksOf(n).distinct.map(g -> _)
-      }
+      wanted.toSeq.sortBy(_._1).flatMap { case (g, ws) => ws.map(g -> _) }
     val wLoc = Window.partitionBy(col(group), col(bucket)).orderBy(col(value))
     val vals = rows
       .join(broadcast(located.toDF(group, bucket, "__off")),

@@ -236,6 +236,44 @@ class CorpusLayoutSpec extends SparkSpec {
     rep2.partitions shouldBe empty // nothing fragmented after recovery
   }
 
+  test("compactPartitioned: a committed but TRUNCATED staged leaf rolls " +
+      "back to .orig instead of landing corrupt files") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("graft-compact-corrupt").toString
+    (1 to 100).grouped(50).foreach { chunk =>
+      chunk.map(i => (i.toLong, "2024-03-01", i % 7)).toDF("id", "day", "v")
+        .repartition(col("day")).write.partitionBy("day")
+        .mode("append").parquet(dir)
+    }
+    val want = spark.read.parquet(dir)
+      .select("id", "v", "day").collect().map(_.toSeq).toSet
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(leaf: Path): Seq[Path] =
+      fs.listStatus(leaf).filter(f => f.isFile &&
+        !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith(".")).map(_.getPath).toSeq
+    val staging = new Path(dir + ".compact-staging")
+    val leaf = new Path(dir, "day=2024-03-01")
+    val staged = new Path(staging, "day=2024-03-01")
+    val orig = new Path(staged, ".orig")
+    fs.mkdirs(orig)
+    // the power-crash artifact: marker durable, staged parquet
+    // truncated, originals all displaced, live leaf empty
+    val corrupt = fs.create(new Path(staged, "part-corrupt.parquet"))
+    corrupt.write("PAR1 then a torn tail".getBytes); corrupt.close()
+    dataFiles(leaf).foreach(f =>
+      fs.rename(f, new Path(orig, f.getName)) shouldBe true)
+    fs.createNewFile(new Path(staged, "_COMMIT")) shouldBe true
+    dataFiles(leaf) shouldBe empty
+
+    CorpusLayout.recoverCompaction(spark, dir)
+    fs.exists(staging) shouldBe false
+    // the ORIGINALS came back; the truncated staged file never landed
+    spark.read.parquet(dir)
+      .select("id", "v", "day").collect().map(_.toSeq).toSet shouldBe want
+  }
+
   test("writeBucketed: equi-join on the bucket key plans without an exchange") {
     spark.sql("DROP TABLE IF EXISTS layout_docs")
     spark.sql("DROP TABLE IF EXISTS layout_scores")

@@ -83,6 +83,38 @@ class MaintenanceLeaseSpec extends SparkSpec {
     Files.exists(Paths.get(serve.toString + ".lease")) shouldBe false
   }
 
+  test("release only frees an OWNED lease — a foreign lease that replaced it survives") {
+    val tree = tmp("graft-lease-own")
+    val lease = Paths.get(tree.toString + ".lease")
+    val foreign = s"other-process ${System.currentTimeMillis() + 600000}"
+    MaintenanceLease.withLease(spark, tree.toString) {
+      // simulate outliving the TTL: another process broke our lease
+      // and took its own while we were still running
+      Files.write(lease, foreign.getBytes(StandardCharsets.UTF_8))
+    }
+    // our release must NOT have freed the other holder's live lease
+    new String(Files.readAllBytes(lease),
+      StandardCharsets.UTF_8) shouldBe foreign
+    Files.delete(lease)
+  }
+
+  test("an empty lease file is judged by mtime: fresh blocks, old breaks") {
+    val tree = tmp("graft-lease-empty")
+    val lease = Paths.get(tree.toString + ".lease")
+    // fresh empty file = someone mid-create → conservative: held
+    Files.write(lease, Array.emptyByteArray)
+    an[MaintenanceLease.HeldException] should be thrownBy {
+      MaintenanceLease.withLease(spark, tree.toString)(())
+    }
+    // same empty file but older than the ttl → stale, broken, acquired
+    Files.setLastModifiedTime(lease, java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() - 16L * 60 * 1000))
+    var ran = false
+    MaintenanceLease.withLease(spark, tree.toString) { ran = true }
+    ran shouldBe true
+    Files.exists(lease) shouldBe false
+  }
+
   test("a live foreign lease fails fast; a stale one is broken") {
     val tree = tmp("graft-lease-foreign")
     val lease = Paths.get(tree.toString + ".lease")

@@ -170,6 +170,17 @@ class MaintenanceSpec extends SparkSpec {
     Files.exists(Paths.get(dim.toString + ".vacuum-orig")) shouldBe false
   }
 
+  test("crash window: orig alone (no staging, no table) -> orig is restored, never deleted") {
+    // the state a crash between corrupt-staging rollback steps could
+    // leave (and the reason the rollback restores BEFORE discarding):
+    // the tail must read a lone orig as the sole surviving copy
+    val (dim, _) = stagedState()
+    Files.move(dim, Paths.get(dim.toString + ".vacuum-orig"))
+    rerun(dim)
+    attrsAt(dim.toString) shouldBe Set("MOVED", "NEW", "STAY")
+    Files.exists(Paths.get(dim.toString + ".vacuum-orig")) shouldBe false
+  }
+
   test("crash window: swap landed, cleanup interrupted -> tail finishes") {
     val (dim, staged) = stagedState()
     // simulate the post-rename state: P = staged content + internal
