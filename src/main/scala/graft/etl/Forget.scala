@@ -21,6 +21,14 @@ import org.apache.spark.sql.functions._
   * durable tables (the snapshot lifecycle: consumers switch, then the
   * pre-forget snapshot retires through [[Maintenance.run]]'s
   * artifact-drop hook), never mutated in place.
+  *
+  * STREAMING edge: the admission loop's seeded LSH probe holds
+  * signatures of everything seen — forgetting must also UN-SEE, or
+  * near-dups of a deleted doc stay suppressed by its ghost. The
+  * contract is reseed-on-switch: when consumers move to the
+  * post-forget snapshot, the probe restarts seeded from the
+  * post-forget signature universe (ForgetSpec's un-see gate drives
+  * both sides of the redelivery).
   */
 object Forget {
 

@@ -77,6 +77,40 @@ class ForgetSpec extends SparkSpec {
     got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 3L)
   }
 
+  test("forgetting UN-SEES: a near-dup of a forgotten doc is admitted " +
+      "once the streaming probe reseeds from the post-forget snapshot") {
+    // The cascade's streaming edge: admission dedups against what was
+    // SEEN, and a forget request must un-see — LSH state seeded from
+    // the pre-forget index would keep suppressing near-dups of a doc
+    // the pipeline is legally required to have deleted.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val text = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    val index = Seq((100L, text), (200L, "totally unrelated words " * 8))
+      .toDF("doc_id", "text")
+    val arrival = (7003L, "srcA", text) // 16/16 signature match with 100
+
+    def hitsAgainst(seed: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val in = MemoryStream[(Long, String, String)]
+      val q = graft.streaming.StreamingAdmission
+        .dupHits(in.toDF().toDF("doc_id", "source", "text"), seed)
+        .writeStream.format("memory")
+        .queryName(s"forget_reseed_${System.nanoTime()}")
+        .outputMode("append").start()
+      try {
+        in.addData(arrival)
+        q.processAllAvailable()
+        spark.table(q.name).select(col("d1")).collect()
+          .map(_.getLong(0)).toSet
+      } finally q.stop()
+    }
+
+    // pre-forget seeds: the redelivery is suppressed as an index dup
+    hitsAgainst(index) shouldBe Set(7003L)
+    // post-forget seeds (index minus the forgotten doc): admitted
+    hitsAgainst(index.filter(col("doc_id") =!= 100L)) shouldBe Set.empty
+  }
+
   test("the pre-forget snapshot retires through the Maintenance artifact hook") {
     // the b5 lifecycle's final step: consumers switch to the post-
     // forget tables, then the OLD snapshot's managed-table trees drop
