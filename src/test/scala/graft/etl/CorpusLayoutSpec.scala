@@ -274,6 +274,44 @@ class CorpusLayoutSpec extends SparkSpec {
       .select("id", "v", "day").collect().map(_.toSeq).toSet shouldBe want
   }
 
+  test("compactPartitioned: a corrupt staged leaf after a PARTIAL " +
+      "roll-forward fails loudly and destroys neither copy") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("graft-compact-mixed").toString
+    (1 to 40).map(i => (i.toLong, "2024-04-01", i)).toDF("id", "day", "v")
+      .repartition(col("day")).write.partitionBy("day")
+      .mode("overwrite").parquet(dir)
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(dir + ".compact-staging")
+    val leaf = new Path(dir, "day=2024-04-01")
+    val staged = new Path(staging, "day=2024-04-01")
+    val orig = new Path(staged, ".orig")
+    fs.mkdirs(orig)
+    // mixed state: marker durable, live leaf already holds a (landed
+    // staged) data file, the staged file still in staging is corrupt,
+    // originals displaced in .orig — neither roll direction is clean
+    val corrupt = fs.create(new Path(staged, "part-corrupt.parquet"))
+    corrupt.write("torn".getBytes); corrupt.close()
+    fs.createNewFile(new Path(staged, "_COMMIT")) shouldBe true
+    val origData = fs.listStatus(leaf).filter(f => f.isFile &&
+      !f.getPath.getName.startsWith("_")).map(_.getPath)
+    origData.tail.foreach(f =>
+      fs.rename(f, new Path(orig, f.getName)) shouldBe true)
+    // (the one file left in the live leaf plays the already-landed
+    // staged replacement)
+    an[java.io.IOException] should be thrownBy
+      CorpusLayout.recoverCompaction(spark, dir)
+    // quarantine intact: staging (with .orig and the corrupt file)
+    // survives, the live file survives — manual reconciliation state
+    fs.exists(staging) shouldBe true
+    fs.exists(orig) shouldBe true
+    fs.listStatus(leaf).count(f => f.isFile &&
+      !f.getPath.getName.startsWith("_")) shouldBe 1
+    // clean up so later suites' temp sweeps don't trip on the tree
+    fs.delete(staging, true)
+  }
+
   test("writeBucketed: equi-join on the bucket key plans without an exchange") {
     spark.sql("DROP TABLE IF EXISTS layout_docs")
     spark.sql("DROP TABLE IF EXISTS layout_scores")
