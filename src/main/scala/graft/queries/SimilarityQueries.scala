@@ -769,6 +769,7 @@ object SimilarityQueries extends QueryPack {
     BruteCandArtifacts.release(s, dir)
     CentroidArtifacts.release(s, dir)
     BaseCentroidArtifacts.release(s, dir)
+    graft.etl.DurableArtifacts.drop(s, forgetCentsTableName(dir))
   }
 
   /** The FROZEN (base-only, vec_id % 5 ≠ 0) coarse quantizer s22
@@ -2594,6 +2595,90 @@ object SimilarityQueries extends QueryPack {
       |FROM agg JOIN refined ON agg.qid = refined.qid
       |ORDER BY agg.qid""".stripMargin
 
+  /** Durable post-forget quantizer table name (spec/lifecycle hook —
+    * the s-family twin of b5's post-forget snapshot tables). */
+  private[graft] def forgetCentsTableName(dir: String): String =
+    s"graft_s_fcents_${graft.ArtifactRegistry.dirTag(dir)}"
+
+  /** s28 — the forget cascade's EMBEDDING derivative (round 16,
+    * completing b5): a right-to-be-forgotten batch deletes docs, and
+    * on this corpus vec_id ≡ doc_id — so the serving quantizer, whose
+    * per-label centroids are means OVER THE FORGOTTEN VECTORS TOO,
+    * must retrain without them (a centroid is a derivative of every
+    * member's bytes; "delete the doc set and its derivatives" reaches
+    * it). The post-forget quantizer is published as a durable
+    * bucketed table (`graft_s_fcents` — the new snapshot a serving
+    * process attaches to; the streaming probe's un-see reseed is the
+    * same switch, ForgetSpec), and the audit reports per cell:
+    * occupancy before / forgotten / after, plus the centroid SHIFT
+    * (cosine between pre- and post-forget centroid, 1e-6-snapped —
+    * s23's drift-report convention). The oracle rebuilds the
+    * quantizer from embeddings-minus-batch, so publish ≡ rebuild is
+    * hash-gated.
+    *
+    * Scale: two posexplode+agg passes (one is the memoized
+    * [[CentroidArtifacts]]; the post-forget one is the same shape
+    * over the surviving corpus — retraining a coarse quantizer IS a
+    * corpus-linear job, run once per forget batch), a k-row join,
+    * nothing per-query. */
+  private def s28(s: SparkSession, dir: String): DataFrame = {
+    val fPred = graft.queries.BuildQueries.isForgotten(col("vec_id"))
+    val e = emb(s, dir).select(col("vec_id"), col("label"), col("v"))
+    val pre = CentroidArtifacts(s, dir)
+    val postScan = graft.etl.DurableArtifacts.bucketedTable(
+      s, forgetCentsTableName(dir), 1, Seq("cell"), Seq("cell")) {
+      centroidsBuild(e.filter(!fPred).select(col("label"), col("v")))
+        .select(col("label").cast("long").as("cell"),
+          col("cv").as("pcv"), col("cnorm").as("pcnorm"))
+    }
+    val nb = e.groupBy(col("label").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_before"),
+        sum(when(fPred, 1L).otherwise(0L)).as("n_forgotten"))
+    pre.select(col("label").cast("long").as("cell"), col("cv"), col("cnorm"))
+      .join(postScan, Seq("cell"))
+      .join(nb, Seq("cell"))
+      .select(col("cell"), col("n_before"), col("n_forgotten"),
+        (col("n_before") - col("n_forgotten")).as("n_after"),
+        round(dot(col("cv"), col("pcv")) / (col("cnorm") * col("pcnorm")), 6)
+          .as("shift"))
+      .orderBy(col("cell"))
+  }
+
+  private val s28Sql = {
+    val centsCte = (src: String, name: String) =>
+      s"""${name}0 AS (
+        |  SELECT label, pos, AVG(x) AS m
+        |  FROM (SELECT label, unnest(v) AS x,
+        |          generate_subscripts(v, 1) AS pos FROM $src) u
+        |  GROUP BY label, pos),
+        |$name AS (
+        |  SELECT label AS cell, list(m ORDER BY pos) AS cv,
+        |    sqrt(list_sum(list_transform(list(m ORDER BY pos), x -> x*x)))
+        |      AS cnorm
+        |  FROM ${name}0 GROUP BY label)""".stripMargin
+    s"""WITH e AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |surv AS (SELECT * FROM e
+      |         WHERE NOT (vec_id % 11 = 5 AND vec_id % 10 <> 7)),
+      |${centsCte("e", "prec")},
+      |${centsCte("surv", "postc")},
+      |nb AS (
+      |  SELECT CAST(label AS BIGINT) AS cell, COUNT(*) AS n_before,
+      |    CAST(SUM(CASE WHEN vec_id % 11 = 5 AND vec_id % 10 <> 7
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_forgotten
+      |  FROM e GROUP BY label)
+      |SELECT nb.cell, nb.n_before, nb.n_forgotten,
+      |  nb.n_before - nb.n_forgotten AS n_after,
+      |  ROUND(list_sum(list_transform(list_zip(prec.cv, postc.cv),
+      |    x -> x[1]*x[2])) / (prec.cnorm * postc.cnorm), 6) AS shift
+      |FROM nb
+      |JOIN prec ON CAST(prec.cell AS BIGINT) = nb.cell
+      |JOIN postc ON CAST(postc.cell AS BIGINT) = nb.cell
+      |ORDER BY nb.cell""".stripMargin
+  }
+
   /** s27's dense leg — the PRODUCTION retrieval shape (round 16,
     * upgrading s25's declared exact audit leg the way s21 upgraded
     * s19): queries probe their top-2 centroid cells (broadcast k-row
@@ -2826,6 +2911,7 @@ object SimilarityQueries extends QueryPack {
       |ORDER BY stop.qid, stop.rk""".stripMargin
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s28_forget_quantizer" -> s28,
     "s27_hybrid_serving" -> s27,
     "s26_adaptive_refine" -> s26,
     "s25_rrf_fusion" -> s25,
@@ -2856,6 +2942,7 @@ object SimilarityQueries extends QueryPack {
     "d8_semdedup"  -> d8)
 
   override def oracle: Map[String, String] = Map(
+    "s28_forget_quantizer" -> s28Sql,
     "s27_hybrid_serving" -> s27Sql,
     "s26_adaptive_refine" -> s26Sql,
     "s25_rrf_fusion" -> s25Sql,
