@@ -76,7 +76,8 @@ object CorpusLayout {
     * identical tree (CorpusLayoutSpec locks pruned-scan parity). */
   def compactPartitioned(s: org.apache.spark.sql.SparkSession,
       path: String, partitionCols: Seq[String], sortCols: Seq[String],
-      maxRecordsPerFile: Int, minFilesToCompact: Int = 2): CompactionReport = {
+      maxRecordsPerFile: Int, minFilesToCompact: Int = 2,
+      fence: Option[MaintenanceLease.Fence] = None): CompactionReport = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     val staging = new org.apache.hadoop.fs.Path(path + ".compact-staging")
@@ -125,6 +126,11 @@ object CorpusLayout {
       // only then do the staged files rename into the live directory.
       // Any crash before the marker rolls back (originals restored);
       // any crash after it rolls forward (remaining renames finish).
+      // fencing (round 17): a holder that outlived its TTL must not
+      // start THIS leaf's swap — the new lease holder may be mid-run
+      // on the same tree. Checked before each leaf's rename batches;
+      // an abort mid-tree leaves states recovery already converges.
+      fence.foreach(_.check())
       val orig = new org.apache.hadoop.fs.Path(stagedDir, ".orig")
       require(fs.mkdirs(orig), s"mkdirs failed: $orig")
       fs.listStatus(d).filter(isData).foreach(f =>
@@ -141,6 +147,7 @@ object CorpusLayout {
       // ordered ahead of every roll-forward effect it licenses.
       val out = fs.create(marker, false)
       try out.hsync() finally out.close()
+      fence.foreach(_.check())
       staged.foreach(f => renameOrThrow(fs, f.getPath,
         new org.apache.hadoop.fs.Path(d, f.getPath.getName)))
       fs.delete(stagedDir, true)
@@ -292,6 +299,18 @@ object CorpusLayout {
           fs.listStatus(orig).filter(_.isFile).foreach(f =>
             renameOrThrow(fs, f.getPath,
               new org.apache.hadoop.fs.Path(live, f.getPath.getName)))
+        } else if (liveHasData && (!fs.exists(orig) ||
+            !fs.listStatus(orig).exists(_.isFile))) {
+          // .orig absent/empty with the live leaf populated → no
+          // original was ever displaced (the marker persisted but the
+          // .orig renames didn't — reachable only outside the
+          // syncStagedTree guarantee, same class as the corrupt
+          // staging itself): the live files ARE the untouched
+          // originals. Roll back automatically by discarding the
+          // corrupt staged leaf instead of paging an operator for a
+          // recoverable state; the exception below stays reserved for
+          // the genuinely mixed partial roll-forward.
+          fs.delete(p, true)
         } else {
           // mixed state (some staged files already live, the rest
           // truncated) — restoring .orig would duplicate rows and

@@ -62,23 +62,41 @@ object Maintenance {
   final case class Report(
       compaction: Seq[(String, CorpusLayout.CompactionReport)],
       scd2: Seq[Scd2Report],
-      artifactsDropped: Seq[String])
+      artifactsDropped: Seq[String],
+      /** Trees skipped because a FOREIGN process held their lease —
+        * maintained trees' reports above are still complete; the
+        * scheduler retries only these paths. */
+      skippedHeld: Seq[String] = Nil)
 
   /** The one entry point. Order matters for cost, not correctness:
     * artifact drops first (free space before the rewrites), then
-    * vacuums (dim-sized), then compaction (corpus-sized tail). */
+    * vacuums (dim-sized), then compaction (corpus-sized tail).
+    *
+    * A tree whose lease a foreign process holds is SKIPPED, not
+    * fatal: one contended path must not starve maintenance of every
+    * other path (and lose the already-maintained trees' reports) —
+    * the skipped paths surface in [[Report.skippedHeld]] so the
+    * scheduler retries exactly those. */
   def run(s: SparkSession,
       serving: Seq[ServingTree] = Nil,
       dims: Seq[Scd2Table] = Nil,
       retiredArtifacts: Seq[String] = Nil): Report = {
+    val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
+    def leased[T](path: String)(body: MaintenanceLease.Fence => T)
+        : Option[T] =
+      try Some(MaintenanceLease.withLeaseFenced(s, path)(body))
+      catch {
+        case _: MaintenanceLease.HeldException =>
+          skipped += path; None
+      }
     val dropped = retiredArtifacts.filter(dropPath(s, _))
-    val scd = dims.map(d =>
-      MaintenanceLease.withLease(s, d.path)(vacuumInPlace(s, d)))
-    val comp = serving.map(t => t.path ->
-      MaintenanceLease.withLease(s, t.path)(CorpusLayout.compactPartitioned(
+    val scd = dims.flatMap(d =>
+      leased(d.path)(fence => vacuumInPlace(s, d, Some(fence))))
+    val comp = serving.flatMap(t =>
+      leased(t.path)(fence => t.path -> CorpusLayout.compactPartitioned(
         s, t.path, t.partitionCols, t.sortCols, t.maxRecordsPerFile,
-        t.minFilesToCompact)))
-    Report(comp, scd, dropped)
+        t.minFilesToCompact, Some(fence))))
+    Report(comp, scd, dropped, skipped.toSeq)
   }
 
   private def fsOf(s: SparkSession, p: HPath): FileSystem =
@@ -91,8 +109,15 @@ object Maintenance {
     fs.exists(p) && fs.delete(p, true)
   }
 
-  /** Crash-recoverable in-place vacuum of a parquet-backed SCD2 dim. */
-  def vacuumInPlace(s: SparkSession, d: Scd2Table): Scd2Report = {
+  /** Crash-recoverable in-place vacuum of a parquet-backed SCD2 dim.
+    * `fence` (when run under [[MaintenanceLease.withLeaseFenced]]) is
+    * re-checked before the commit marker and before EACH rename: a
+    * holder that outlived its TTL aborts here instead of renaming
+    * into a tree the new lease holder now owns (the abandoned state
+    * is one of [[recoverInterruptedVacuum]]'s crash windows, which
+    * the new holder's own recovery pass already converged or will). */
+  def vacuumInPlace(s: SparkSession, d: Scd2Table,
+      fence: Option[MaintenanceLease.Fence] = None): Scd2Report = {
     val p = new HPath(d.path)
     val staging = new HPath(d.path + ".vacuum-staging")
     val orig = new HPath(d.path + ".vacuum-orig")
@@ -108,10 +133,13 @@ object Maintenance {
     // persistence must be ordered ahead of it (local FS: explicit
     // per-file fsync; HDFS: close() already pipelines to datanodes)
     CorpusLayout.syncStagedTree(fs, staging)
+    fence.foreach(_.check())
     val marker = new HPath(staging, "_COMMIT")
     val out = fs.create(marker, false)
     try out.hsync() finally out.close()
+    fence.foreach(_.check())
     renameOrThrow(fs, p, orig)
+    fence.foreach(_.check())
     renameOrThrow(fs, staging, p)
     fs.delete(new HPath(p, "_COMMIT"), false)
     fs.delete(orig, true)

@@ -40,6 +40,28 @@ object MaintenanceLease {
 
   final class HeldException(msg: String) extends RuntimeException(msg)
 
+  /** FENCING TOKEN handed to [[withLeaseFenced]] bodies: `check()`
+    * re-reads the lease file and throws [[HeldException]] unless this
+    * run still owns it. The swap protocols call it immediately before
+    * each rename batch, so a holder that outlived its TTL — whose
+    * lease a breaker has legitimately fenced and replaced — stops
+    * renaming instead of interleaving with the new holder's swap. The
+    * check-then-rename window is still a race (a breaker completing
+    * its whole break between the read and the rename), but it shrinks
+    * the unfenced exposure from the rest-of-run to one rename batch;
+    * closing it fully needs a filesystem with atomic conditional
+    * renames (a table format's commit protocol). */
+  final class Fence private[MaintenanceLease] (fs: FileSystem,
+      lease: HPath, holder: String) {
+    def check(): Unit = {
+      val (who, _) = readLease(fs, lease)
+      if (who != holder)
+        throw new HeldException(
+          s"fencing check failed: lease $lease now held by $who, " +
+            s"not $holder — this run outlived its TTL; abandoning the swap")
+    }
+  }
+
   private val locks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
@@ -52,7 +74,17 @@ object MaintenanceLease {
   def withLease[T](s: SparkSession, path: String,
       ttlMs: Long = 15L * 60 * 1000,
       holder: String = s"${graft.ArtifactRegistry.processTag}-" +
-        s"${Thread.currentThread().getId}")(body: => T): T = {
+        s"${Thread.currentThread().getId}")(body: => T): T =
+    withLeaseFenced(s, path, ttlMs, holder)(_ => body)
+
+  /** [[withLease]] with the body handed a [[Fence]] token — swap
+    * protocols call `fence.check()` before each rename batch so a
+    * TTL-expired holder's late renames are rejected rather than
+    * interleaved with the new holder's run. */
+  def withLeaseFenced[T](s: SparkSession, path: String,
+      ttlMs: Long = 15L * 60 * 1000,
+      holder: String = s"${graft.ArtifactRegistry.processTag}-" +
+        s"${Thread.currentThread().getId}")(body: Fence => T): T = {
     val p = new HPath(path)
     val fs = fsOf(s, p)
     val key = fs.makeQualified(p).toString
@@ -60,17 +92,37 @@ object MaintenanceLease {
     mon.synchronized {
       val lease = new HPath(path + ".lease")
       acquireFile(fs, lease, holder, ttlMs)
-      try body
-      finally {
-        // release only what we still OWN: if this run outlived its TTL
-        // and another process broke the lease and took its own, an
-        // unconditional delete would free THAT holder's live lease and
-        // let a third run start concurrently. Unreadable content is
-        // left in place too — the TTL reclaims it.
-        val (who, _) = readLease(fs, lease)
-        if (who == holder) fs.delete(lease, false)
-      }
+      try body(new Fence(fs, lease, holder))
+      finally releaseOwned(fs, lease, holder)
     }
+  }
+
+  /** Release only what this run still OWNS — and do it through the
+    * same rename fence stale breaks use. A plain read-then-delete has
+    * a window: this run outlived its TTL, a breaker fences the stale
+    * lease and creates its own BETWEEN our ownership read and our
+    * delete, and we delete the breaker's live lease (the third-writer
+    * race the ownership check exists to prevent). Renaming first makes
+    * the handoff single-winner: a lost rename means ownership already
+    * passed; a won rename whose tombstone turns out foreign (the
+    * breaker completed its whole fence+create inside our read→rename
+    * window) is renamed back. Unreadable content is left in place —
+    * the TTL reclaims it. */
+  private def releaseOwned(fs: FileSystem, lease: HPath,
+      holder: String): Unit = {
+    val (who, _) = readLease(fs, lease)
+    if (who != holder) return // ownership already passed (or unreadable)
+    val tomb = new HPath(lease.getParent,
+      lease.getName + ".release-" + java.util.UUID.randomUUID())
+    if (!fs.rename(lease, tomb)) return // lost the race: already passed
+    val (tw, _) = readLease(fs, tomb)
+    if (tw == holder) fs.delete(tomb, false)
+    else if (!fs.rename(tomb, lease))
+      // a third lease appeared while we held the foreign one renamed
+      // aside — put the displaced lease's content back is impossible
+      // without clobbering; leave the tombstone (its holder loses only
+      // its own release; the live lease file governs the path)
+      ()
   }
 
   /** Create-no-overwrite claim with a FENCED stale break: an expired
@@ -82,19 +134,46 @@ object MaintenanceLease {
     * first's LIVE lease. Content lands before hsync, so a lease is
     * never durable without its holder/expiry; a reader that still
     * catches the empty-file window falls back to the file's mtime
-    * (see [[readLease]]) instead of treating it as expired. */
+    * (see [[readLease]]) instead of treating it as expired.
+    *
+    * ATOMICITY of the claim itself: on the `file:` scheme Hadoop's
+    * RawLocal/ChecksumFileSystem implements create-no-overwrite as a
+    * non-atomic exists-check-then-create — two processes can race past
+    * the check and the second FileOutputStream truncates the first's
+    * lease. There the claim goes through
+    * `java.nio.file.Files.createFile` (O_CREAT|O_EXCL, genuinely
+    * atomic), and the content is written + forced afterwards (a reader
+    * catching the created-but-empty window is covered by the mtime
+    * fallback). Elsewhere `fs.create(overwrite = false)` is kept:
+    * atomic on HDFS (namenode-arbitrated); on object stores without
+    * conditional puts cross-process exclusion degrades to the TTL
+    * bound, which is the documented ceiling. */
   private def acquireFile(fs: FileSystem, lease: HPath, holder: String,
       ttlMs: Long): Unit = {
     var attempts = 0
     while (attempts < 3) {
       attempts += 1
       try {
-        val out = fs.create(lease, false)
-        try {
-          out.write(s"$holder ${System.currentTimeMillis() + ttlMs}"
-            .getBytes(StandardCharsets.UTF_8))
-          out.hsync()
-        } finally out.close()
+        val payload = s"$holder ${System.currentTimeMillis() + ttlMs}"
+          .getBytes(StandardCharsets.UTF_8)
+        if (fs.getScheme == "file") {
+          val local = java.nio.file.Paths
+            .get(fs.makeQualified(lease).toUri.getPath)
+          java.nio.file.Files.createDirectories(local.getParent)
+          java.nio.file.Files.createFile(local) // atomic O_CREAT|O_EXCL
+          val ch = java.nio.channels.FileChannel.open(local,
+            java.nio.file.StandardOpenOption.WRITE)
+          try {
+            ch.write(java.nio.ByteBuffer.wrap(payload))
+            ch.force(true)
+          } finally ch.close()
+        } else {
+          val out = fs.create(lease, false)
+          try {
+            out.write(payload)
+            out.hsync()
+          } finally out.close()
+        }
         return
       } catch {
         case _: java.io.IOException =>

@@ -38,16 +38,36 @@ import org.apache.spark.sql.functions._
   */
 object SelectionQuantile {
 
+  /** Driver-histogram ceiling: the control plane collects one row per
+    * (group, bucket), which is metadata-scale for the intended callers
+    * (few groups × bounded buckets) but becomes a driver funnel if a
+    * caller hands in a high-cardinality group column. Past this bound
+    * the call FAILS FAST with the distributed alternative named,
+    * instead of silently OOMing the driver. Env-tunable for callers
+    * with a bigger driver ([[valuesAtRanks]] scaladoc). */
+  @volatile private[graft] var maxHistRowsOverride: Option[Int] = None
+  private[graft] def maxHistRows: Int = maxHistRowsOverride.getOrElse(
+    sys.env.get("SPARK_GRAFT_SELECTION_MAX_HIST")
+      .map(_.toInt).getOrElse(4_000_000))
+
   /** Values at caller-chosen 1-based global ranks per group.
     *
     * @param rows    input with columns `group` (string), `value`
     *                (numeric) and `bucket` (long, a deterministic
     *                monotone-in-value bucket id, e.g. floor(x/1000))
-    * @param ranksOf the wanted 1-based ranks for a group of size n
-    *                (deduplicated internally)
+    * @param ranksOf the wanted 1-based ranks for a group of size n;
+    *                every rank MUST lie in [1, n] (require()d per
+    *                group — an out-of-range rank would otherwise be
+    *                silently absent from the result and surface as a
+    *                null far downstream)
     * @param histOpt pre-collected (group, bucket, count) rows from a
     *                caller-fused histogram scan; when absent one
-    *                count-only scan runs here
+    *                count-only scan runs here. Bounded by
+    *                [[maxHistRows]] either way: #groups × #buckets
+    *                beyond it needs the distributed form (keep the
+    *                prefix sum on executors via
+    *                [[OffsetWindow.prefixSum]] over the (group,
+    *                bucket) counts, or widen the bucket function)
     * @return (frame of (group, rn, x) — one row per wanted rank —
     *         and the per-group sizes)
     */
@@ -58,17 +78,34 @@ object SelectionQuantile {
     val s = rows.sparkSession
     import s.implicits._
     val hist: Seq[(String, Long, Long)] = histOpt.getOrElse {
+      // limit BEFORE collect: the guard must bound the driver fetch
+      // itself, not count what already blew the heap
       rows.groupBy(col(group), col(bucket)).agg(count(lit(1)).as("__c"))
+        .limit(maxHistRows + 1)
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
         .toSeq
     }
+    require(hist.size <= maxHistRows,
+      s"SelectionQuantile driver histogram exceeds $maxHistRows " +
+        "(group, bucket) rows — the driver-coordinated selection is " +
+        "for metadata-scale histograms. Widen the bucket function, " +
+        "reduce group cardinality, keep the prefix sum distributed " +
+        "(OffsetWindow.prefixSum over the (group, bucket) counts), or " +
+        "raise SPARK_GRAFT_SELECTION_MAX_HIST.")
     // one pass to group (not a filter per group — the control plane
     // must stay O(|hist|), not O(#groups × |hist|))
     val byGroup: Map[String, Seq[(String, Long, Long)]] = hist.groupBy(_._1)
     val ns: Map[String, Long] =
       byGroup.map { case (g, rs) => g -> rs.map(_._3).sum }
     val wanted: Map[String, Seq[Long]] =
-      ns.map { case (g, n) => g -> ranksOf(n).distinct }
+      ns.map { case (g, n) =>
+        val rs = ranksOf(n).distinct
+        require(rs.forall(r => r >= 1 && r <= n),
+          s"valuesAtRanks: ranks ${rs.filterNot(r => r >= 1 && r <= n)} " +
+            s"out of [1, $n] for group '$g' — an out-of-range rank has " +
+            "no locating bucket and would silently vanish from the result")
+        g -> rs
+      }
     // prefix sums locate each wanted rank's bucket; offsets ride along
     // so the located-bucket window can promote local ranks to global
     val located: Seq[(String, Long, Long)] =

@@ -274,13 +274,49 @@ class CorpusLayoutSpec extends SparkSpec {
       .select("id", "v", "day").collect().map(_.toSeq).toSet shouldBe want
   }
 
+  test("compactPartitioned: corrupt staging with NO displaced originals " +
+      "rolls back automatically — the live leaf provably holds the intact " +
+      "originals") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("graft-compact-loneorig").toString
+    (1 to 40).map(i => (i.toLong, "2024-05-01", i)).toDF("id", "day", "v")
+      .repartition(col("day")).write.partitionBy("day")
+      .mode("overwrite").parquet(dir)
+    val want = spark.read.parquet(dir)
+      .select("id", "v", "day").collect().map(_.toSeq).toSet
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(dir + ".compact-staging")
+    val staged = new Path(staging, "day=2024-05-01")
+    // crash artifact outside the syncStagedTree guarantee: the marker
+    // persisted but neither the staged data nor the .orig renames did —
+    // live leaf untouched, .orig never created, staged file torn
+    fs.mkdirs(staged)
+    val corrupt = fs.create(new Path(staged, "part-corrupt.parquet"))
+    corrupt.write("torn".getBytes); corrupt.close()
+    fs.createNewFile(new Path(staged, "_COMMIT")) shouldBe true
+
+    // recoverable WITHOUT an operator: the live files are the
+    // untouched originals; recovery discards the corrupt staging
+    CorpusLayout.recoverCompaction(spark, dir)
+    fs.exists(staging) shouldBe false
+    spark.read.parquet(dir)
+      .select("id", "v", "day").collect().map(_.toSeq).toSet shouldBe want
+  }
+
   test("compactPartitioned: a corrupt staged leaf after a PARTIAL " +
       "roll-forward fails loudly and destroys neither copy") {
     import org.apache.hadoop.fs.Path
     val dir = Files.createTempDirectory("graft-compact-mixed").toString
-    (1 to 40).map(i => (i.toLong, "2024-04-01", i)).toDF("id", "day", "v")
-      .repartition(col("day")).write.partitionBy("day")
-      .mode("overwrite").parquet(dir)
+    // TWO appends → two original files, so one can be displaced into
+    // .orig while the other plays the already-landed staged file — the
+    // genuinely mixed state (an empty .orig is the provably-safe
+    // lone-originals state the previous test shows rolling back)
+    (1 to 40).grouped(20).foreach { chunk =>
+      chunk.map(i => (i.toLong, "2024-04-01", i)).toDF("id", "day", "v")
+        .repartition(col("day")).write.partitionBy("day")
+        .mode("append").parquet(dir)
+    }
     val fs = new Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new Path(dir + ".compact-staging")

@@ -115,6 +115,73 @@ class MaintenanceLeaseSpec extends SparkSpec {
     Files.exists(lease) shouldBe false
   }
 
+  test("fencing: a TTL-expired holder's late swap is rejected while the " +
+      "new holder's completes") {
+    val tree = tmp("graft-lease-fence")
+    // fragment two partitions so the compaction has a real rename batch
+    (1 to 3).foreach { i =>
+      Seq(("a", i.toLong), ("b", i.toLong)).toDF("source", "id")
+        .repartition(1).write.mode("append")
+        .partitionBy("source").parquet(tree.toString)
+    }
+    val want = spark.read.parquet(tree.toString)
+      .select(col("id"), col("source")).collect().map(_.toSeq).toSet
+    val lease = Paths.get(tree.toString + ".lease")
+    val newHolder = s"new-holder ${System.currentTimeMillis() + 600000}"
+    // the stale holder acquires, then — simulating that it outlived its
+    // TTL — a breaker fences its lease and installs its own BEFORE the
+    // stale holder reaches its rename batches
+    val rejected = intercept[MaintenanceLease.HeldException] {
+      MaintenanceLease.withLeaseFenced(spark, tree.toString) { fence =>
+        Files.write(lease, newHolder.getBytes(StandardCharsets.UTF_8))
+        // the swap protocols call exactly this before each rename batch
+        CorpusLayout.compactPartitioned(spark, tree.toString,
+          Seq("source"), Seq("id"), maxRecordsPerFile = 1 << 20,
+          fence = Some(fence))
+      }
+    }
+    rejected.getMessage should include("fencing check failed")
+    // the stale holder renamed NOTHING: live tree intact (its staging
+    // write ran, but no leaf swap started — recovery discards it)
+    spark.read.parquet(tree.toString)
+      .select(col("id"), col("source")).collect().map(_.toSeq)
+      .toSet shouldBe want
+    // and its owned-only release left the new holder's lease alone
+    new String(Files.readAllBytes(lease),
+      StandardCharsets.UTF_8) shouldBe newHolder
+    // the NEW holder (after the stale one aborted) completes normally
+    Files.delete(lease)
+    val rep = Maintenance.run(spark, serving = Seq(Maintenance.ServingTree(
+      tree.toString, Seq("source"), Seq("id"),
+      maxRecordsPerFile = 1 << 20)))
+    rep.skippedHeld shouldBe empty
+    rep.compaction.head._2.filesAfter shouldBe 2 // one per partition
+    spark.read.parquet(tree.toString)
+      .select(col("id"), col("source")).collect().map(_.toSeq)
+      .toSet shouldBe want
+  }
+
+  test("Maintenance.run skips a foreign-held tree and still maintains " +
+      "the rest, reporting the skip") {
+    val held = tmp("graft-lease-skip-held")
+    val free = tmp("graft-lease-skip-free")
+    scdRows.write.mode("overwrite").parquet(held.toString)
+    scdRows.write.mode("overwrite").parquet(free.toString)
+    val heldLease = Paths.get(held.toString + ".lease")
+    Files.write(heldLease,
+      s"other-process ${System.currentTimeMillis() + 600000}"
+        .getBytes(StandardCharsets.UTF_8))
+    val rep = Maintenance.run(spark, dims = Seq(
+      Maintenance.Scd2Table(held.toString, horizon),
+      Maintenance.Scd2Table(free.toString, horizon)))
+    // one foreign holder must not starve the other trees
+    rep.skippedHeld shouldBe Seq(held.toString)
+    rep.scd2.map(_.path) shouldBe Seq(free.toString)
+    rep.scd2.head.rowsAfter shouldBe 1L
+    spark.read.parquet(held.toString).count() shouldBe 2L // untouched
+    Files.delete(heldLease)
+  }
+
   test("a live foreign lease fails fast; a stale one is broken") {
     val tree = tmp("graft-lease-foreign")
     val lease = Paths.get(tree.toString + ".lease")

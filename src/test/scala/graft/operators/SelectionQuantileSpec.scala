@@ -69,6 +69,35 @@ class SelectionQuantileSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  test("an out-of-range wanted rank fails fast instead of silently " +
+      "vanishing from the result") {
+    val zero = intercept[IllegalArgumentException] {
+      SelectionQuantile.valuesAtRanks(rows, "g", "x", "bk", n => Seq(0L))
+    }
+    zero.getMessage should include("out of [1,")
+    val past = intercept[IllegalArgumentException] {
+      SelectionQuantile.valuesAtRanks(rows, "g", "x", "bk", n => Seq(n + 1))
+    }
+    past.getMessage should include("out of [1,")
+    // boundary ranks 1 and n are legal
+    val (vals, ns) = SelectionQuantile.valuesAtRanks(
+      rows, "g", "x", "bk", n => Seq(1L, n))
+    vals.count() shouldBe 2L * ns.size
+  }
+
+  test("a histogram past the driver cap fails fast and names the " +
+      "distributed alternative") {
+    // deliberately over-cardinal: every row its own (group, bucket)
+    val wide = (1 to 100).map(i => (s"g$i", i.toDouble))
+      .toDF("g", "x").withColumn("bk", col("x").cast("long"))
+    SelectionQuantile.maxHistRowsOverride = Some(50)
+    val cap = try intercept[IllegalArgumentException] {
+      SelectionQuantile.valuesAtRanks(wide, "g", "x", "bk", _ => Seq(1L))
+    } finally SelectionQuantile.maxHistRowsOverride = None
+    cap.getMessage should include("OffsetWindow.prefixSum")
+    cap.getMessage should include("SPARK_GRAFT_SELECTION_MAX_HIST")
+  }
+
   test("pickAtFrac over a cumulated count frame equals the named rank") {
     val counts = rows.groupBy(col("g"), col("x"))
       .agg(count(lit(1)).as("cnt"))
