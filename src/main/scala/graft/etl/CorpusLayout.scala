@@ -82,21 +82,53 @@ object CorpusLayout {
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     val staging = new org.apache.hadoop.fs.Path(path + ".compact-staging")
     recoverInterruptedCompaction(fs, root, staging)
-    def leaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
-      val st = fs.listStatus(p).filterNot(x =>
-        x.getPath.getName.startsWith("_") || x.getPath.getName.startsWith("."))
-      val dirs = st.filter(_.isDirectory)
-      if (dirs.isEmpty) Seq(p)
-      else dirs.toSeq.flatMap(d => leaves(d.getPath))
-    }
-    val counted = leaves(root)
+    val counted = leaves(fs, root)
       .map(d => d -> fs.listStatus(d).count(isData))
     val (frag, compactAlready) =
       counted.partition(_._2 >= minFilesToCompact)
     if (frag.isEmpty) return CompactionReport(Nil, compactAlready.size)
 
-    s.read.option("basePath", path)
+    val staged = s.read.option("basePath", path)
       .parquet(frag.map(_._1.toString): _*)
+    val done = stageAndSwapLeaves(s, path, frag, staged, partitionCols,
+      sortCols, maxRecordsPerFile, fence, allowEmptyLeaf = false)
+    CompactionReport(done, compactAlready.size)
+  }
+
+  /** Data-bearing leaf directories of a partitioned tree (the root
+    * itself for an unpartitioned one). */
+  private def leaves(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+    val st = fs.listStatus(p).filterNot(x =>
+      x.getPath.getName.startsWith("_") || x.getPath.getName.startsWith("."))
+    val dirs = st.filter(_.isDirectory)
+    if (dirs.isEmpty) Seq(p)
+    else dirs.toSeq.flatMap(d => leaves(fs, d.getPath))
+  }
+
+  /** The shared STAGE-AND-SWAP engine under [[compactPartitioned]] and
+    * [[scrubPartitioned]]: writes `stagedFrame` through the
+    * [[writePartitioned]] routing into `<path>.compact-staging`, then
+    * swaps each target leaf's data files with the commit-marker
+    * protocol (originals RENAME into the staged leaf's `.orig`, a
+    * hsync'd `_COMMIT` is the durability point, staged files rename
+    * into the live directory; [[recoverInterruptedCompaction]] rolls
+    * any crash point forward or back — one recovery path for both
+    * callers). `allowEmptyLeaf` is the scrub-only case: a partition
+    * whose every row was deleted stages ZERO files and the swap
+    * legitimately empties the live directory; for compaction an empty
+    * staged leaf can only be a bug and stays fatal. */
+  private[etl] def stageAndSwapLeaves(s: org.apache.spark.sql.SparkSession,
+      path: String,
+      targets: Seq[(org.apache.hadoop.fs.Path, Int)],
+      stagedFrame: DataFrame,
+      partitionCols: Seq[String], sortCols: Seq[String],
+      maxRecordsPerFile: Int, fence: Option[MaintenanceLease.Fence],
+      allowEmptyLeaf: Boolean): Seq[CompactedPartition] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(path + ".compact-staging")
+    stagedFrame
       .repartition(partitionCols.map(col): _*)
       .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
       .write
@@ -114,11 +146,19 @@ object CorpusLayout {
     // URI.relativize silently returns the ABSOLUTE uri on any
     // scheme/prefix mismatch, which would alias staging onto the
     // destination itself
-    val done = frag.map { case (d, before) =>
+    val done = targets.map { case (d, before) =>
       val rel = relLeaf(fs, root, d)
       val stagedDir = new org.apache.hadoop.fs.Path(staging, rel)
-      val staged = fs.listStatus(stagedDir).filter(isData)
-      require(staged.nonEmpty, s"compaction staged no files for $rel")
+      val staged =
+        if (fs.exists(stagedDir)) fs.listStatus(stagedDir).filter(isData)
+        else Array.empty[org.apache.hadoop.fs.FileStatus]
+      if (staged.isEmpty) {
+        require(allowEmptyLeaf, s"compaction staged no files for $rel")
+        // an all-rows-deleted partition: materialize the staged leaf
+        // so the marker protocol (and its recovery) applies unchanged
+        if (!fs.exists(stagedDir))
+          require(fs.mkdirs(stagedDir), s"mkdirs failed: $stagedDir")
+      }
       // Crash-safe swap (roll-forward/roll-back via
       // [[recoverInterruptedCompaction]]): originals RENAME into
       // .orig under the staged leaf (metadata move, never a delete of
@@ -154,7 +194,55 @@ object CorpusLayout {
       CompactedPartition(rel, before, staged.length)
     }
     fs.delete(staging, true)
-    CompactionReport(done, compactAlready.size)
+    done
+  }
+
+  /** DELETE-BY-KEY SCRUB of a [[writePartitioned]] serving tree — the
+    * forget cascade's storage leg ([[Forget]]'s scaladoc; a compliance
+    * deletion is incomplete while the forgotten docs' bytes still sit
+    * in the partitioned serving copy). SELECTIVE like the compaction:
+    * one semi-join finds the partitions that actually HOLD a forgotten
+    * key (metadata-scale collect — one row per affected partition
+    * value), only those leaves are rewritten (anti-join against the
+    * broadcast forget set), and the swap rides the same staged
+    * commit-marker protocol + recovery as [[compactPartitioned]]. A
+    * partition with no forgotten key keeps its files BYTE-IDENTICAL —
+    * at 100 TB the job is sized by the partitions the forget batch
+    * touches, never the tree. Run it under
+    * [[MaintenanceLease.withLeaseFenced]] on the tree's path (same
+    * token as the sink's appends and the compaction).
+    *
+    * `forget` must be a small keyed frame (one `idCol` column,
+    * batch-sized — it broadcasts twice). Partition VALUES must
+    * round-trip through their directory-name encoding (strings
+    * without URI-escaped characters, integers — the serving trees
+    * here partition by source/day). */
+  def scrubPartitioned(s: org.apache.spark.sql.SparkSession,
+      path: String, partitionCols: Seq[String], sortCols: Seq[String],
+      maxRecordsPerFile: Int, forget: DataFrame, idCol: String,
+      fence: Option[MaintenanceLease.Fence] = None): CompactionReport = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(path + ".compact-staging")
+    recoverInterruptedCompaction(fs, root, staging)
+    val all = leaves(fs, root)
+    val tree = s.read.option("basePath", path).parquet(path)
+    val hitRows = tree
+      .join(broadcast(forget.select(col(idCol))), Seq(idCol), "left_semi")
+      .select(partitionCols.map(col): _*).distinct().collect()
+    val hitRels = hitRows.map(r => partitionCols.indices
+      .map(i => s"${partitionCols(i)}=${r.get(i)}").mkString("/")).toSet
+    val targets = all
+      .filter(d => hitRels.contains(relLeaf(fs, root, d)))
+      .map(d => d -> fs.listStatus(d).count(isData))
+    if (targets.isEmpty)
+      return CompactionReport(Nil, all.size)
+    val kept = s.read.option("basePath", path)
+      .parquet(targets.map(_._1.toString): _*)
+      .join(broadcast(forget.select(col(idCol))), Seq(idCol), "left_anti")
+    val done = stageAndSwapLeaves(s, path, targets, kept, partitionCols,
+      sortCols, maxRecordsPerFile, fence, allowEmptyLeaf = true)
+    CompactionReport(done, all.size - targets.size)
   }
 
   private[etl] def isData(f: org.apache.hadoop.fs.FileStatus): Boolean =

@@ -197,11 +197,21 @@ object TextDedup {
         col("a.__g") === col("b.__g") && col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("d1"), col("b.__id").as("d2"),
         col("a.__pos").as("p1"), col("b.__pos").as("p2"))
-      .withColumn("diag", col("p1") - col("p2"))
+    spansFromMatches(matches, n, minSpanWords)
+  }
+
+  /** The diagonal-island fold shared by [[repeatedSpans]] and the
+    * forget-time span retraction ([[graft.etl.Forget.retractSpans]]):
+    * positional gram matches `(d1, d2, p1, p2)` → maximal runs along
+    * each diagonal → spans of at least `minSpanWords`. Window is
+    * partitioned per (pair, diagonal) — match-set-sized groups, never
+    * an unpartitioned sort. */
+  private[graft] def spansFromMatches(matches: DataFrame, n: Int,
+      minSpanWords: Int): DataFrame = {
+    val m = matches.withColumn("diag", col("p1") - col("p2"))
     val wIsl = org.apache.spark.sql.expressions.Window
       .partitionBy(col("d1"), col("d2"), col("diag")).orderBy(col("p1"))
-    matches
-      .withColumn("isl", col("p1") - row_number().over(wIsl))
+    m.withColumn("isl", col("p1") - row_number().over(wIsl))
       .groupBy(col("d1"), col("d2"), col("diag"), col("isl"))
       .agg(min(col("p1")).as("start1"), min(col("p2")).as("start2"),
         (count(lit(1)) + (n - 1)).as("span_words"))

@@ -197,16 +197,29 @@ object BuildQueries extends QueryPack {
   /** The full oracle CTE chain down to b1's per-doc decision frame
     * `fin` (doc_id, source, n_tokens, sample_rate, sampled, cluster,
     * clean, kept) — shared by the b1 and b3 oracles so both recompute
-    * the kept set identically and independently of the engine. */
-  private val b1FinSqlCtes =
-    s"""toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+    * the kept set identically and independently of the engine.
+    * `survOnly` (b7) restricts the UNIVERSE to documents minus the b5
+    * forget batch — the corpus build as it stands after the deletion;
+    * every downstream CTE (rates, decontam flags, clusters, keeper,
+    * packing) then recomputes over the survivors, which is exactly the
+    * rebuild-without-keys the Spark-side retraction must land on. */
+  private def b1FinSqlCtesFor(survOnly: Boolean): String = {
+    val docPred =
+      if (survOnly) " WHERE NOT (doc_id % 11 = 5 AND doc_id % 10 <> 7)"
+      else ""
+    val pairPred =
+      if (survOnly)
+        "\n      |          WHERE NOT (d1 % 11 = 5 AND d1 % 10 <> 7)" +
+          "\n      |            AND NOT (d2 % 11 = 5 AND d2 % 10 <> 7)"
+      else ""
+    s"""toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents$docPred),
       |$ratesSqlCtes,
       |$decontamSqlCtes,
-      |pairs AS (SELECT d1, d2 FROM (${DedupQueries.d3OracleSql})),
+      |pairs AS (SELECT d1, d2 FROM (${DedupQueries.d3OracleSql})$pairPred),
       |sym AS (SELECT d1 AS s, d2 AS t FROM pairs
       |        UNION ALL SELECT d2, d1 FROM pairs),
       |reach(id, r) AS (
-      |  SELECT doc_id, doc_id FROM documents
+      |  SELECT doc_id, doc_id FROM documents$docPred
       |  UNION
       |  SELECT reach.id, sym.t FROM reach JOIN sym ON reach.r = sym.s),
       |clus AS (SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id),
@@ -226,6 +239,9 @@ object BuildQueries extends QueryPack {
       |  SELECT *, (clean AND doc_id = MIN(CASE WHEN clean THEN doc_id END)
       |    OVER (PARTITION BY cluster)) AS kept
       |  FROM flags)""".stripMargin
+  }
+
+  private val b1FinSqlCtes = b1FinSqlCtesFor(survOnly = false)
 
   private val b1Sql = {
     s"""WITH RECURSIVE
@@ -572,6 +588,7 @@ object BuildQueries extends QueryPack {
   def releaseArtifacts(s: SparkSession, dir: String): Unit = {
     FoldArtifacts.release(s, dir)
     ForgetArtifacts.release(s, dir)
+    ScrubArtifacts.release(s, dir)
   }
 
   /** b5's keyed forget batch: doc_id ≡ 5 (mod 11) — decorrelated from
@@ -759,13 +776,237 @@ object BuildQueries extends QueryPack {
       |FROM clus
       |ORDER BY doc_id""".stripMargin
 
+  /** The b5 forget batch as a keyed frame (shared by b6/b7/d21). */
+  private[graft] def forgetBatch(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .filter(isForgotten(col("doc_id"))).select(col("doc_id"))
+
+  /** The SCRUBBED serving tree (round 17 — the forget cascade's
+    * storage leg): the non-bench corpus written as the
+    * source-partitioned serving copy ([[graft.etl.CorpusLayout
+    * .writePartitioned]], the continuous sink's layout), then the
+    * forget batch deleted IN PLACE by [[graft.etl.CorpusLayout
+    * .scrubPartitioned]] — a SELECTIVE leaf rewrite (only partitions
+    * holding a forgotten doc swap; untouched partitions keep their
+    * files byte-identical) under the fenced writer lease, the same
+    * token the sink's appends and the compaction take. b6 then reads
+    * the tree back from DISK, so the oracle gates what a reader
+    * actually serves, not what a plan promises. Scratch-located and
+    * process-unique like e31's ServingLayout. */
+  private object ScrubArtifacts {
+    final case class Art(path: String,
+        report: graft.etl.CorpusLayout.CompactionReport)
+    private val reg = new graft.ArtifactRegistry[Art](_ => Seq.empty,
+      onRetire = a => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(a.path).getParentFile)
+      })
+
+    def apply(s: SparkSession, dir: String): Art =
+      reg(s, dir) { (s2, d) =>
+        val path = sys.props("java.io.tmpdir") + "/graft-forget-serving-" +
+          graft.ArtifactRegistry.dirTag(d) + "/docs"
+        graft.ArtifactRegistry.deleteDirOnExit(
+          new java.io.File(path).getParent)
+        graft.etl.CorpusLayout.writePartitioned(
+          Tables(s2, d, "documents").filter(col("doc_id") % 10 =!= 7),
+          path, Seq("source"), Seq("doc_id"), maxRecordsPerFile = 1 << 20)
+        val rep = graft.etl.MaintenanceLease.withLeaseFenced(s2, path) {
+          fence =>
+            graft.etl.CorpusLayout.scrubPartitioned(s2, path,
+              Seq("source"), Seq("doc_id"), maxRecordsPerFile = 1 << 20,
+              forget = forgetBatch(s2, d), idCol = "doc_id",
+              fence = Some(fence))
+        }
+        Art(path, rep)
+      }
+
+    def release(s: SparkSession, dir: String): Unit = reg.release(s, dir)
+  }
+
+  /** Spec hooks: the scrubbed tree's path and the scrub's own report
+    * (ForgetSpec asserts the swap was SELECTIVE and real). */
+  private[graft] def scrubbedServing(s: SparkSession, dir: String)
+      : (String, graft.etl.CorpusLayout.CompactionReport) = {
+    val a = ScrubArtifacts(s, dir); (a.path, a.report)
+  }
+
+  /** The post-forget bigram-LM view (b6's aggregate-artifact leg):
+    * [[graft.etl.Forget.retractBigramLm]] over the CACHED TextArtifacts
+    * frames — count-delta retraction plus the context-pruned rescore;
+    * exposed for ForgetSpec's no-forgotten-doc attach gate. */
+  private[graft] def lmPostForget(s: SparkSession, dir: String): DataFrame =
+    graft.etl.Forget.retractBigramLm(
+      TextArtifacts.bigrams(s, dir),
+      TextArtifacts.bigramCounts(s, dir),
+      TextArtifacts.lmDoc(s, dir),
+      forgetBatch(s, dir))
+
+  /** b6 — the forget cascade's DERIVATIVE audit (round 17, completing
+    * b5 beyond the index/label tables): one row per non-bench doc with
+    * its post-forget state across the remaining derivative surfaces —
+    * `in_serving` read back from the SCRUBBED partitioned serving tree
+    * on disk ([[ScrubArtifacts]]), `n_words` from the post-forget
+    * token attach, and `(n_bigrams, sumpf)` from the RETRACTED corpus
+    * bigram model ([[lmPostForget]] — surviving docs' scores change
+    * when the forgotten docs' counts leave the model, which is exactly
+    * the derivative influence a deletion must erase). The oracle
+    * rebuilds every view from documents-minus-batch, so scrub ≡
+    * rewrite-without-keys and retraction ≡ retrain are hash-gated per
+    * row. Scale: the scrub is sized by touched partitions, the
+    * retraction by the forget batch (see the operators' scaladocs);
+    * the audit itself is three keyed left joins. */
+  private def b6(s: SparkSession, dir: String): DataFrame = {
+    val servedPath = ScrubArtifacts(s, dir).path
+    val served = s.read.option("basePath", servedPath).parquet(servedPath)
+      .select(col("doc_id"), lit(true).as("present"))
+    val toksPost = TextArtifacts.toks(s, dir)
+      .filter(!isForgotten(col("doc_id")))
+      .select(col("doc_id"), col("n_words"))
+    val lm = lmPostForget(s, dir)
+    Tables(s, dir, "documents")
+      .filter(col("doc_id") % 10 =!= 7)
+      .select(col("doc_id"), col("source"))
+      .join(served, Seq("doc_id"), "left")
+      .join(toksPost, Seq("doc_id"), "left")
+      .join(lm, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        isForgotten(col("doc_id")).as("forgotten"),
+        coalesce(col("present"), lit(false)).as("in_serving"),
+        col("n_words"), col("n_bigrams"), col("sumpf"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val b6Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+      |surv AS (SELECT * FROM toks
+      |         WHERE NOT (doc_id % 11 = 5 AND doc_id % 10 <> 7)),
+      |bi AS (
+      |  SELECT doc_id, i AS pos, w[i] AS a, w[i+1] AS b
+      |  FROM surv, unnest(range(1, len(w))) AS t(i)
+      |  WHERE len(w) >= 2),
+      |cab AS (SELECT a, b, COUNT(*) AS cab FROM bi GROUP BY a, b),
+      |ca AS (SELECT a, COUNT(*) AS ca FROM bi GROUP BY a),
+      |sp AS (
+      |  SELECT bi.doc_id,
+      |    CAST(FLOOR(CAST(cab.cab AS DOUBLE) / ca.ca * 1e9 + 0.5) AS BIGINT) AS pf
+      |  FROM bi JOIN cab USING (a, b) JOIN ca USING (a)),
+      |lm AS (
+      |  SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(pf) AS BIGINT) AS sumpf
+      |  FROM sp GROUP BY doc_id)
+      |SELECT t.doc_id, t.source,
+      |  (t.doc_id % 11 = 5) AS forgotten,
+      |  (t.doc_id % 11 <> 5) AS in_serving,
+      |  CASE WHEN t.doc_id % 11 <> 5 THEN CAST(len(t.w) AS BIGINT) END
+      |    AS n_words,
+      |  lm.n_bigrams, lm.sumpf
+      |FROM toks t LEFT JOIN lm ON t.doc_id = lm.doc_id
+      |WHERE t.doc_id % 10 <> 7
+      |ORDER BY t.doc_id""".stripMargin
+
+  /** b7 — the POST-FORGET repack (round 17, the forget cascade
+    * reaching b3's packed manifests): the realized B=512 packing over
+    * the corpus-build kept set AS IT STANDS AFTER the deletion. Every
+    * upstream decision retracts through an already-gated identity
+    * instead of a rebuild: the mixture rates re-derive from the
+    * surviving token mass (bit-identical arithmetic via
+    * [[mixtureRatesFromMass]] — the RatePublisher path), the decontam
+    * flags are per-doc and carry over, the near-dup clusters retract
+    * through [[graft.etl.Forget.retractLabels]]' component pruning
+    * (b1's full universe this time), and the survivor-min keeper +
+    * packing prefix-sum re-run over the kept set (packing is
+    * position-dependent — deleting a doc shifts every later doc in
+    * its source, so the pack stage is inherently a rewrite; at scale
+    * that is the t14 bucketed prefix-sum, never a funnel). The oracle
+    * recomputes the whole build from documents-minus-batch, so the
+    * composed retraction ≡ rebuild-without-keys per source row. */
+  private def b7(s: SparkSession, dir: String): DataFrame = {
+    val B = 512
+    val forget = forgetBatch(s, dir)
+    val toksPost = TextArtifacts.toks(s, dir)
+      .filter(!isForgotten(col("doc_id")))
+      .select(col("doc_id"), col("source"), col("n_words"))
+    val rates = mixtureRatesFromMass(toksPost
+      .groupBy(col("source")).agg(sum(col("n_words")).as("n_tokens")))
+    val train = toksPost.filter(col("doc_id") % 10 =!= 7)
+      .join(broadcast(rates), Seq("source"))
+      .withColumn("sampled", uniformU < col("sample_rate"))
+    val bad = TextQueries.decontamDropIds(s, dir)
+      .withColumn("contaminated", lit(true))
+    val pairsSurv = DedupQueries.d3PairsArtifact(s, dir)
+      .filter(!isForgotten(col("d1")) && !isForgotten(col("d2")))
+      .select(col("d1"), col("d2"))
+    val clusters = graft.etl.Forget.retractLabels(
+      DedupQueries.dupClusters(s, dir), pairsSurv, forget)
+    val flags = train
+      .join(bad, Seq("doc_id"), "left")
+      .join(clusters, Seq("doc_id"))
+      .withColumn("clean", col("sampled") && col("contaminated").isNull)
+    val keeper = min(when(col("clean"), col("doc_id")))
+      .over(Window.partitionBy(col("cluster")))
+    val kept = flags
+      .withColumn("kept", col("clean") && col("doc_id") === keeper)
+      .filter(col("kept"))
+      .select(col("doc_id"), col("source"), col("n_words"))
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      // the packing prefix-sum reads its input twice (per-bucket
+      // counts + the windowed rows); the retraction cascade above is
+      // heavy, so cut the diamond here (kept-docs-scale frame)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    kept.count()
+    graft.operators.OffsetWindow
+      .prefixSum(kept, Seq("source"),
+        bucket = substring(col("h"), 1, 2),
+        order = Seq(col("h"), col("doc_id")),
+        weight = col("n_words"), out = "cum")
+      .withColumn("before", col("cum") - col("n_words"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("docs_packed"),
+        sum(col("n_words")).as("tokens_packed"),
+        (max(expr(s"(cum - 1) div $B")) + 1L).as("n_sequences"),
+        sum(when(expr(s"before div $B") =!= expr(s"(cum - 1) div $B"), 1L)
+          .otherwise(0L)).as("boundary_docs"),
+        (max(col("cum")) - max(expr(s"(cum - 1) div $B")) * B)
+          .as("last_seq_fill"))
+      .orderBy(col("source"))
+  }
+
+  private val b7Sql =
+    s"""WITH RECURSIVE
+      |${b1FinSqlCtesFor(survOnly = true)},
+      |kept AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    md5(CAST(doc_id AS VARCHAR)) AS h
+      |  FROM fin WHERE kept),
+      |cum AS (
+      |  SELECT source, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS c
+      |  FROM kept)
+      |SELECT source,
+      |  COUNT(*) AS docs_packed,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_packed,
+      |  CAST(MAX((c - 1) // 512) + 1 AS BIGINT) AS n_sequences,
+      |  CAST(SUM(CASE WHEN (c - n_tokens) // 512 <> (c - 1) // 512
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS boundary_docs,
+      |  CAST(MAX(c) - MAX((c - 1) // 512) * 512 AS BIGINT) AS last_seq_fill
+      |FROM cum
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("b1_corpus_build" -> b1, "b2_corpus_delta" -> b2,
       "b3_packing_manifest" -> b3, "b4_index_fold" -> b4,
-      "b5_forget_cascade" -> b5)
+      "b5_forget_cascade" -> b5, "b6_forget_derivatives" -> b6,
+      "b7_forget_repack" -> b7)
 
   override def oracle: Map[String, String] =
     Map("b1_corpus_build" -> b1Sql, "b2_corpus_delta" -> b2Sql,
       "b3_packing_manifest" -> b3Sql, "b4_index_fold" -> b4Sql,
-      "b5_forget_cascade" -> b5Sql)
+      "b5_forget_cascade" -> b5Sql, "b6_forget_derivatives" -> b6Sql,
+      "b7_forget_repack" -> b7Sql)
 }

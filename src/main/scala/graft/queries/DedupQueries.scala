@@ -954,15 +954,18 @@ object DedupQueries extends QueryPack {
     SpanArtifacts(s, dir)
       .orderBy(col("d1"), col("d2"), col("start1"), col("start2"))
 
-  /** Shared oracle prefix for d9/d11: positional grams → capped
-    * inverted index → diagonal runs → spans CTE. */
-  private val spansSqlPrefix =
+  /** Shared oracle prefix for d9/d11/d21: positional grams → capped
+    * inverted index → diagonal runs → spans CTE. `docPred` restricts
+    * the mined universe (d21 mines the post-forget survivors; d9/d11
+    * pass TRUE and emit byte-identical SQL to the pre-round-17 text
+    * modulo the vacuous predicate). */
+  private def spansSqlPrefixFor(docPred: String) =
     s"""WITH g AS (
       |  SELECT doc_id, list_transform(range(1, len(w)-6),
       |    i -> CAST(('0x'||substr(md5(array_to_string(w[i:i+7], ' ')),1,15)) AS BIGINT)
       |         % 2147483647) AS xs
       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-      |  WHERE len(w) >= 8),
+      |  WHERE len(w) >= 8 AND ($docPred)),
       |pg AS (SELECT doc_id, generate_subscripts(xs, 1) - 1 AS pos, unnest(xs) AS gram
       |       FROM g),
       |hot AS (SELECT gram FROM pg GROUP BY gram
@@ -982,8 +985,50 @@ object DedupQueries extends QueryPack {
       |  FROM runs GROUP BY d1, d2, diag, isl
       |  HAVING COUNT(*) + 7 >= $d9MinSpan)""".stripMargin
 
+  private val spansSqlPrefix = spansSqlPrefixFor("TRUE")
+
   private val d9Sql =
     s"""$spansSqlPrefix
+      |SELECT d1, d2, start1, start2, span_words
+      |FROM spans
+      |ORDER BY d1, d2, start1, start2""".stripMargin
+
+  /** d21 — the POST-FORGET span mine (round 17, the forget cascade
+    * reaching the d9/d11 artifact): the b5 forget batch's docs leave
+    * the span index AND its derivative effects retract — pairs with a
+    * forgotten endpoint die row-locally, and grams whose document
+    * frequency drops back under the boilerplate cap (a forgotten doc
+    * was holding them hot) surface the NEW candidate spans the cap
+    * had suppressed. Served by [[graft.etl.Forget.retractSpans]]'
+    * pair-pruned retraction off the CACHED pre-forget mine
+    * ([[SpanArtifacts]]): untouched pairs carry verbatim, only pairs
+    * sharing a newly-uncapped gram re-run the island fold (forget-
+    * batch-sized, never a re-mine — the full self-join of a rebuild
+    * never runs). The oracle re-mines the surviving corpus from
+    * scratch in DuckDB, so retraction ≡ rebuild is hash-gated row by
+    * row, including the uncapping side (ForgetSpec constructs the
+    * uncapping case explicitly).
+    *
+    * The batch here is b5's forget set WIDENED by a second residue
+    * (%13 = 1): on the gated corpus b5's %11 batch happens to miss
+    * every span participant, which would gate only the carry leg —
+    * the wider batch provably deletes live span rows at sf0.01, so
+    * the oracle exercises retract-and-carry, not just carry. */
+  private def d21(s: SparkSession, dir: String): DataFrame =
+    graft.etl.Forget.retractSpans(
+      TextArtifacts.toks(s, dir).filter(col("n_words") >= 8),
+      "doc_id", "w",
+      SpanArtifacts(s, dir),
+      docs(s, dir).filter(
+        (graft.queries.BuildQueries.isForgotten(col("doc_id")) ||
+          (col("doc_id") % 13 === 1 && col("doc_id") % 10 =!= 7)))
+        .select(col("doc_id")),
+      n = 8, maxDf = d9MaxDf, minSpanWords = d9MinSpan)
+      .orderBy(col("d1"), col("d2"), col("start1"), col("start2"))
+
+  private val d21Sql =
+    s"""${spansSqlPrefixFor(
+        "NOT ((doc_id % 11 = 5 OR doc_id % 13 = 1) AND doc_id % 10 <> 7)")}
       |SELECT d1, d2, start1, start2, span_words
       |FROM spans
       |ORDER BY d1, d2, start1, start2""".stripMargin
@@ -1376,6 +1421,7 @@ object DedupQueries extends QueryPack {
   private def d20Sql = d6Sql
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d21_forget_spans"  -> d21,
     "d20_incr_clusters" -> d20,
     "d19_leakage_split" -> d19,
     "d15_containment"   -> d15,
@@ -1396,6 +1442,7 @@ object DedupQueries extends QueryPack {
     "c1_curation_report" -> c1)
 
   override def oracle: Map[String, String] = Map(
+    "d21_forget_spans"  -> d21Sql,
     "d20_incr_clusters" -> d20Sql,
     "d19_leakage_split" -> d19Sql,
     "d15_containment"   -> d15Sql,

@@ -85,8 +85,11 @@ private[graft] object TextArtifacts {
 
   /** Positional bigram frame (doc_id, pos, a, b) off the shared
     * token frame — NOT persisted (corpus×length rows; its consumers
-    * each reduce it immediately). */
-  private def bigrams(s: SparkSession, dir: String): DataFrame =
+    * each reduce it immediately). `private[graft]` so the forget
+    * cascade's LM retraction ([[graft.etl.Forget.retractBigramLm]])
+    * derives the forgotten docs' count deltas from the same frame
+    * the model was trained on. */
+  private[graft] def bigrams(s: SparkSession, dir: String): DataFrame =
     toks(s, dir)
       .filter(col("n_words") >= 2)
       .select(col("doc_id"), posexplode(expr(
@@ -110,20 +113,36 @@ private[graft] object TextArtifacts {
 
   private val lmReg = new graft.ArtifactRegistry[DataFrame](f => Seq(f))
 
+  /** The LM scoring core: per-doc exact fixed-point bigram scores off
+    * an explicit model `(cab, ca)` — factored (round 17) so the forget
+    * cascade rescores AFFECTED docs against the RETRACTED model with
+    * bit-identical arithmetic ([[graft.etl.Forget.retractBigramLm]]).
+    * Both model joins are salted (hot stopword keys spread over 8
+    * reducers; pair-identical to the plain join, e16's gate). */
+  private[graft] def lmScore(bi: DataFrame, cab: DataFrame,
+      ca: DataFrame): DataFrame = {
+    val saltBy = struct(col("doc_id"), col("pos"))
+    graft.operators.SaltedJoin.inner(
+      graft.operators.SaltedJoin.inner(bi, cab, Seq("a", "b"), 8, saltBy),
+      ca, Seq("a"), 8, saltBy)
+      .withColumn("p", col("cab").cast("double") / col("ca"))
+      .withColumn("pf", floor(col("p") * 1e9 + 0.5).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("pf")).as("sumpf"))
+  }
+
+  /** Context counts `(a, ca)` derived from the CACHED bigram-count
+    * table (ca = Σ_b cab) — vocabulary-scale, no corpus re-scan. */
+  private[graft] def contextCounts(cab: DataFrame): DataFrame =
+    cab.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
+
   def lmDoc(s: SparkSession, dir: String): DataFrame =
     lmReg(s, dir) { (s2, d) =>
       lmBuilds.incrementAndGet()
       val bi = bigrams(s2, d)
       val cab = bigramCounts(s2, d)
       val ca = bi.groupBy(col("a")).agg(count(lit(1)).as("ca"))
-      val saltBy = struct(col("doc_id"), col("pos"))
-      eager(graft.operators.SaltedJoin.inner(
-        graft.operators.SaltedJoin.inner(bi, cab, Seq("a", "b"), 8, saltBy),
-        ca, Seq("a"), 8, saltBy)
-        .withColumn("p", col("cab").cast("double") / col("ca"))
-        .withColumn("pf", floor(col("p") * 1e9 + 0.5).cast("long"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"), sum(col("pf")).as("sumpf")))
+      eager(lmScore(bi, cab, ca))
     }
 
   /** Release this corpus dir's tokenized-family artifacts (the
