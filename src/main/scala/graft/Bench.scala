@@ -68,6 +68,22 @@ object Bench {
     // while a third of the surface crashed fast). Failed queries are
     // excluded from the total and reported in a "failed" list instead.
     val failed = scala.collection.mutable.SortedSet.empty[String]
+    // UNTIMED warmup pass (round 17): run every query once before any
+    // timed sample. Rep-1 samples previously carried whole-stage
+    // codegen compilation, registry artifact builds, and cache fills —
+    // the min protocol discarded them, but the medians (and the
+    // driver's headline window) didn't. One warm pass moves all of
+    // that out of the measurement; SPARK_GRAFT_BENCH_WARMUP=0 restores
+    // the cold-start measurement for lifecycle A/Bs (ColdStartAB owns
+    // that question properly).
+    val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt
+    for (_ <- 1 to warmups; (name, fn) <- qs0 if !failed(name)) {
+      try drain(fn(spark, sfDir)) catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH ERROR (warmup) $name: $e")
+          failed += name
+      }
+    }
     for (rep <- 1 to Reps) {
       // settle accumulated garbage between passes so a collection
       // pause lands here, not inside some arbitrary query's sample
@@ -119,7 +135,7 @@ object Bench {
     val total = results.map(_._2).sum
     val minTotal = mins.map(_._2).sum
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"queries":$qs,"queries_min":$qsMin,"samples":$qsSamples,"failed":$failedJson,"sf":"$sfDir","method":"median_of_${Reps}_full_materialize;min_protocol_for_cross_round"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"queries":$qs,"queries_min":$qsMin,"samples":$qsSamples,"failed":$failedJson,"sf":"$sfDir","method":"median_of_${Reps}_full_materialize;warmup_$warmups;min_protocol_for_cross_round"}"""
     println(fullJson)
     // The stdout line above travels through sbt (which prefixes every
     // line with "[info] ") and a driver-side tail capture that has

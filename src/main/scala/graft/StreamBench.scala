@@ -431,8 +431,85 @@ object StreamBench {
           s"maintenance grew the serving tree " +
             s"($serveFilesBefore -> $serveFilesAfter files)")
 
+        //  (4) FORGET end-to-end (round 17) — a delete-by-key request
+        //      lands mid-deployment and the cascade runs LIVE:
+        //      (a) the forgotten ADMITTED doc scrubs out of the
+        //          partitioned serving tree via the fenced-leased
+        //          SELECTIVE leaf rewrite (same token the sink and the
+        //          compaction take), parity require()d against
+        //          rebuild-without-keys;
+        //      (b) the probe UN-SEES a forgotten INDEX doc: a
+        //          redelivered near-dup it had been suppressing is
+        //          re-streamed against the pre-forget seeds (must stay
+        //          suppressed) and the post-forget seeds (must admit) —
+        //          ForgetSpec's reseed contract, composed in-line.
+        val tG = System.nanoTime()
+        // pick the redelivery: an arrival the probe rejected as an
+        // index dup, together with EVERY index doc it matched (forget
+        // them all, or a second ghost keeps suppressing it)
+        val idxHitRows = spark.read.parquet(s"$scratch/admhits")
+          .filter(!graft.queries.DedupQueries.isDeltaArrival(col("d2")))
+          .select(col("d1"), col("d2")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        require(idxHitRows.nonEmpty,
+          "forget stage needs at least one index-dup suppression to un-see")
+        val byArrival = idxHitRows.groupBy(_._1)
+        val (redeliverId, ghostIds0) = byArrival
+          .minBy { case (a, hs) => (hs.map(_._2).distinct.length, a) }
+        val ghostIds = ghostIds0.map(_._2).distinct.toSet
+        // (a) serving-tree scrub under the fenced lease
+        val forgetServedId = admitted.min
+        val scrubRep = graft.etl.MaintenanceLease
+          .withLeaseFenced(spark, serveDir) { fence =>
+            graft.etl.CorpusLayout.scrubPartitioned(spark, serveDir,
+              Seq("source"), Seq("doc_id"), maxRecordsPerFile = 1 << 20,
+              forget = {
+                import spark.implicits._
+                Seq(forgetServedId).toDF("doc_id")
+              }, idCol = "doc_id", fence = Some(fence))
+          }
+        val servedPost = spark.read.parquet(serveDir)
+          .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+        require(servedPost == admitted - forgetServedId,
+          s"forget scrub parity: served ${servedPost.size} vs expected " +
+            s"${admitted.size - 1}")
+        require(scrubRep.partitions.size == 1 && scrubRep.skipped >= 1,
+          s"forget scrub was not selective: rewrote " +
+            s"${scrubRep.partitions.size} partitions, skipped " +
+            s"${scrubRep.skipped}")
+        // (b) un-see via probe reseed (the redelivery as a 1-row stream)
+        def redeliveryHits(seed: DataFrame, tag: String): Set[Long] = {
+          import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+          import spark.implicits._
+          implicit val sqlCtx = spark.sqlContext
+          val in = MemoryStream[(Long, String, String)]
+          val q = StreamingAdmission
+            .dupHits(in.toDF().toDF("doc_id", "source", "text"), seed)
+            .writeStream.format("memory")
+            .queryName(s"streambench_forget_$tag")
+            .outputMode("append").start()
+          try {
+            val row = docs.filter(col("doc_id") === redeliverId)
+              .select(col("doc_id"), col("source"), col("text"))
+              .collect().head
+            in.addData((row.getLong(0), row.getString(1), row.getString(2)))
+            q.processAllAvailable()
+            spark.table(q.name).select(col("d1")).collect()
+              .map(_.getLong(0)).toSet
+          } finally q.stop()
+        }
+        val preHits = redeliveryHits(index, "pre")
+        val postHits = redeliveryHits(
+          index.filter(!col("doc_id").isin(ghostIds.toSeq: _*)), "post")
+        require(preHits.contains(redeliverId),
+          s"pre-forget probe failed to suppress redelivery $redeliverId")
+        require(postHits.isEmpty,
+          s"post-forget probe still suppresses $redeliverId via " +
+            s"ghosts: $postHits")
+        val forgetSecs = (System.nanoTime() - tG) / 1e9
+
         val line =
-          s"""{"arrivals":$nArr,"gate_secs":$gateSecs,"gate_rows_per_sec":${nArr / gateSecs},"probe_secs":$probeSecs,"probe_rows_per_sec":${nArr / probeSecs},"probe_state_rows":$stRows,"probe_state_bytes":$stBytes,"compact_secs":$compactSecs,"admitted":${admitted.size},"batch_parity":true,"fold_secs":$foldSecs,"fold_label_rows":$foldLabelRows,"fold_sig_rows":$foldSigRows,"republish_secs":$republishSecs,"republish_drift_nats":$driftJson,"card_generation":${pub.generation},"serve_secs":$serveSecs,"serve_files_before":$serveFilesBefore,"serve_files_after":$serveFilesAfter,"maintain_secs":$maintainSecs}"""
+          s"""{"arrivals":$nArr,"gate_secs":$gateSecs,"gate_rows_per_sec":${nArr / gateSecs},"probe_secs":$probeSecs,"probe_rows_per_sec":${nArr / probeSecs},"probe_state_rows":$stRows,"probe_state_bytes":$stBytes,"compact_secs":$compactSecs,"admitted":${admitted.size},"batch_parity":true,"fold_secs":$foldSecs,"fold_label_rows":$foldLabelRows,"fold_sig_rows":$foldSigRows,"republish_secs":$republishSecs,"republish_drift_nats":$driftJson,"card_generation":${pub.generation},"serve_secs":$serveSecs,"serve_files_before":$serveFilesBefore,"serve_files_after":$serveFilesAfter,"maintain_secs":$maintainSecs,"forget_secs":$forgetSecs,"forget_scrub_partitions":${scrubRep.partitions.size},"forget_unsee":true,"forget_ghosts":${ghostIds.size}}"""
         System.err.println(s"STREAMBENCH ADMISSION $line")
         line
       }

@@ -770,6 +770,7 @@ object SimilarityQueries extends QueryPack {
     CentroidArtifacts.release(s, dir)
     BaseCentroidArtifacts.release(s, dir)
     graft.etl.DurableArtifacts.drop(s, forgetCentsTableName(dir))
+    graft.etl.DurableArtifacts.drop(s, splitCentsTableName(dir))
   }
 
   /** The FROZEN (base-only, vec_id % 5 ≠ 0) coarse quantizer s22
@@ -2679,6 +2680,268 @@ object SimilarityQueries extends QueryPack {
       |ORDER BY nb.cell""".stripMargin
   }
 
+  /** s29's split knobs, single-sourced into both engines. Target
+    * per-subcell occupancy 48: a cell splits into ⌈occ/48⌉ subcells —
+    * all-integer math, k' scales LINEARLY with the corpus so per-cell
+    * occupancy (and with it s26's occupancy-derived refine cost) stays
+    * roughly CONSTANT as the index grows. Probing 2 subcells ⇒
+    * occ_probed ≈ 96 at every SF ⇒ r_used pins at the floor — the
+    * bound round 16 left open (s26 holds recall but its R grows ~5% of
+    * an ever-fatter cell forever). */
+  private[queries] val s29TargetOcc = 48L
+
+  /** Fixed projection axis for the equal-frequency splits (seeded,
+    * 1e-6-rounded literals pasted into the oracle — the s4 planes
+    * convention, so both engines project identically). */
+  private val splitAxis: Seq[Double] = {
+    val rnd = new scala.util.Random(7)
+    Seq.fill(64)(math.rint(rnd.nextGaussian() * 1e6) / 1e6)
+  }
+
+  /** Durable re-split quantizer table (spec/lifecycle hook). */
+  private[graft] def splitCentsTableName(dir: String): String =
+    s"graft_s_splitcents_${graft.ArtifactRegistry.dirTag(dir)}"
+
+  /** s29 — IVF CELL-COUNT ADAPTATION (round 17, bounding the cost of
+    * round 16's adaptive R): when a cell's occupancy crosses the
+    * target, it RE-SPLITS into ⌈occ/target⌉ subcells — members ranked
+    * along a fixed projection axis (equal-frequency split, the
+    * kd/PCA-split quantizer-refinement move re-expressed as pure
+    * column math) and subcell centroids published as the new durable
+    * serving quantizer (`graft_s_splitcents`, s23/s28's publish path).
+    * k' thus scales WITH the corpus, so per-subcell occupancy is
+    * ~constant and the serving audit's occupancy-derived refine
+    * shortlist (`r_used`, s26's knob over the PROBED subcells) stays
+    * flat instead of tracking ever-fatter cells — the per-query cost
+    * bound s26 could not give. Per query the audit reports its cell's
+    * subcell count, the probed occupancy, the flat `r_used`, and
+    * refined recall@3 against the exact FULL-CELL truth (the s24/s26
+    * truth, so the three queries read as one table across SFs). The
+    * oracle rebuilds split, centroids, routing and recall from the raw
+    * embeddings, so resplit ≡ rebuild is hash-gated.
+    *
+    * Scale: the per-cell rank rides [[graft.operators.OffsetWindow
+    * .prefixSum]]'s bucketed shape (projection-bucket windows +
+    * broadcast offsets — never one reducer per cell); the centroid
+    * update is partial+final keyed (cell, sub, pos); routing is a
+    * broadcast k'-row join; the probed candidate set is
+    * 2×target-occupancy rows per query BY CONSTRUCTION. The full-cell
+    * truth leg is the declared audit baseline (sampled queries at
+    * 100 TB), not the serving path. */
+  private def s29(s: SparkSession, dir: String): DataFrame = {
+    val arts = PqArtifacts(s, dir)
+    val base = evec(s, dir)
+    val occ = arts.cells.groupBy(col("cell")).agg(count(lit(1)).as("occ"))
+    val proj = base.join(arts.cells, "vec_id")
+      .withColumn("proj", round(dot(col("v"), typedLit(splitAxis)), 6))
+      .select(col("vec_id"), col("cell"), col("proj"))
+    // global rank within cell WITHOUT a per-cell window funnel: the
+    // bucketed prefix-sum (bucket = coarse projection range, monotone
+    // in proj) + in-bucket local rank — b3's packing shape
+    val ranked0 = graft.operators.OffsetWindow.prefixSum(
+      proj, Seq("cell"),
+      bucket = floor(col("proj") * 16).cast("long"),
+      order = Seq(col("proj"), col("vec_id")),
+      weight = lit(1L), out = "rk")
+    val subs = ranked0.join(broadcast(occ), "cell")
+      .withColumn("nsplit",
+        expr(s"(occ + ${s29TargetOcc - 1}) div $s29TargetOcc"))
+      .withColumn("sub", expr("((rk - 1) * nsplit) div occ"))
+      .select(col("vec_id"), col("cell"), col("sub"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    subs.count() // four consumers: centroids, occupancy, query, cands
+    val subCents = subs.join(base, "vec_id")
+      .select(col("cell"), col("sub"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("sub"), col("pos")).agg(avg(col("x")).as("m"))
+      .groupBy(col("cell"), col("sub"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+        .as("scv"))
+      .withColumn("scc", dot(col("scv"), col("scv")))
+    graft.etl.DurableArtifacts.bucketedTable(
+      s, splitCentsTableName(dir), 1, Seq("cell"), Seq("cell", "sub")) {
+      subCents
+    }
+    val pub = s.table(splitCentsTableName(dir))
+    val subocc = subs.groupBy(col("cell"), col("sub"))
+      .agg(count(lit(1)).as("socc"))
+    val nsubs = subs.groupBy(col("cell"))
+      .agg((max(col("sub")) + 1L).as("n_subs"))
+    // the probed scoring and the full-cell truth both read this frame
+    // (the diamond rule; row width matches the already-cached recon)
+    val cands = arts.recon.join(subs, "vec_id").join(base, "vec_id")
+      .select(col("vec_id").as("cid_"), col("cell"), col("sub"),
+        col("r"), col("rr"), col("v").as("xv"), col("vv").as("xx"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cands.count()
+    val q0 = base.filter(col("vec_id") < 10)
+      .join(subs.select(col("vec_id"), col("cell")), "vec_id")
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("vv").as("qq"), col("cell"))
+    // route: top-2 subcentroids WITHIN the query's own cell (1e-6
+    // snap before ranking — AVG-derived centroids, the s2 rationale)
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("sd2").asc, col("sub"))
+    val probed = q0.join(broadcast(pub), Seq("cell"))
+      .withColumn("sd2", round(
+        col("qq") - lit(2.0) * dot(col("qv"), col("scv")) + col("scc"), 6))
+      .withColumn("crk", row_number().over(wProbe)).filter(col("crk") <= 2)
+      .select(col("qid"), col("qv"), col("qq"), col("cell"), col("sub"))
+      // read by the occupancy sum AND the candidate scoring (20 rows)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    probed.count()
+    val occProbed = probed.join(broadcast(subocc), Seq("cell", "sub"))
+      .groupBy(col("qid")).agg(sum(col("socc")).as("occ_probed"))
+    val scoredP = probed.join(cands, Seq("cell", "sub"))
+      .filter(col("qid") =!= col("cid_"))
+      .select(col("qid"), col("cid_"),
+        (col("qq") - lit(2.0) * dot(col("qv"), col("r")) + col("rr"))
+          .as("adc"),
+        (col("qq") - lit(2.0) * dot(col("qv"), col("xv")) + col("xx"))
+          .as("exact"))
+    // exact FULL-CELL truth (the s24/s26 ground truth)
+    val wEx = Window.partitionBy(col("qid")).orderBy(col("exact"), col("cid_"))
+    val truth = q0.join(cands, Seq("cell"))
+      .filter(col("qid") =!= col("cid_"))
+      .select(col("qid"), col("cid_"),
+        (col("qq") - lit(2.0) * dot(col("qv"), col("xv")) + col("xx"))
+          .as("exact"))
+      .withColumn("true_rk", row_number().over(wEx))
+      .filter(col("true_rk") <= 3)
+      .select(col("qid"), col("cid_"), lit(1L).as("hit"))
+    val nTruth = truth.groupBy(col("qid")).agg(count(lit(1)).as("k"))
+    val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc"), col("cid_"))
+    val refined = scoredP
+      .withColumn("adc_rk", row_number().over(wAdc))
+      .join(broadcast(occProbed), Seq("qid"))
+      .withColumn("r_used", greatest(lit(s26RFloor),
+        expr(s"(occ_probed + ${s26CellDivisor - 1}) div $s26CellDivisor")))
+      .filter(col("adc_rk") <= col("r_used"))
+      .withColumn("ref_rk", row_number().over(wEx))
+      .filter(col("ref_rk") <= 3)
+      .join(truth, Seq("qid", "cid_"), "left")
+      .groupBy(col("qid"), col("r_used"))
+      .agg(count(lit(1)).as("n_ret"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    q0.select(col("qid"), col("cell"))
+      .join(broadcast(nsubs), Seq("cell"))
+      .join(broadcast(occProbed), Seq("qid"))
+      .join(refined, Seq("qid"))
+      .join(broadcast(nTruth), Seq("qid"))
+      .select(col("qid"), col("n_subs"), col("occ_probed"), col("r_used"),
+        round(col("n_hit").cast("double") / col("k"), 6).as("recall"))
+      .orderBy(col("qid"))
+  }
+
+  private val s29Sql = kmeansSql + ",\n" +
+    "eall AS (SELECT vec_id, v FROM e),\n" +
+    (0 until 4).map(pqSubSql).mkString(",\n") + s""",
+      |codes AS (
+      |  SELECT a20.vec_id, a20.cluster AS cl0, a21.cluster AS cl1,
+      |         a22.cluster AS cl2, a23.cluster AS cl3
+      |  FROM a20 JOIN a21 ON a20.vec_id = a21.vec_id
+      |           JOIN a22 ON a20.vec_id = a22.vec_id
+      |           JOIN a23 ON a20.vec_id = a23.vec_id),
+      |recon AS (
+      |  SELECT codes.vec_id, cb0.cv || cb1.cv || cb2.cv || cb3.cv AS r
+      |  FROM codes JOIN c10 cb0 ON codes.cl0 = cb0.cid
+      |             JOIN c11 cb1 ON codes.cl1 = cb1.cid
+      |             JOIN c12 cb2 ON codes.cl2 = cb2.cid
+      |             JOIN c13 cb3 ON codes.cl3 = cb3.cid),
+      |occ AS (SELECT cluster AS cell, COUNT(*) AS occ FROM a2 GROUP BY cluster),
+      |axisproj AS (
+      |  SELECT ev.vec_id, a2.cluster AS cell,
+      |    ROUND(list_sum(list_transform(list_zip(ev.v,
+      |      ${splitAxis.mkString("[", ", ", "]")}::DOUBLE[]),
+      |      x -> x[1]*x[2])), 6) AS proj
+      |  FROM ev JOIN a2 ON ev.vec_id = a2.vec_id),
+      |rnk AS (
+      |  SELECT vec_id, cell,
+      |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY proj, vec_id) AS rk
+      |  FROM axisproj),
+      |subs AS (
+      |  SELECT rnk.vec_id, rnk.cell,
+      |    ((rk - 1) * ((occ.occ + ${s29TargetOcc - 1}) // $s29TargetOcc))
+      |      // occ.occ AS sub
+      |  FROM rnk JOIN occ ON rnk.cell = occ.cell),
+      |subc0 AS (
+      |  SELECT s.cell, s.sub, pos, AVG(x) AS m
+      |  FROM (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+      |        FROM ev) u JOIN subs s ON u.vec_id = s.vec_id
+      |  GROUP BY s.cell, s.sub, pos),
+      |subc AS (
+      |  SELECT cell, sub, list(m ORDER BY pos) AS scv,
+      |    list_sum(list_transform(list(m ORDER BY pos), x -> x*x)) AS scc
+      |  FROM subc0 GROUP BY cell, sub),
+      |subocc AS (SELECT cell, sub, COUNT(*) AS socc FROM subs GROUP BY cell, sub),
+      |nsubs AS (SELECT cell, MAX(sub) + 1 AS n_subs FROM subs GROUP BY cell),
+      |cands AS (
+      |  SELECT recon.vec_id AS cid_, s.cell, s.sub, recon.r,
+      |    list_sum(list_transform(recon.r, x -> x*x)) AS rr,
+      |    ev.v AS xv, ev.vv AS xx
+      |  FROM recon JOIN subs s ON recon.vec_id = s.vec_id
+      |             JOIN ev ON recon.vec_id = ev.vec_id),
+      |q0 AS (
+      |  SELECT ev.vec_id AS qid, ev.v AS qv, ev.vv AS qq, s.cell
+      |  FROM ev JOIN subs s ON ev.vec_id = s.vec_id
+      |  WHERE ev.vec_id < 10),
+      |probed AS (
+      |  SELECT qid, qv, qq, cell, sub FROM (
+      |    SELECT q0.qid, q0.qv, q0.qq, q0.cell, subc.sub,
+      |      ROW_NUMBER() OVER (PARTITION BY q0.qid ORDER BY
+      |        ROUND(q0.qq - 2*list_sum(list_transform(list_zip(q0.qv, subc.scv),
+      |          x -> x[1]*x[2])) + subc.scc, 6) ASC, subc.sub) AS crk
+      |    FROM q0 JOIN subc ON q0.cell = subc.cell) t
+      |  WHERE crk <= 2),
+      |occp AS (
+      |  SELECT probed.qid, CAST(SUM(subocc.socc) AS BIGINT) AS occ_probed
+      |  FROM probed JOIN subocc
+      |    ON probed.cell = subocc.cell AND probed.sub = subocc.sub
+      |  GROUP BY probed.qid),
+      |scoredp AS (
+      |  SELECT p.qid, c.cid_,
+      |    p.qq - 2*list_sum(list_transform(list_zip(p.qv, c.r), x -> x[1]*x[2])) + c.rr AS adc,
+      |    p.qq - 2*list_sum(list_transform(list_zip(p.qv, c.xv), x -> x[1]*x[2])) + c.xx AS exact
+      |  FROM probed p JOIN cands c
+      |    ON p.cell = c.cell AND p.sub = c.sub AND p.qid <> c.cid_),
+      |truth AS (
+      |  SELECT qid, cid_ FROM (
+      |    SELECT q0.qid, c.cid_,
+      |      ROW_NUMBER() OVER (PARTITION BY q0.qid ORDER BY
+      |        q0.qq - 2*list_sum(list_transform(list_zip(q0.qv, c.xv),
+      |          x -> x[1]*x[2])) + c.xx ASC, c.cid_) AS true_rk
+      |    FROM q0 JOIN cands c ON q0.cell = c.cell AND q0.qid <> c.cid_) t
+      |  WHERE true_rk <= 3),
+      |ntruth AS (SELECT qid, COUNT(*) AS k FROM truth GROUP BY qid),
+      |refined AS (
+      |  SELECT r.qid, r.r_used,
+      |    CAST(SUM(CASE WHEN truth.cid_ IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_hit
+      |  FROM (
+      |    SELECT s2.qid, s2.cid_,
+      |      GREATEST($s26RFloor,
+      |        (o.occ_probed + ${s26CellDivisor - 1}) // $s26CellDivisor)
+      |        AS r_used,
+      |      ROW_NUMBER() OVER (PARTITION BY s2.qid ORDER BY s2.exact ASC,
+      |        s2.cid_) AS ref_rk
+      |    FROM (SELECT *,
+      |            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc ASC, cid_)
+      |              AS adc_rk
+      |          FROM scoredp) s2
+      |    JOIN occp o ON s2.qid = o.qid
+      |    WHERE s2.adc_rk <= GREATEST($s26RFloor,
+      |      (o.occ_probed + ${s26CellDivisor - 1}) // $s26CellDivisor)) r
+      |  LEFT JOIN truth ON r.qid = truth.qid AND r.cid_ = truth.cid_
+      |  WHERE r.ref_rk <= 3
+      |  GROUP BY r.qid, r.r_used)
+      |SELECT q0.qid, CAST(nsubs.n_subs AS BIGINT) AS n_subs, occp.occ_probed,
+      |  CAST(refined.r_used AS BIGINT) AS r_used,
+      |  ROUND(CAST(refined.n_hit AS DOUBLE) / ntruth.k, 6) AS recall
+      |FROM q0 JOIN nsubs ON q0.cell = nsubs.cell
+      |        JOIN occp ON q0.qid = occp.qid
+      |        JOIN refined ON q0.qid = refined.qid
+      |        JOIN ntruth ON q0.qid = ntruth.qid
+      |ORDER BY q0.qid""".stripMargin
+
   /** s27's dense leg — the PRODUCTION retrieval shape (round 16,
     * upgrading s25's declared exact audit leg the way s21 upgraded
     * s19): queries probe their top-2 centroid cells (broadcast k-row
@@ -2741,10 +3004,13 @@ object SimilarityQueries extends QueryPack {
     * baseline (runs on a query sample at 100 TB), shared with s25's
     * oracle shape. The BM25 list feeds BOTH fusions — persisted +
     * eagerly materialized (the s13 diamond convention). */
-  private def s27(s: SparkSession, dir: String): DataFrame = {
-    val L = 20
-    // sparse leg: t21's BM25 — identical to s25's (per-query terms =
-    // distinct first-4 words of the query doc's own text)
+  /** The shared BM25 sparse leg (t21's shape: per-query terms =
+    * distinct first-4 words of the query doc's own text, term-set
+    * pushdown, top-`L` per query) — s27 and s30 both fuse against it.
+    * Returned PERSISTED + eagerly materialized (every caller fuses it
+    * 2-3 times — the diamond convention); callers share the session
+    * cache entry within a run. */
+  private def bm25Top(s: SparkSession, dir: String, L: Int): DataFrame = {
     val d = Tables(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .withColumn("dl", size(col("w")).cast("long"))
@@ -2777,17 +3043,28 @@ object SimilarityQueries extends QueryPack {
       .withColumn("srk", row_number().over(wS)).filter(col("srk") <= L)
       .select(col("qid"), col("doc_id").as("nid"), col("srk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sparse.count() // eager: both fusions read it (diamond convention)
-    // exact dense leg (AUDIT baseline, s25's shape)
+    sparse.count() // eager: every caller fuses it 2+ times
+    sparse
+  }
+
+  /** The exact dense top-`L` (s25's declared audit baseline — the
+    * query-batch × corpus scan, ground truth for both hybrids). */
+  private def exactDenseTop(s: SparkSession, dir: String, L: Int): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"), col("v"), col("norm"))
     val q = e.filter(col("vec_id") < 10)
     val wD = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    val exactDense = q.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+    q.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"),
         round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6)
           .as("cos"))
       .withColumn("drk", row_number().over(wD)).filter(col("drk") <= L)
       .select(col("qid"), col("nid"), col("drk"))
+  }
+
+  private def s27(s: SparkSession, dir: String): DataFrame = {
+    val L = 20
+    val sparse = bm25Top(s, dir, L)
+    val exactDense = exactDenseTop(s, dir, L)
     val serving = rrfTop5(s27ServingDense(s, dir), sparse)
     val exact = rrfTop5(exactDense, sparse)
     val rec = exact.select(col("qid"), col("nid"))
@@ -2910,7 +3187,227 @@ object SimilarityQueries extends QueryPack {
       |FROM stop JOIN rec ON stop.qid = rec.qid
       |ORDER BY stop.qid, stop.rk""".stripMargin
 
+  /** s30 — ADAPTIVE hybrid serving (round 17, composing s26's
+    * occupancy-derived refine into s27's fusion): the dense leg now
+    * serves from the IVF-PQ index — ADC over the query's own cell,
+    * refine shortlist R derived from cell occupancy (s26's all-integer
+    * knob), exact re-rank → top-20 — and fuses with the shared BM25
+    * list by RRF. The PINNED R=10 dense leg runs beside it as the
+    * control, so the query reports per query the compound
+    * (retrieval × fusion) recall at BOTH knobs against the exact
+    * fusion (s27's ground truth): `recall_adaptive` vs
+    * `recall_pinned` — the A/B that shows the adaptive treatment
+    * reaching the hybrid path (Round17InvariantsSpec pins adaptive ≥
+    * pinned on the gated corpus). Scale: the serving legs never touch
+    * corpus×query (cell-bounded ADC, broadcast codebooks, term-pushdown
+    * BM25); the exact legs are the declared audit baseline. */
+  private def s30(s: SparkSession, dir: String): DataFrame = {
+    val L = 20
+    val sparse = bm25Top(s, dir, L)
+    val base = evec(s, dir)
+    val arts = PqArtifacts(s, dir)
+    val occ = arts.cells.groupBy(col("cell")).agg(count(lit(1)).as("occ"))
+    val cands = arts.recon.join(arts.cells, "vec_id").join(base, "vec_id")
+      .select(col("vec_id").as("cid_"), col("cell"), col("r"), col("rr"),
+        col("v").as("xv"), col("vv").as("xx"))
+    val qs = base.filter(col("vec_id") < 10).join(arts.cells, "vec_id")
+      .join(broadcast(occ), Seq("cell"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("vv").as("qq"), col("cell"),
+        greatest(lit(s26RFloor),
+          expr(s"(occ + ${s26CellDivisor - 1}) div $s26CellDivisor"))
+          .as("r_used"))
+    val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc"), col("cid_"))
+    val ranked = qs.join(cands, "cell").filter(col("qid") =!= col("cid_"))
+      .select(col("qid"), col("r_used"), col("cid_"),
+        (col("qq") - lit(2.0) * dot(col("qv"), col("r")) + col("rr"))
+          .as("adc"),
+        (col("qq") - lit(2.0) * dot(col("qv"), col("xv")) + col("xx"))
+          .as("exact"))
+      .withColumn("adc_rk", row_number().over(wAdc))
+      // both refine legs (adaptive + pinned control) read this frame
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ranked.count()
+    def denseList(cap: org.apache.spark.sql.Column): DataFrame = ranked
+      .filter(col("adc_rk") <= cap)
+      .withColumn("drk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("exact"), col("cid_"))))
+      .filter(col("drk") <= L)
+      .select(col("qid"), col("cid_").as("nid"), col("drk"))
+    def eager(df: DataFrame): DataFrame = {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count(); p
+    }
+    val fusedA = eager(rrfTop5(denseList(col("r_used")), sparse))
+    val fusedP = rrfTop5(denseList(lit(s26RFloor)), sparse)
+    val fusedX = eager(rrfTop5(exactDenseTop(s, dir, L), sparse))
+    def recallOf(serving: DataFrame, as: String): DataFrame = fusedX
+      .select(col("qid"), col("nid"))
+      .join(serving.select(col("qid"), col("nid"), lit(1).as("hit")),
+        Seq("qid", "nid"), "left")
+      .groupBy(col("qid"))
+      .agg(round(sum(coalesce(col("hit"), lit(0))).cast("double")
+        / count(lit(1)), 6).as(as))
+    fusedA
+      .join(recallOf(fusedA, "recall_adaptive"), Seq("qid"))
+      .join(recallOf(fusedP, "recall_pinned"), Seq("qid"))
+      .select(col("qid"), col("rk"), col("nid"), col("rrf"),
+        col("recall_adaptive"), col("recall_pinned"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  private val s30Sql = kmeansSql + ",\n" +
+    "eall AS (SELECT vec_id, v FROM e),\n" +
+    (0 until 4).map(pqSubSql).mkString(",\n") + s""",
+      |codes AS (
+      |  SELECT a20.vec_id, a20.cluster AS cl0, a21.cluster AS cl1,
+      |         a22.cluster AS cl2, a23.cluster AS cl3
+      |  FROM a20 JOIN a21 ON a20.vec_id = a21.vec_id
+      |           JOIN a22 ON a20.vec_id = a22.vec_id
+      |           JOIN a23 ON a20.vec_id = a23.vec_id),
+      |recon AS (
+      |  SELECT codes.vec_id, cb0.cv || cb1.cv || cb2.cv || cb3.cv AS r
+      |  FROM codes JOIN c10 cb0 ON codes.cl0 = cb0.cid
+      |             JOIN c11 cb1 ON codes.cl1 = cb1.cid
+      |             JOIN c12 cb2 ON codes.cl2 = cb2.cid
+      |             JOIN c13 cb3 ON codes.cl3 = cb3.cid),
+      |occ AS (SELECT cluster AS cell, COUNT(*) AS occ FROM a2 GROUP BY cluster),
+      |pcands AS (
+      |  SELECT recon.vec_id AS cid_, a2.cluster AS cell, recon.r,
+      |    list_sum(list_transform(recon.r, x -> x*x)) AS rr,
+      |    ev.v AS xv, ev.vv AS xx
+      |  FROM recon JOIN a2 ON recon.vec_id = a2.vec_id
+      |             JOIN ev ON recon.vec_id = ev.vec_id),
+      |pqs AS (
+      |  SELECT ev.vec_id AS qid, ev.v AS qv, ev.vv AS qq, a2.cluster AS cell,
+      |    GREATEST($s26RFloor, (occ.occ + ${s26CellDivisor - 1}) // $s26CellDivisor)
+      |      AS r_used
+      |  FROM ev JOIN a2 ON ev.vec_id = a2.vec_id
+      |          JOIN occ ON a2.cluster = occ.cell
+      |  WHERE ev.vec_id < 10),
+      |pranked AS (
+      |  SELECT qid, r_used, cid_, exact,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc ASC, cid_) AS adc_rk
+      |  FROM (
+      |    SELECT pqs.qid, pqs.r_used, pcands.cid_,
+      |      pqs.qq - 2*list_sum(list_transform(list_zip(pqs.qv, pcands.r), x -> x[1]*x[2])) + pcands.rr AS adc,
+      |      pqs.qq - 2*list_sum(list_transform(list_zip(pqs.qv, pcands.xv), x -> x[1]*x[2])) + pcands.xx AS exact
+      |    FROM pqs JOIN pcands ON pqs.cell = pcands.cell AND pqs.qid <> pcands.cid_) t),
+      |sdense_a AS (
+      |  SELECT qid, nid, drk FROM (
+      |    SELECT qid, cid_ AS nid,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY exact ASC, cid_) AS drk
+      |    FROM pranked WHERE adc_rk <= r_used) t
+      |  WHERE drk <= 20),
+      |sdense_p AS (
+      |  SELECT qid, nid, drk FROM (
+      |    SELECT qid, cid_ AS nid,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY exact ASC, cid_) AS drk
+      |    FROM pranked WHERE adc_rk <= $s26RFloor) t
+      |  WHERE drk <= 20),
+      |n AS (SELECT vec_id, v,
+      |      sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),
+      |xdense AS (
+      |  SELECT qid, nid, drk FROM (
+      |    SELECT a.vec_id AS qid, b.vec_id AS nid,
+      |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+      |        ROUND(list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]))
+      |              / (a.norm * b.norm), 6) DESC, b.vec_id) AS drk
+      |    FROM n a JOIN n b ON a.vec_id <> b.vec_id
+      |    WHERE a.vec_id < 10) t
+      |  WHERE drk <= 20),
+      |d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w,
+      |    CAST(len(string_split(text, ' '))  AS BIGINT) AS dl
+      |  FROM documents),
+      |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_dl FROM d),
+      |qterms AS (
+      |  SELECT doc_id AS qid, unnest(list_distinct(w[1:4])) AS term
+      |  FROM d WHERE doc_id < 10),
+      |tf AS (
+      |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+      |    SELECT doc_id, dl, unnest(w) AS term FROM d) t
+      |  WHERE term IN (SELECT DISTINCT term FROM qterms)
+      |  GROUP BY doc_id, dl, term),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |bscored AS (
+      |  SELECT q.qid, tf.doc_id, tf.term,
+      |    ((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+      |      * (tf * CAST(2.2 AS DOUBLE))
+      |      / (tf + 1.2 * (0.25 + 0.75 * (dl / (CAST(tot_dl AS DOUBLE) / n_docs))))
+      |      AS sterm
+      |  FROM qterms q
+      |  JOIN tf ON q.term = tf.term AND tf.doc_id <> q.qid
+      |  JOIN dfreq ON dfreq.term = tf.term, stats),
+      |folded AS (
+      |  SELECT qid, doc_id,
+      |    ROUND(list_reduce(list(sterm ORDER BY term),
+      |                      (acc, x) -> acc + x), 6) AS score
+      |  FROM bscored GROUP BY qid, doc_id),
+      |sparse AS (
+      |  SELECT qid, doc_id AS nid, srk FROM (
+      |    SELECT qid, doc_id,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS srk
+      |    FROM folded) t WHERE srk <= 20),
+      |fus_a AS (
+      |  SELECT COALESCE(sd.qid, sp.qid) AS qid,
+      |    COALESCE(sd.nid, sp.nid) AS nid,
+      |    ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + drk), 0)
+      |        + COALESCE(CAST(1 AS DOUBLE) / (60 + srk), 0), 6) AS rrf
+      |  FROM sdense_a sd FULL OUTER JOIN sparse sp
+      |    ON sd.qid = sp.qid AND sd.nid = sp.nid),
+      |stop_a AS (
+      |  SELECT qid, CAST(rk AS BIGINT) AS rk, nid, rrf FROM (
+      |    SELECT qid, nid, rrf,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, nid) AS rk
+      |    FROM fus_a) t WHERE rk <= 5),
+      |fus_p AS (
+      |  SELECT COALESCE(sd.qid, sp.qid) AS qid,
+      |    COALESCE(sd.nid, sp.nid) AS nid,
+      |    ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + drk), 0)
+      |        + COALESCE(CAST(1 AS DOUBLE) / (60 + srk), 0), 6) AS rrf
+      |  FROM sdense_p sd FULL OUTER JOIN sparse sp
+      |    ON sd.qid = sp.qid AND sd.nid = sp.nid),
+      |stop_p AS (
+      |  SELECT qid, nid FROM (
+      |    SELECT qid, nid,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, nid) AS rk
+      |    FROM fus_p) t WHERE rk <= 5),
+      |xfused AS (
+      |  SELECT COALESCE(xd.qid, sp.qid) AS qid,
+      |    COALESCE(xd.nid, sp.nid) AS nid,
+      |    ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + drk), 0)
+      |        + COALESCE(CAST(1 AS DOUBLE) / (60 + srk), 0), 6) AS rrf
+      |  FROM xdense xd FULL OUTER JOIN sparse sp
+      |    ON xd.qid = sp.qid AND xd.nid = sp.nid),
+      |xtop AS (
+      |  SELECT qid, nid FROM (
+      |    SELECT qid, nid,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, nid) AS rk
+      |    FROM xfused) t WHERE rk <= 5),
+      |rec_a AS (
+      |  SELECT x.qid,
+      |    ROUND(SUM(CASE WHEN s.nid IS NOT NULL THEN 1 ELSE 0 END)
+      |          / CAST(COUNT(*) AS DOUBLE), 6) AS recall_adaptive
+      |  FROM xtop x LEFT JOIN (SELECT qid, nid FROM stop_a) s
+      |    ON x.qid = s.qid AND x.nid = s.nid
+      |  GROUP BY x.qid),
+      |rec_p AS (
+      |  SELECT x.qid,
+      |    ROUND(SUM(CASE WHEN s.nid IS NOT NULL THEN 1 ELSE 0 END)
+      |          / CAST(COUNT(*) AS DOUBLE), 6) AS recall_pinned
+      |  FROM xtop x LEFT JOIN stop_p s
+      |    ON x.qid = s.qid AND x.nid = s.nid
+      |  GROUP BY x.qid)
+      |SELECT stop_a.qid, stop_a.rk, stop_a.nid, stop_a.rrf,
+      |  rec_a.recall_adaptive, rec_p.recall_pinned
+      |FROM stop_a JOIN rec_a ON stop_a.qid = rec_a.qid
+      |            JOIN rec_p ON stop_a.qid = rec_p.qid
+      |ORDER BY stop_a.qid, stop_a.rk""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s30_hybrid_adaptive" -> s30,
+    "s29_cell_resplit" -> s29,
     "s28_forget_quantizer" -> s28,
     "s27_hybrid_serving" -> s27,
     "s26_adaptive_refine" -> s26,
@@ -2942,6 +3439,8 @@ object SimilarityQueries extends QueryPack {
     "d8_semdedup"  -> d8)
 
   override def oracle: Map[String, String] = Map(
+    "s30_hybrid_adaptive" -> s30Sql,
+    "s29_cell_resplit" -> s29Sql,
     "s28_forget_quantizer" -> s28Sql,
     "s27_hybrid_serving" -> s27Sql,
     "s26_adaptive_refine" -> s26Sql,
