@@ -589,6 +589,8 @@ object BuildQueries extends QueryPack {
     FoldArtifacts.release(s, dir)
     ForgetArtifacts.release(s, dir)
     ScrubArtifacts.release(s, dir)
+    lmForgetReg.release(s, dir)
+    keptForgetReg.release(s, dir)
   }
 
   /** b5's keyed forget batch: doc_id ≡ 5 (mod 11) — decorrelated from
@@ -835,14 +837,64 @@ object BuildQueries extends QueryPack {
 
   /** The post-forget bigram-LM view (b6's aggregate-artifact leg):
     * [[graft.etl.Forget.retractBigramLm]] over the CACHED TextArtifacts
-    * frames — count-delta retraction plus the context-pruned rescore;
-    * exposed for ForgetSpec's no-forgotten-doc attach gate. */
+    * frames — count-delta retraction plus the context-pruned rescore.
+    * Retraction-once per (session, dir), like every post-forget
+    * artifact: a forget batch is processed once and every consumer
+    * reads the retracted view (ArtifactRegistry lifecycle); exposed
+    * for ForgetSpec's no-forgotten-doc attach gate. */
+  private val lmForgetReg = new graft.ArtifactRegistry[DataFrame](f => Seq(f))
+
   private[graft] def lmPostForget(s: SparkSession, dir: String): DataFrame =
-    graft.etl.Forget.retractBigramLm(
-      TextArtifacts.bigrams(s, dir),
-      TextArtifacts.bigramCounts(s, dir),
-      TextArtifacts.lmDoc(s, dir),
-      forgetBatch(s, dir))
+    lmForgetReg(s, dir) { (s2, d) =>
+      val p = graft.etl.Forget.retractBigramLm(
+        TextArtifacts.bigrams(s2, d),
+        TextArtifacts.bigramCounts(s2, d),
+        TextArtifacts.lmDoc(s2, d),
+        forgetBatch(s2, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try { p.count(); p }
+      catch { case t: Throwable => p.unpersist(blocking = false); throw t }
+    }
+
+  /** b7's post-forget KEPT set (retracted rates/labels + survivor-min
+    * keeper), retraction-once per (session, dir) — the repack and any
+    * future consumer read one materialization instead of re-running
+    * the label retraction's CC per call. */
+  private val keptForgetReg = new graft.ArtifactRegistry[DataFrame](f => Seq(f))
+
+  private def keptPostForget(s: SparkSession, dir: String): DataFrame =
+    keptForgetReg(s, dir) { (s2, d) =>
+      val forget = forgetBatch(s2, d)
+      val toksPost = TextArtifacts.toks(s2, d)
+        .filter(!isForgotten(col("doc_id")))
+        .select(col("doc_id"), col("source"), col("n_words"))
+      val rates = mixtureRatesFromMass(toksPost
+        .groupBy(col("source")).agg(sum(col("n_words")).as("n_tokens")))
+      val train = toksPost.filter(col("doc_id") % 10 =!= 7)
+        .join(broadcast(rates), Seq("source"))
+        .withColumn("sampled", uniformU < col("sample_rate"))
+      val bad = TextQueries.decontamDropIds(s2, d)
+        .withColumn("contaminated", lit(true))
+      val pairsSurv = DedupQueries.d3PairsArtifact(s2, d)
+        .filter(!isForgotten(col("d1")) && !isForgotten(col("d2")))
+        .select(col("d1"), col("d2"))
+      val clusters = graft.etl.Forget.retractLabels(
+        DedupQueries.dupClusters(s2, d), pairsSurv, forget)
+      val flags = train
+        .join(bad, Seq("doc_id"), "left")
+        .join(clusters, Seq("doc_id"))
+        .withColumn("clean", col("sampled") && col("contaminated").isNull)
+      val keeper = min(when(col("clean"), col("doc_id")))
+        .over(Window.partitionBy(col("cluster")))
+      val p = flags
+        .withColumn("kept", col("clean") && col("doc_id") === keeper)
+        .filter(col("kept"))
+        .select(col("doc_id"), col("source"), col("n_words"))
+        .withColumn("h", md5(col("doc_id").cast("string")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try { p.count(); p }
+      catch { case t: Throwable => p.unpersist(blocking = false); throw t }
+    }
 
   /** b6 — the forget cascade's DERIVATIVE audit (round 17, completing
     * b5 beyond the index/label tables): one row per non-bench doc with
@@ -925,38 +977,9 @@ object BuildQueries extends QueryPack {
     * composed retraction ≡ rebuild-without-keys per source row. */
   private def b7(s: SparkSession, dir: String): DataFrame = {
     val B = 512
-    val forget = forgetBatch(s, dir)
-    val toksPost = TextArtifacts.toks(s, dir)
-      .filter(!isForgotten(col("doc_id")))
-      .select(col("doc_id"), col("source"), col("n_words"))
-    val rates = mixtureRatesFromMass(toksPost
-      .groupBy(col("source")).agg(sum(col("n_words")).as("n_tokens")))
-    val train = toksPost.filter(col("doc_id") % 10 =!= 7)
-      .join(broadcast(rates), Seq("source"))
-      .withColumn("sampled", uniformU < col("sample_rate"))
-    val bad = TextQueries.decontamDropIds(s, dir)
-      .withColumn("contaminated", lit(true))
-    val pairsSurv = DedupQueries.d3PairsArtifact(s, dir)
-      .filter(!isForgotten(col("d1")) && !isForgotten(col("d2")))
-      .select(col("d1"), col("d2"))
-    val clusters = graft.etl.Forget.retractLabels(
-      DedupQueries.dupClusters(s, dir), pairsSurv, forget)
-    val flags = train
-      .join(bad, Seq("doc_id"), "left")
-      .join(clusters, Seq("doc_id"))
-      .withColumn("clean", col("sampled") && col("contaminated").isNull)
-    val keeper = min(when(col("clean"), col("doc_id")))
-      .over(Window.partitionBy(col("cluster")))
-    val kept = flags
-      .withColumn("kept", col("clean") && col("doc_id") === keeper)
-      .filter(col("kept"))
-      .select(col("doc_id"), col("source"), col("n_words"))
-      .withColumn("h", md5(col("doc_id").cast("string")))
-      // the packing prefix-sum reads its input twice (per-bucket
-      // counts + the windowed rows); the retraction cascade above is
-      // heavy, so cut the diamond here (kept-docs-scale frame)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    kept.count()
+    // the retraction-once kept' artifact (also the diamond cut — the
+    // packing prefix-sum reads its input twice)
+    val kept = keptPostForget(s, dir)
     graft.operators.OffsetWindow
       .prefixSum(kept, Seq("source"),
         bucket = substring(col("h"), 1, 2),

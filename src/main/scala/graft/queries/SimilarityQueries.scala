@@ -769,6 +769,7 @@ object SimilarityQueries extends QueryPack {
     BruteCandArtifacts.release(s, dir)
     CentroidArtifacts.release(s, dir)
     BaseCentroidArtifacts.release(s, dir)
+    SplitArtifacts.release(s, dir)
     graft.etl.DurableArtifacts.drop(s, forgetCentsTableName(dir))
     graft.etl.DurableArtifacts.drop(s, splitCentsTableName(dir))
   }
@@ -2720,6 +2721,25 @@ object SimilarityQueries extends QueryPack {
     * oracle rebuilds split, centroids, routing and recall from the raw
     * embeddings, so resplit ≡ rebuild is hash-gated.
     *
+    * MEASURED TRADE (SCALING.md round 17 — read before picking this
+    * knob): the cost bound is real (occ_probed ≤ 2×target by
+    * construction, r_used pinned at the floor at every SF) but on
+    * this corpus full-cell recall does NOT survive constant-size
+    * probing at scale — the in-cell true top-3 sit at cosine ≈ 0.5
+    * (measured), i.e. they are NOT projection-localized, so the two
+    * probed slices hold ~2/n_subs of them and recall decays with the
+    * split count (1.0-ish at 1× where 2 subcells ARE the cell → 0 at
+    * 30×). This is information, not implementation: any constant-work
+    * probe of an unstructured cell misses moderately-correlated
+    * neighbors; slices DO localize near-duplicate-grade neighbors
+    * (cos ≈ 1 ⇒ same projection range). Serving guidance: s29 bounds
+    * cost for throughput-critical tiers; recall-critical tiers keep
+    * s26's occupancy-derived R (linear cost, held recall) or fuse
+    * (s30's hybrid holds compound recall with the dense leg adaptive);
+    * the open lever for flat-cost + flat-recall is quantizer PRECISION
+    * scaling with corpus size (codebook bits ∝ log n), the named
+    * next-round item.
+    *
     * Scale: the per-cell rank rides [[graft.operators.OffsetWindow
     * .prefixSum]]'s bucketed shape (projection-bucket windows +
     * broadcast offsets — never one reducer per cell); the centroid
@@ -2728,51 +2748,83 @@ object SimilarityQueries extends QueryPack {
     * 2×target-occupancy rows per query BY CONSTRUCTION. The full-cell
     * truth leg is the declared audit baseline (sampled queries at
     * 100 TB), not the serving path. */
-  private def s29(s: SparkSession, dir: String): DataFrame = {
-    val arts = PqArtifacts(s, dir)
-    val base = evec(s, dir)
-    val occ = arts.cells.groupBy(col("cell")).agg(count(lit(1)).as("occ"))
-    val proj = base.join(arts.cells, "vec_id")
-      .withColumn("proj", round(dot(col("v"), typedLit(splitAxis)), 6))
-      .select(col("vec_id"), col("cell"), col("proj"))
-    // global rank within cell WITHOUT a per-cell window funnel: the
-    // bucketed prefix-sum (bucket = coarse projection range, monotone
-    // in proj) + in-bucket local rank — b3's packing shape
-    val ranked0 = graft.operators.OffsetWindow.prefixSum(
-      proj, Seq("cell"),
-      bucket = floor(col("proj") * 16).cast("long"),
-      order = Seq(col("proj"), col("vec_id")),
-      weight = lit(1L), out = "rk")
-    val subs = ranked0.join(broadcast(occ), "cell")
-      .withColumn("nsplit",
-        expr(s"(occ + ${s29TargetOcc - 1}) div $s29TargetOcc"))
-      .withColumn("sub", expr("((rk - 1) * nsplit) div occ"))
-      .select(col("vec_id"), col("cell"), col("sub"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    subs.count() // four consumers: centroids, occupancy, query, cands
-    val subCents = subs.join(base, "vec_id")
-      .select(col("cell"), col("sub"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("cell"), col("sub"), col("pos")).agg(avg(col("x")).as("m"))
-      .groupBy(col("cell"), col("sub"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
-        .as("scv"))
-      .withColumn("scc", dot(col("scv"), col("scv")))
-    graft.etl.DurableArtifacts.bucketedTable(
-      s, splitCentsTableName(dir), 1, Seq("cell"), Seq("cell", "sub")) {
-      subCents
+  /** s29's TRAIN-ONCE split artifacts (the PqArtifacts lifecycle): the
+    * subcell assignment and the ADC candidate frame are index
+    * artifacts — built once per (session, corpus), read by every
+    * serving call; the durable subcell quantizer is build-or-attach
+    * through [[graft.etl.DurableArtifacts]]. */
+  private object SplitArtifacts {
+    final case class Art(subs: DataFrame, cands: DataFrame)
+    private val reg = new graft.ArtifactRegistry[Art](a =>
+      Seq(a.subs, a.cands))
+
+    def apply(s: SparkSession, dir: String): Art = reg(s, dir) { (s2, d) =>
+      val tracked = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      def persistEager(df: DataFrame): DataFrame = {
+        val p = df.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        tracked += p
+        p.count()
+        p
+      }
+      try {
+        val arts = PqArtifacts(s2, d)
+        val base = evec(s2, d)
+        val occ = arts.cells.groupBy(col("cell")).agg(count(lit(1)).as("occ"))
+        val proj = base.join(arts.cells, "vec_id")
+          .withColumn("proj", round(dot(col("v"), typedLit(splitAxis)), 6))
+          .select(col("vec_id"), col("cell"), col("proj"))
+        // global rank within cell WITHOUT a per-cell window funnel:
+        // the bucketed prefix-sum (bucket = coarse projection range,
+        // monotone in proj) + in-bucket local rank — b3's shape
+        val ranked0 = graft.operators.OffsetWindow.prefixSum(
+          proj, Seq("cell"),
+          bucket = floor(col("proj") * 16).cast("long"),
+          order = Seq(col("proj"), col("vec_id")),
+          weight = lit(1L), out = "rk")
+        val subs = persistEager(ranked0.join(broadcast(occ), "cell")
+          .withColumn("nsplit",
+            expr(s"(occ + ${s29TargetOcc - 1}) div $s29TargetOcc"))
+          .withColumn("sub", expr("((rk - 1) * nsplit) div occ"))
+          .select(col("vec_id"), col("cell"), col("sub")))
+        val subCents = subs.join(base, "vec_id")
+          .select(col("cell"), col("sub"),
+            posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("cell"), col("sub"), col("pos"))
+          .agg(avg(col("x")).as("m"))
+          .groupBy(col("cell"), col("sub"))
+          .agg(expr(
+            "transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+            .as("scv"))
+          .withColumn("scc", dot(col("scv"), col("scv")))
+        graft.etl.DurableArtifacts.bucketedTable(
+          s2, splitCentsTableName(d), 1, Seq("cell"), Seq("cell", "sub")) {
+          subCents
+        }
+        // probed scoring + full-cell truth both read the candidates
+        // (the diamond rule; row width matches the cached recon)
+        val cands = persistEager(
+          arts.recon.join(subs, "vec_id").join(base, "vec_id")
+            .select(col("vec_id").as("cid_"), col("cell"), col("sub"),
+              col("r"), col("rr"), col("v").as("xv"), col("vv").as("xx")))
+        Art(subs, cands)
+      } catch { case t: Throwable =>
+        tracked.foreach(_.unpersist(blocking = false)); throw t }
     }
+
+    def release(s: SparkSession, dir: String): Unit = reg.release(s, dir)
+  }
+
+  private def s29(s: SparkSession, dir: String): DataFrame = {
+    val base = evec(s, dir)
+    val split = SplitArtifacts(s, dir)
+    val subs = split.subs
+    val cands = split.cands
     val pub = s.table(splitCentsTableName(dir))
     val subocc = subs.groupBy(col("cell"), col("sub"))
       .agg(count(lit(1)).as("socc"))
     val nsubs = subs.groupBy(col("cell"))
       .agg((max(col("sub")) + 1L).as("n_subs"))
-    // the probed scoring and the full-cell truth both read this frame
-    // (the diamond rule; row width matches the already-cached recon)
-    val cands = arts.recon.join(subs, "vec_id").join(base, "vec_id")
-      .select(col("vec_id").as("cid_"), col("cell"), col("sub"),
-        col("r"), col("rr"), col("v").as("xv"), col("vv").as("xx"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cands.count()
     val q0 = base.filter(col("vec_id") < 10)
       .join(subs.select(col("vec_id"), col("cell")), "vec_id")
       .select(col("vec_id").as("qid"), col("v").as("qv"),
