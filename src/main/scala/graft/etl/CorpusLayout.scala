@@ -168,8 +168,11 @@ object CorpusLayout {
       // any crash after it rolls forward (remaining renames finish).
       // fencing (round 17): a holder that outlived its TTL must not
       // start THIS leaf's swap — the new lease holder may be mid-run
-      // on the same tree. Checked before each leaf's rename batches;
-      // an abort mid-tree leaves states recovery already converges.
+      // on the same tree. Checked ONCE per leaf, strictly BEFORE the
+      // leaf's marker: pre-marker aborts roll BACK (originals restored
+      // by recovery); past the marker the swap is committed and must
+      // finish — a post-marker abort would only manufacture the
+      // committed-but-unapplied state for no isolation gain.
       fence.foreach(_.check())
       val orig = new org.apache.hadoop.fs.Path(stagedDir, ".orig")
       require(fs.mkdirs(orig), s"mkdirs failed: $orig")
@@ -187,7 +190,6 @@ object CorpusLayout {
       // ordered ahead of every roll-forward effect it licenses.
       val out = fs.create(marker, false)
       try out.hsync() finally out.close()
-      fence.foreach(_.check())
       staged.foreach(f => renameOrThrow(fs, f.getPath,
         new org.apache.hadoop.fs.Path(d, f.getPath.getName)))
       fs.delete(stagedDir, true)
@@ -235,6 +237,18 @@ object CorpusLayout {
     val targets = all
       .filter(d => hitRels.contains(relLeaf(fs, root, d)))
       .map(d => d -> fs.listStatus(d).count(isData))
+    // a hit partition whose VALUE doesn't round-trip its directory
+    // encoding (URI-escaped chars, type-inference re-formatting,
+    // __HIVE_DEFAULT_PARTITION__) would silently never rewrite — in a
+    // compliance deletion that is a silent NON-deletion, so it must
+    // fail loudly, not land in `skipped`
+    if (targets.size != hitRels.size) {
+      val matched = targets.map(t => relLeaf(fs, root, t._1)).toSet
+      throw new java.io.IOException(
+        "scrubPartitioned: partitions holding forgotten keys have no " +
+          s"matching leaf directory (value/dir-name round-trip failed): " +
+          (hitRels -- matched).mkString(", "))
+    }
     if (targets.isEmpty)
       return CompactionReport(Nil, all.size)
     val kept = s.read.option("basePath", path)

@@ -105,8 +105,13 @@ object Forget {
       forget: DataFrame): DataFrame = {
     val f = forget.select(col("doc_id"))
     val biF = bi.join(broadcast(f), Seq("doc_id"), "left_semi")
+    // the count deltas feed BOTH the model subtraction and the
+    // changed-context set — persist (vocabulary-delta-sized) or the
+    // forgotten docs' bigram explode runs once per consumer
     val dCab = biF.groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("__dcab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    dCab.count()
     // retracted model: exact integer subtraction off the cached table;
     // keys whose count hits zero leave the model entirely
     val cabPost = cab.join(dCab, Seq("a", "b"), "left")
@@ -114,12 +119,20 @@ object Forget {
         (col("cab") - coalesce(col("__dcab"), lit(0L))).as("cab"))
       .filter(col("cab") > 0)
     val caPost = graft.queries.TextArtifacts.contextCounts(cabPost)
-    // changed context words: every changed (a,b) or a key starts here
+    // changed context words: every changed (a,b) or a key starts here.
+    // Joined UNHINTED (like the affected-id joins below): for a small
+    // forget batch the planner broadcasts; for a batch whose context
+    // vocabulary is itself huge it must be free to shuffle — a forced
+    // broadcast of an unbounded set is the never-broadcast-an-index
+    // rule violated
     val changedA = dCab.select(col("a")).distinct()
     val biSurv = bi.join(broadcast(f), Seq("doc_id"), "left_anti")
+    // read twice (rescore leg + verbatim-carry anti-join): id-scale
     val affected = biSurv
-      .join(broadcast(changedA), Seq("a"), "left_semi")
+      .join(changedA, Seq("a"), "left_semi")
       .select(col("doc_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    affected.count()
     val rescored = graft.queries.TextArtifacts.lmScore(
       biSurv.join(affected, Seq("doc_id"), "left_semi"), cabPost, caPost)
     lmPre
@@ -167,14 +180,18 @@ object Forget {
     val isF = (d: DataFrame, how: String) =>
       d.join(broadcast(f), col(idCol) === col("__fid"), how)
     val surv = isF(docs, "left_anti")
-    // candidate grams: only grams the forgotten docs held can change df
+    // candidate grams: only grams the forgotten docs held can change
+    // df. Joined UNHINTED: gF scales with the forget batch's token
+    // mass, not metadata — the planner broadcasts small batches and
+    // shuffles huge ones (forcing broadcast here is the
+    // never-broadcast-an-index rule violated)
     val gF = gramsOf(isF(docs, "left_semi").drop("__fid"))
       .select(col("__g")).distinct()
     // df audit for candidates (one narrow filtered pass): pre vs post.
     // Persisted: the uncapped audit and the touched-pair leg both read
     // it — uncached, each would re-run the corpus gram pass (the
     // unfused-diamond rule; candidate-gram-bounded rows)
-    val pgG = gramsOf(docs).join(broadcast(gF), Seq("__g"), "left_semi")
+    val pgG = gramsOf(docs).join(gF, Seq("__g"), "left_semi")
       .join(broadcast(f), col("__id") === col("__fid"), "left")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pgG.count()
@@ -202,9 +219,11 @@ object Forget {
     // the touched docs' gram set prices the whole cap audit.
     val pgD = gramsOf(surv.join(touchedDocs,
       col(idCol) === touchedDocs("__id"), "left_semi"))
+    // gD scales with the touched docs' token mass — unhinted join
+    // (hotPost below IS provably bounded: ≤ |corpus grams|/maxDf)
     val gD = pgD.select(col("__g")).distinct()
     val hotPost = gramsOf(surv)
-      .join(broadcast(gD), Seq("__g"), "left_semi")
+      .join(gD, Seq("__g"), "left_semi")
       .groupBy(col("__g")).agg(countDistinct(col("__id")).as("__dfp"))
       .filter(col("__dfp") > maxDf).select(col("__g"))
     val cappedD = pgD.join(broadcast(hotPost), Seq("__g"), "left_anti")
@@ -224,6 +243,24 @@ object Forget {
       .join(broadcast(f), col("d1") === col("__fid"), "left_anti")
       .join(broadcast(f), col("d2") === col("__fid"), "left_anti")
       .join(broadcast(touched), Seq("d1", "d2"), "left_anti")
-    carried.unionByName(recomputed)
+    // materialize the (span-rows-sized) result, then RELEASE the
+    // retraction's working caches — pgG is corpus-gram-scale and must
+    // not outlive the call. The returned frame is persisted; the
+    // caller owns its lifecycle (d21 memoizes it per corpus through
+    // the ArtifactRegistry and releases with the d-family artifacts).
+    val out = carried.unionByName(recomputed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try out.count()
+    catch { case t: Throwable =>
+      out.unpersist(blocking = false)
+      pgG.unpersist(blocking = false)
+      touched.unpersist(blocking = false)
+      cappedD.unpersist(blocking = false)
+      throw t
+    }
+    pgG.unpersist(blocking = false)
+    touched.unpersist(blocking = false)
+    cappedD.unpersist(blocking = false)
+    out
   }
 }

@@ -133,13 +133,19 @@ object Maintenance {
     // persistence must be ordered ahead of it (local FS: explicit
     // per-file fsync; HDFS: close() already pipelines to datanodes)
     CorpusLayout.syncStagedTree(fs, staging)
+    // the ONE fencing point, strictly BEFORE the marker: the hsync'd
+    // marker is the commit — after it the swap MUST roll forward (the
+    // recovery contract), so a post-marker abort would only manufacture
+    // committed-but-unapplied states (and an abort between the two
+    // renames leaves ¬P, which a concurrent writer could re-create
+    // into the unrecoverable S∧M∧P∧O). A TTL-expired holder therefore
+    // aborts while roll-BACK is still the recovery outcome; past the
+    // marker it finishes the two renames it already committed to.
     fence.foreach(_.check())
     val marker = new HPath(staging, "_COMMIT")
     val out = fs.create(marker, false)
     try out.hsync() finally out.close()
-    fence.foreach(_.check())
     renameOrThrow(fs, p, orig)
-    fence.foreach(_.check())
     renameOrThrow(fs, staging, p)
     fs.delete(new HPath(p, "_COMMIT"), false)
     fs.delete(orig, true)

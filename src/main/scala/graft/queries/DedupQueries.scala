@@ -138,6 +138,7 @@ object DedupQueries extends QueryPack {
     DocArtifacts.release(s, dir)
     SimArtifacts.release(s, dir)
     SpanArtifacts.release(s, dir)
+    spanForgetReg.release(s, dir)
   }
 
   /** TRAIN-ONCE near-dup CLUSTER LABELS `(doc_id, cluster)` — the
@@ -1014,17 +1015,24 @@ object DedupQueries extends QueryPack {
     * every span participant, which would gate only the carry leg —
     * the wider batch provably deletes live span rows at sf0.01, so
     * the oracle exercises retract-and-carry, not just carry. */
+  /** d21's retraction result, once per (session, corpus) — the
+    * retractSpans contract returns a persisted frame whose lifecycle
+    * the caller owns; the registry is that owner (released with the
+    * rest of the d-family artifacts). */
+  private val spanForgetReg = new graft.ArtifactRegistry[DataFrame](f => Seq(f))
+
   private def d21(s: SparkSession, dir: String): DataFrame =
-    graft.etl.Forget.retractSpans(
-      TextArtifacts.toks(s, dir).filter(col("n_words") >= 8),
-      "doc_id", "w",
-      SpanArtifacts(s, dir),
-      docs(s, dir).filter(
-        (graft.queries.BuildQueries.isForgotten(col("doc_id")) ||
-          (col("doc_id") % 13 === 1 && col("doc_id") % 10 =!= 7)))
-        .select(col("doc_id")),
-      n = 8, maxDf = d9MaxDf, minSpanWords = d9MinSpan)
-      .orderBy(col("d1"), col("d2"), col("start1"), col("start2"))
+    spanForgetReg(s, dir) { (s2, d) =>
+      graft.etl.Forget.retractSpans(
+        TextArtifacts.toks(s2, d).filter(col("n_words") >= 8),
+        "doc_id", "w",
+        SpanArtifacts(s2, d),
+        docs(s2, d).filter(
+          (graft.queries.BuildQueries.isForgotten(col("doc_id")) ||
+            (col("doc_id") % 13 === 1 && col("doc_id") % 10 =!= 7)))
+          .select(col("doc_id")),
+        n = 8, maxDf = d9MaxDf, minSpanWords = d9MinSpan)
+    }.orderBy(col("d1"), col("d2"), col("start1"), col("start2"))
 
   private val d21Sql =
     s"""${spansSqlPrefixFor(

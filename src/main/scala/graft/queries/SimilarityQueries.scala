@@ -770,6 +770,7 @@ object SimilarityQueries extends QueryPack {
     CentroidArtifacts.release(s, dir)
     BaseCentroidArtifacts.release(s, dir)
     SplitArtifacts.release(s, dir)
+    bm25Reg.release(s, dir)
     graft.etl.DurableArtifacts.drop(s, forgetCentsTableName(dir))
     graft.etl.DurableArtifacts.drop(s, splitCentsTableName(dir))
   }
@@ -2339,6 +2340,45 @@ object SimilarityQueries extends QueryPack {
     * audit shape (query-batch × corpus, 10 queries); a production
     * deployment swaps in s11's IVF-PQ list — RRF consumes any ranked
     * list, which is the point of fusing ranks. */
+  /** Shared BM25-sparse oracle CTE block (`d` ... `sparse`) — the
+    * SQL twin of [[bm25Top]], spliced into every fusion oracle (s25,
+    * s27, s30) so a BM25 tweak can never desynchronize them (the
+    * spansSqlPrefixFor / kmeansSql shared-fragment convention). */
+  private val bm25SparseSqlCtes =
+    """d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w,
+      |    CAST(len(string_split(text, ' '))  AS BIGINT) AS dl
+      |  FROM documents),
+      |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_dl FROM d),
+      |qterms AS (
+      |  SELECT doc_id AS qid, unnest(list_distinct(w[1:4])) AS term
+      |  FROM d WHERE doc_id < 10),
+      |tf AS (
+      |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+      |    SELECT doc_id, dl, unnest(w) AS term FROM d) t
+      |  WHERE term IN (SELECT DISTINCT term FROM qterms)
+      |  GROUP BY doc_id, dl, term),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |bscored AS (
+      |  SELECT q.qid, tf.doc_id, tf.term,
+      |    ((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+      |      * (tf * CAST(2.2 AS DOUBLE))
+      |      / (tf + 1.2 * (0.25 + 0.75 * (dl / (CAST(tot_dl AS DOUBLE) / n_docs))))
+      |      AS sterm
+      |  FROM qterms q
+      |  JOIN tf ON q.term = tf.term AND tf.doc_id <> q.qid
+      |  JOIN dfreq ON dfreq.term = tf.term, stats),
+      |folded AS (
+      |  SELECT qid, doc_id,
+      |    ROUND(list_reduce(list(sterm ORDER BY term),
+      |                      (acc, x) -> acc + x), 6) AS score
+      |  FROM bscored GROUP BY qid, doc_id),
+      |sparse AS (
+      |  SELECT qid, doc_id AS nid, srk FROM (
+      |    SELECT qid, doc_id,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS srk
+      |    FROM folded) t WHERE srk <= 20)""".stripMargin
+
   private def s25(s: SparkSession, dir: String): DataFrame = {
     val L = 20
     // dense leg: s1's exact cosine, capped at L per query
@@ -2410,39 +2450,7 @@ object SimilarityQueries extends QueryPack {
       |    SELECT qid, nid,
       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS drk
       |    FROM dense0) t WHERE drk <= 20),
-      |d AS (
-      |  SELECT doc_id, string_split(text, ' ') AS w,
-      |    CAST(len(string_split(text, ' '))  AS BIGINT) AS dl
-      |  FROM documents),
-      |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_dl FROM d),
-      |qterms AS (
-      |  SELECT doc_id AS qid, unnest(list_distinct(w[1:4])) AS term
-      |  FROM d WHERE doc_id < 10),
-      |tf AS (
-      |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
-      |    SELECT doc_id, dl, unnest(w) AS term FROM d) t
-      |  WHERE term IN (SELECT DISTINCT term FROM qterms)
-      |  GROUP BY doc_id, dl, term),
-      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-      |scored AS (
-      |  SELECT q.qid, tf.doc_id, tf.term,
-      |    ((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
-      |      * (tf * CAST(2.2 AS DOUBLE))
-      |      / (tf + 1.2 * (0.25 + 0.75 * (dl / (CAST(tot_dl AS DOUBLE) / n_docs))))
-      |      AS sterm
-      |  FROM qterms q
-      |  JOIN tf ON q.term = tf.term AND tf.doc_id <> q.qid
-      |  JOIN dfreq ON dfreq.term = tf.term, stats),
-      |folded AS (
-      |  SELECT qid, doc_id,
-      |    ROUND(list_reduce(list(sterm ORDER BY term),
-      |                      (acc, x) -> acc + x), 6) AS score
-      |  FROM scored GROUP BY qid, doc_id),
-      |sparse AS (
-      |  SELECT qid, doc_id AS nid, srk FROM (
-      |    SELECT qid, doc_id,
-      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS srk
-      |    FROM folded) t WHERE srk <= 20),
+      |""".stripMargin + "\n" + bm25SparseSqlCtes + ",\n" + """
       |fused AS (
       |  SELECT COALESCE(dense.qid, sparse.qid) AS qid,
       |    COALESCE(dense.nid, sparse.nid) AS nid,
@@ -3058,11 +3066,19 @@ object SimilarityQueries extends QueryPack {
     * eagerly materialized (the s13 diamond convention). */
   /** The shared BM25 sparse leg (t21's shape: per-query terms =
     * distinct first-4 words of the query doc's own text, term-set
-    * pushdown, top-`L` per query) — s27 and s30 both fuse against it.
-    * Returned PERSISTED + eagerly materialized (every caller fuses it
-    * 2-3 times — the diamond convention); callers share the session
-    * cache entry within a run. */
+    * pushdown, top-20 per query) — s27 and s30 both fuse against it.
+    * Built ONCE per (session, corpus) via the ArtifactRegistry
+    * (persisted + eagerly materialized — every caller fuses it 2-3
+    * times, and per-call persists would leak an entry per run). */
+  private val bm25Reg = new graft.ArtifactRegistry[DataFrame](f => Seq(f))
+
   private def bm25Top(s: SparkSession, dir: String, L: Int): DataFrame = {
+    require(L == 20, "the shared BM25 artifact is built at L = 20")
+    bm25Reg(s, dir)(bm25TopBuild)
+  }
+
+  private def bm25TopBuild(s: SparkSession, dir: String): DataFrame = {
+    val L = 20
     val d = Tables(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .withColumn("dl", size(col("w")).cast("long"))
@@ -3095,8 +3111,10 @@ object SimilarityQueries extends QueryPack {
       .withColumn("srk", row_number().over(wS)).filter(col("srk") <= L)
       .select(col("qid"), col("doc_id").as("nid"), col("srk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sparse.count() // eager: every caller fuses it 2+ times
-    sparse
+    // eager under the registry's failure contract
+    try { sparse.count(); sparse }
+    catch { case t: Throwable =>
+      sparse.unpersist(blocking = false); throw t }
   }
 
   /** The exact dense top-`L` (s25's declared audit baseline — the
@@ -3171,39 +3189,7 @@ object SimilarityQueries extends QueryPack {
       |    FROM n a JOIN n b ON a.vec_id <> b.vec_id
       |    WHERE a.vec_id < 10) t
       |  WHERE drk <= 20),
-      |d AS (
-      |  SELECT doc_id, string_split(text, ' ') AS w,
-      |    CAST(len(string_split(text, ' '))  AS BIGINT) AS dl
-      |  FROM documents),
-      |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_dl FROM d),
-      |qterms AS (
-      |  SELECT doc_id AS qid, unnest(list_distinct(w[1:4])) AS term
-      |  FROM d WHERE doc_id < 10),
-      |tf AS (
-      |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
-      |    SELECT doc_id, dl, unnest(w) AS term FROM d) t
-      |  WHERE term IN (SELECT DISTINCT term FROM qterms)
-      |  GROUP BY doc_id, dl, term),
-      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-      |scored AS (
-      |  SELECT q.qid, tf.doc_id, tf.term,
-      |    ((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
-      |      * (tf * CAST(2.2 AS DOUBLE))
-      |      / (tf + 1.2 * (0.25 + 0.75 * (dl / (CAST(tot_dl AS DOUBLE) / n_docs))))
-      |      AS sterm
-      |  FROM qterms q
-      |  JOIN tf ON q.term = tf.term AND tf.doc_id <> q.qid
-      |  JOIN dfreq ON dfreq.term = tf.term, stats),
-      |folded AS (
-      |  SELECT qid, doc_id,
-      |    ROUND(list_reduce(list(sterm ORDER BY term),
-      |                      (acc, x) -> acc + x), 6) AS score
-      |  FROM scored GROUP BY qid, doc_id),
-      |sparse AS (
-      |  SELECT qid, doc_id AS nid, srk FROM (
-      |    SELECT qid, doc_id,
-      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS srk
-      |    FROM folded) t WHERE srk <= 20),
+      |""".stripMargin + "\n" + bm25SparseSqlCtes + ",\n" + """
       |sfused AS (
       |  SELECT COALESCE(sd.qid, sp.qid) AS qid,
       |    COALESCE(sd.nid, sp.nid) AS nid,
@@ -3300,12 +3286,21 @@ object SimilarityQueries extends QueryPack {
       .groupBy(col("qid"))
       .agg(round(sum(coalesce(col("hit"), lit(0))).cast("double")
         / count(lit(1)), 6).as(as))
-    fusedA
+    val result = fusedA
       .join(recallOf(fusedA, "recall_adaptive"), Seq("qid"))
       .join(recallOf(fusedP, "recall_pinned"), Seq("qid"))
       .select(col("qid"), col("rk"), col("nid"), col("rrf"),
         col("recall_adaptive"), col("recall_pinned"))
       .orderBy(col("qid"), col("rk"))
+    // LOCALIZE the (10-query × 5-row) answer, then release this
+    // call's working caches — a lazy return would pin them for the
+    // session (s23's k-row convention; the shared sparse artifact
+    // stays registry-owned)
+    val rows = result.collect()
+    ranked.unpersist(blocking = false)
+    fusedA.unpersist(blocking = false)
+    fusedX.unpersist(blocking = false)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
   }
 
   private val s30Sql = kmeansSql + ",\n" +
@@ -3368,39 +3363,7 @@ object SimilarityQueries extends QueryPack {
       |    FROM n a JOIN n b ON a.vec_id <> b.vec_id
       |    WHERE a.vec_id < 10) t
       |  WHERE drk <= 20),
-      |d AS (
-      |  SELECT doc_id, string_split(text, ' ') AS w,
-      |    CAST(len(string_split(text, ' '))  AS BIGINT) AS dl
-      |  FROM documents),
-      |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_dl FROM d),
-      |qterms AS (
-      |  SELECT doc_id AS qid, unnest(list_distinct(w[1:4])) AS term
-      |  FROM d WHERE doc_id < 10),
-      |tf AS (
-      |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
-      |    SELECT doc_id, dl, unnest(w) AS term FROM d) t
-      |  WHERE term IN (SELECT DISTINCT term FROM qterms)
-      |  GROUP BY doc_id, dl, term),
-      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-      |bscored AS (
-      |  SELECT q.qid, tf.doc_id, tf.term,
-      |    ((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
-      |      * (tf * CAST(2.2 AS DOUBLE))
-      |      / (tf + 1.2 * (0.25 + 0.75 * (dl / (CAST(tot_dl AS DOUBLE) / n_docs))))
-      |      AS sterm
-      |  FROM qterms q
-      |  JOIN tf ON q.term = tf.term AND tf.doc_id <> q.qid
-      |  JOIN dfreq ON dfreq.term = tf.term, stats),
-      |folded AS (
-      |  SELECT qid, doc_id,
-      |    ROUND(list_reduce(list(sterm ORDER BY term),
-      |                      (acc, x) -> acc + x), 6) AS score
-      |  FROM bscored GROUP BY qid, doc_id),
-      |sparse AS (
-      |  SELECT qid, doc_id AS nid, srk FROM (
-      |    SELECT qid, doc_id,
-      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS srk
-      |    FROM folded) t WHERE srk <= 20),
+      |""".stripMargin + "\n" + bm25SparseSqlCtes + ",\n" + """
       |fus_a AS (
       |  SELECT COALESCE(sd.qid, sp.qid) AS qid,
       |    COALESCE(sd.nid, sp.nid) AS nid,

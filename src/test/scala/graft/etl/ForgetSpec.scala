@@ -238,6 +238,26 @@ class ForgetSpec extends SparkSpec {
       .partitions shouldBe empty
   }
 
+  test("scrubPartitioned FAILS LOUDLY when a hit partition's value " +
+      "doesn't round-trip its directory encoding — never a silent " +
+      "non-deletion") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scrub-esc").toString
+    // ':' URI-escapes in the partition directory name (source=a%3Ab),
+    // so the decoded value can't be matched back naively — the guard
+    // must throw instead of reporting the partition as 'skipped'
+    Seq((1L, "a:b", "x"), (2L, "ok", "y"))
+      .toDF("doc_id", "source", "text")
+      .repartition(col("source"))
+      .write.mode("overwrite").partitionBy("source").parquet(dir)
+    val ex = intercept[java.io.IOException] {
+      CorpusLayout.scrubPartitioned(spark, dir, Seq("source"),
+        Seq("doc_id"), 1 << 20, Seq(1L).toDF("doc_id"), "doc_id")
+    }
+    ex.getMessage should include("round-trip")
+    // the tree is untouched (no partial scrub)
+    spark.read.parquet(dir).count() shouldBe 2L
+  }
+
   test("a post-forget attach serves NO forgotten doc_id on any " +
       "derivative surface, and the serving scrub was selective and real") {
     val dir = "/root/testdata/sf0.001"
