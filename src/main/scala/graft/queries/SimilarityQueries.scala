@@ -318,7 +318,7 @@ object SimilarityQueries extends QueryPack {
   // ---------------------------------------------------------------- s6/d8
 
   /** Embedding view for the k-means pair: v (double), vv = ‖v‖². */
-  private def evec(s: SparkSession, dir: String): DataFrame =
+  private[graft] def evec(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
       .withColumn("v", col("embedding").cast("array<double>"))
       .withColumn("vv", dot(col("v"), col("v")))
@@ -331,7 +331,7 @@ object SimilarityQueries extends QueryPack {
     * map-side and nothing shuffles but the (vec_id→cid) result.
     * The IEEE expression order matches the DuckDB mirror exactly
     * (graft_dot and list_sum both fold left-to-right). */
-  private def assign(e: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def assign(e: DataFrame, cents: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid"))
     e.crossJoin(broadcast(cents))
       .withColumn("d2",
@@ -344,7 +344,7 @@ object SimilarityQueries extends QueryPack {
 
   /** Centroid update: per-dimension mean via posexplode → two-level
     * agg (the s2 centroid shape — partial+final all the way). */
-  private def centroidUpdate(a: DataFrame): DataFrame =
+  private[graft] def centroidUpdate(a: DataFrame): DataFrame =
     a.select(col("cluster").as("cid"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
       .groupBy(col("cid"))
