@@ -26,7 +26,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -41,7 +41,14 @@ object Bench {
       .config("spark.local.dir", "/dev/shm/graft-shuffle")
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
-      .getOrCreate()
+    // Extra session confs for same-protocol A/B experiments
+    // (semicolon-separated k=v pairs); default empty, so the driver's
+    // runs are unaffected unless it opts in.
+    val spark = sys.env.getOrElse("SPARK_GRAFT_EXTRA_CONF", "")
+      .split(';').filter(_.contains('='))
+      .foldLeft(builder) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2); b.config(k.trim, v.trim)
+      }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb one-time session/codegen/scan init so the first measured
     // query isn't charged for JVM warmup

@@ -43,4 +43,18 @@ object QueryPack {
     * accumulation = identical IEEE order to a sequential fold (and to
     * DuckDB's list_sum over the zipped product). */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Materialize a CONTROL-PLANE-SCALE frame (query samples, probe
+    * routes, per-query scalars — k rows by construction, never
+    * corpus-sized) into a LocalRelation. The audit queries reference
+    * these tiny frames from several legs; left lazy, every reference
+    * re-expands the frame's whole lineage into the plan (s29's
+    * formatted plan reached 3,696 Exchange nodes) and AQE then
+    * schedules each copy as its own stage chain. Collecting k rows
+    * once and re-joining them as a local (broadcast-able) relation is
+    * the s23/s30 "k-row answer localized" convention applied to
+    * intermediates; downstream results are row-identical. */
+  def localize(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
 }

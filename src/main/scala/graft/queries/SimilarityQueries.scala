@@ -1051,16 +1051,23 @@ object SimilarityQueries extends QueryPack {
     * fetch is R random reads per query against the vec_id-bucketed
     * vector store — the refine stage's entire cost, which is why R
     * is a knob and this audit exists. */
-  private def s24(s: SparkSession, dir: String): DataFrame = {
+  /** s24 v2 (r18): same math, one pass. The query sample is localized
+    * (QueryPack.localize), and the refined leg folds into the main
+    * windowed frame: within the (exact, cid_) order, a shortlisted
+    * row's re-rank among shortlisted rows IS the running count of
+    * shortlisted rows up to it, so `ref_rk` = that running sum and the
+    * whole second scored-subtree + join-back disappears. */
+  private[graft] def s24v2(s: SparkSession, dir: String): DataFrame = {
+    import graft.QueryPack.localize
     val shortR = 10
     val base = evec(s, dir)
     val arts = PqArtifacts(s, dir)
     val cands = arts.recon.join(arts.cells, "vec_id").join(base, "vec_id")
       .select(col("vec_id").as("cid_"), col("cell"), col("r"), col("rr"),
         col("v").as("xv"), col("vv").as("xx"))
-    val qs = base.filter(col("vec_id") < 10).join(arts.cells, "vec_id")
+    val qs = localize(base.filter(col("vec_id") < 10).join(arts.cells, "vec_id")
       .select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("vv").as("qq"), col("cell"))
+        col("vv").as("qq"), col("cell")))
     val scored = qs.join(cands, "cell").filter(col("qid") =!= col("cid_"))
       .select(col("qid"), col("cid_"),
         (col("qq") - lit(2.0) * dot(col("qv"), col("r")) + col("rr"))
@@ -1069,19 +1076,18 @@ object SimilarityQueries extends QueryPack {
           .as("exact"))
     val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc"), col("cid_"))
     val wEx = Window.partitionBy(col("qid")).orderBy(col("exact"), col("cid_"))
+    val wExRun = wEx.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ranked = scored
       .withColumn("adc_rk", row_number().over(wAdc))
       .withColumn("true_rk", row_number().over(wEx))
-    val refined = ranked.filter(col("adc_rk") <= shortR)
-      .withColumn("ref_rk", row_number().over(wEx))
-      .groupBy(col("qid"))
-      .agg(sum(when(col("ref_rk") <= 3 && col("true_rk") <= 3, 1L)
-        .otherwise(0L)).as("n_ref_hit"))
+      .withColumn("ref_cum",
+        sum(when(col("adc_rk") <= shortR, 1L).otherwise(0L)).over(wExRun))
     ranked.groupBy(col("qid"))
       .agg(count(lit(1)).as("n_cands"),
         sum(when(col("adc_rk") <= 3 && col("true_rk") <= 3, 1L)
-          .otherwise(0L)).as("n_adc_hit"))
-      .join(refined, Seq("qid"))
+          .otherwise(0L)).as("n_adc_hit"),
+        sum(when(col("adc_rk") <= shortR && col("ref_cum") <= 3 &&
+          col("true_rk") <= 3, 1L).otherwise(0L)).as("n_ref_hit"))
       .withColumn("k", least(lit(3L), col("n_cands")))
       .select(col("qid"), col("n_cands"),
         round(col("n_adc_hit").cast("double") / col("k"), 6)
@@ -1164,17 +1170,22 @@ object SimilarityQueries extends QueryPack {
     * per-level candidate restriction is a keyed join against the
     * ranked-cell list. At 100 TB the truth side runs on a query
     * SAMPLE (an audit, not the serving path), same shape. */
-  private def s13(s: SparkSession, dir: String): DataFrame = {
+  /** s13 v2 (r18): query sample / cell routes / truth localized, and
+    * the 3-row sweep answer localized before return so the per-call
+    * exact-distance cache can be RELEASED (the original pinned a
+    * fresh 50k-row `dists` persist per invocation for the session). */
+  private[graft] def s13v2(s: SparkSession, dir: String): DataFrame = {
+    import graft.QueryPack.localize
     val base = evec(s, dir)
     val arts = PqArtifacts(s, dir)
-    val qs = base.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("vv").as("qq"))
+    val qs = localize(base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("vv").as("qq")))
     val wCell = Window.partitionBy(col("qid")).orderBy(col("cd2"), col("cid"))
-    val cellRank = qs.crossJoin(broadcast(arts.cents))
+    val cellRank = localize(qs.crossJoin(broadcast(arts.cents))
       .withColumn("cd2",
         col("qq") - lit(2.0) * dot(col("qv"), col("cv")) + col("cc"))
       .withColumn("crk", row_number().over(wCell))
-      .select(col("qid"), col("cid"), col("crk"))
+      .select(col("qid"), col("cid"), col("crk")))
     val corpus = base.join(arts.cells, "vec_id")
       .select(col("vec_id").as("nid"), col("v").as("nv"),
         col("vv").as("nn"), col("cell"))
@@ -1184,10 +1195,8 @@ object SimilarityQueries extends QueryPack {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     dists.count() // eager: truth + every probe level read it
     val wT = Window.partitionBy(col("qid")).orderBy(col("d2"), col("nid"))
-    val truth = dists.withColumn("rk", row_number().over(wT))
-      .filter(col("rk") <= 3).select(col("qid"), col("nid"))
-    // the probe levels live IN the plan (no driver-side counting):
-    // each level contributes its (qid, cell) whitelist tagged nprobe
+    val truth = localize(dists.withColumn("rk", row_number().over(wT))
+      .filter(col("rk") <= 3).select(col("qid"), col("nid")))
     val probed = Seq(1, 2, 4).map { np =>
       cellRank.filter(col("crk") <= np)
         .select(lit(np).as("nprobe"), col("qid"), col("cid").as("cell"))
@@ -1202,11 +1211,13 @@ object SimilarityQueries extends QueryPack {
       .groupBy(col("nprobe")).agg(count(lit(1)).as("h"))
     val ncs = cand.groupBy(col("nprobe")).agg(count(lit(1)).as("nc"))
     // 10 fixed queries (vec_id 0..9) → exact denominators
-    ncs.join(hits, Seq("nprobe"), "left")
+    val out = localize(ncs.join(hits, Seq("nprobe"), "left")
       .select(col("nprobe"),
         round(coalesce(col("h"), lit(0L)).cast("double") / 30, 4).as("recall3"),
         round(col("nc").cast("double") / 10, 2).as("avg_cands"))
-      .orderBy(col("nprobe"))
+      .orderBy(col("nprobe")))
+    dists.unpersist(blocking = false)
+    out
   }
 
   private val s13Sql = kmeansSql + s""",
@@ -2496,20 +2507,26 @@ object SimilarityQueries extends QueryPack {
     * occupancy aggregate that broadcasts; the refine cost is R
     * raw-vector fetches per query and now scales as occ/20, which is
     * the POINT — a fixed R is the knob that rots as the index grows. */
-  private def s26(s: SparkSession, dir: String): DataFrame = {
+  /** s26 v2 (r18): the s24v2 one-pass shape with the per-query
+    * occupancy-derived `r_used` shortlist bound (see s24v2 for the
+    * running-count ref_rk argument; here the bound is a per-qid
+    * column, constant within every window partition). */
+  private[graft] def s26v2(s: SparkSession, dir: String): DataFrame = {
+    import graft.QueryPack.localize
     val base = evec(s, dir)
     val arts = PqArtifacts(s, dir)
     val occ = arts.cells.groupBy(col("cell")).agg(count(lit(1)).as("occ"))
     val cands = arts.recon.join(arts.cells, "vec_id").join(base, "vec_id")
       .select(col("vec_id").as("cid_"), col("cell"), col("r"), col("rr"),
         col("v").as("xv"), col("vv").as("xx"))
-    val qs = base.filter(col("vec_id") < 10).join(arts.cells, "vec_id")
+    val qs = localize(base.filter(col("vec_id") < 10)
+      .join(arts.cells, "vec_id")
       .join(broadcast(occ), Seq("cell"))
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("vv").as("qq"), col("cell"),
         greatest(lit(s26RFloor),
           expr(s"(occ + ${s26CellDivisor - 1}) div $s26CellDivisor"))
-          .as("r_used"))
+          .as("r_used")))
     val scored = qs.join(cands, "cell").filter(col("qid") =!= col("cid_"))
       .select(col("qid"), col("r_used"), col("cid_"),
         (col("qq") - lit(2.0) * dot(col("qv"), col("r")) + col("rr"))
@@ -2518,19 +2535,19 @@ object SimilarityQueries extends QueryPack {
           .as("exact"))
     val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc"), col("cid_"))
     val wEx = Window.partitionBy(col("qid")).orderBy(col("exact"), col("cid_"))
+    val wExRun = wEx.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ranked = scored
       .withColumn("adc_rk", row_number().over(wAdc))
       .withColumn("true_rk", row_number().over(wEx))
-    val refined = ranked.filter(col("adc_rk") <= col("r_used"))
-      .withColumn("ref_rk", row_number().over(wEx))
-      .groupBy(col("qid"))
-      .agg(sum(when(col("ref_rk") <= 3 && col("true_rk") <= 3, 1L)
-        .otherwise(0L)).as("n_ref_hit"))
+      .withColumn("ref_cum",
+        sum(when(col("adc_rk") <= col("r_used"), 1L).otherwise(0L))
+          .over(wExRun))
     ranked.groupBy(col("qid"), col("r_used"))
       .agg(count(lit(1)).as("n_cands"),
         sum(when(col("adc_rk") <= 3 && col("true_rk") <= 3, 1L)
-          .otherwise(0L)).as("n_adc_hit"))
-      .join(refined, Seq("qid"))
+          .otherwise(0L)).as("n_adc_hit"),
+        sum(when(col("adc_rk") <= col("r_used") && col("ref_cum") <= 3 &&
+          col("true_rk") <= 3, 1L).otherwise(0L)).as("n_ref_hit"))
       .withColumn("k", least(lit(3L), col("n_cands")))
       .select(col("qid"), col("n_cands"), col("r_used"),
         round(col("n_adc_hit").cast("double") / col("k"), 6)
@@ -2823,7 +2840,11 @@ object SimilarityQueries extends QueryPack {
     def release(s: SparkSession, dir: String): Unit = reg.release(s, dir)
   }
 
-  private def s29(s: SparkSession, dir: String): DataFrame = {
+  /** s29 v2 (r18 optimization candidate): identical math, with every
+    * control-plane-scale frame localized (QueryPack.localize) so the
+    * serving/truth legs are the only distributed branches. */
+  private[graft] def s29v2(s: SparkSession, dir: String): DataFrame = {
+    import graft.QueryPack.localize
     val base = evec(s, dir)
     val split = SplitArtifacts(s, dir)
     val subs = split.subs
@@ -2831,26 +2852,21 @@ object SimilarityQueries extends QueryPack {
     val pub = s.table(splitCentsTableName(dir))
     val subocc = subs.groupBy(col("cell"), col("sub"))
       .agg(count(lit(1)).as("socc"))
-    val nsubs = subs.groupBy(col("cell"))
-      .agg((max(col("sub")) + 1L).as("n_subs"))
-    val q0 = base.filter(col("vec_id") < 10)
+    val nsubs = localize(subs.groupBy(col("cell"))
+      .agg((max(col("sub")) + 1L).as("n_subs")))
+    val q0 = localize(base.filter(col("vec_id") < 10)
       .join(subs.select(col("vec_id"), col("cell")), "vec_id")
       .select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("vv").as("qq"), col("cell"))
-    // route: top-2 subcentroids WITHIN the query's own cell (1e-6
-    // snap before ranking — AVG-derived centroids, the s2 rationale)
+        col("vv").as("qq"), col("cell")))
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(col("sd2").asc, col("sub"))
-    val probed = q0.join(broadcast(pub), Seq("cell"))
+    val probed = localize(q0.join(broadcast(pub), Seq("cell"))
       .withColumn("sd2", round(
         col("qq") - lit(2.0) * dot(col("qv"), col("scv")) + col("scc"), 6))
       .withColumn("crk", row_number().over(wProbe)).filter(col("crk") <= 2)
-      .select(col("qid"), col("qv"), col("qq"), col("cell"), col("sub"))
-      // read by the occupancy sum AND the candidate scoring (20 rows)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    probed.count()
-    val occProbed = probed.join(broadcast(subocc), Seq("cell", "sub"))
-      .groupBy(col("qid")).agg(sum(col("socc")).as("occ_probed"))
+      .select(col("qid"), col("qv"), col("qq"), col("cell"), col("sub")))
+    val occProbed = localize(probed.join(broadcast(subocc), Seq("cell", "sub"))
+      .groupBy(col("qid")).agg(sum(col("socc")).as("occ_probed")))
     val scoredP = probed.join(cands, Seq("cell", "sub"))
       .filter(col("qid") =!= col("cid_"))
       .select(col("qid"), col("cid_"),
@@ -2860,14 +2876,14 @@ object SimilarityQueries extends QueryPack {
           .as("exact"))
     // exact FULL-CELL truth (the s24/s26 ground truth)
     val wEx = Window.partitionBy(col("qid")).orderBy(col("exact"), col("cid_"))
-    val truth = q0.join(cands, Seq("cell"))
+    val truth = localize(q0.join(cands, Seq("cell"))
       .filter(col("qid") =!= col("cid_"))
       .select(col("qid"), col("cid_"),
         (col("qq") - lit(2.0) * dot(col("qv"), col("xv")) + col("xx"))
           .as("exact"))
       .withColumn("true_rk", row_number().over(wEx))
       .filter(col("true_rk") <= 3)
-      .select(col("qid"), col("cid_"), lit(1L).as("hit"))
+      .select(col("qid"), col("cid_"), lit(1L).as("hit")))
     val nTruth = truth.groupBy(col("qid")).agg(count(lit(1)).as("k"))
     val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc"), col("cid_"))
     val refined = scoredP
@@ -3239,7 +3255,13 @@ object SimilarityQueries extends QueryPack {
     * pinned on the gated corpus). Scale: the serving legs never touch
     * corpus×query (cell-bounded ADC, broadcast codebooks, term-pushdown
     * BM25); the exact legs are the declared audit baseline. */
-  private def s30(s: SparkSession, dir: String): DataFrame = {
+  /** s30 v2 (r18): the query sample and both fused 50-row top-5 lists
+    * localize (QueryPack.localize) instead of persist+count — the
+    * recall joins then run local-vs-local, and only the candidate
+    * ranking (`ranked`, cell-occupancy-sized) stays a distributed
+    * cached frame. Same math, same localized-answer return. */
+  private[graft] def s30v2(s: SparkSession, dir: String): DataFrame = {
+    import graft.QueryPack.localize
     val L = 20
     val sparse = bm25Top(s, dir, L)
     val base = evec(s, dir)
@@ -3248,13 +3270,13 @@ object SimilarityQueries extends QueryPack {
     val cands = arts.recon.join(arts.cells, "vec_id").join(base, "vec_id")
       .select(col("vec_id").as("cid_"), col("cell"), col("r"), col("rr"),
         col("v").as("xv"), col("vv").as("xx"))
-    val qs = base.filter(col("vec_id") < 10).join(arts.cells, "vec_id")
+    val qs = localize(base.filter(col("vec_id") < 10).join(arts.cells, "vec_id")
       .join(broadcast(occ), Seq("cell"))
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("vv").as("qq"), col("cell"),
         greatest(lit(s26RFloor),
           expr(s"(occ + ${s26CellDivisor - 1}) div $s26CellDivisor"))
-          .as("r_used"))
+          .as("r_used")))
     val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc"), col("cid_"))
     val ranked = qs.join(cands, "cell").filter(col("qid") =!= col("cid_"))
       .select(col("qid"), col("r_used"), col("cid_"),
@@ -3272,13 +3294,9 @@ object SimilarityQueries extends QueryPack {
         Window.partitionBy(col("qid")).orderBy(col("exact"), col("cid_"))))
       .filter(col("drk") <= L)
       .select(col("qid"), col("cid_").as("nid"), col("drk"))
-    def eager(df: DataFrame): DataFrame = {
-      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      p.count(); p
-    }
-    val fusedA = eager(rrfTop5(denseList(col("r_used")), sparse))
+    val fusedA = localize(rrfTop5(denseList(col("r_used")), sparse))
     val fusedP = rrfTop5(denseList(lit(s26RFloor)), sparse)
-    val fusedX = eager(rrfTop5(exactDenseTop(s, dir, L), sparse))
+    val fusedX = localize(rrfTop5(exactDenseTop(s, dir, L), sparse))
     def recallOf(serving: DataFrame, as: String): DataFrame = fusedX
       .select(col("qid"), col("nid"))
       .join(serving.select(col("qid"), col("nid"), lit(1).as("hit")),
@@ -3293,13 +3311,10 @@ object SimilarityQueries extends QueryPack {
         col("recall_adaptive"), col("recall_pinned"))
       .orderBy(col("qid"), col("rk"))
     // LOCALIZE the (10-query × 5-row) answer, then release this
-    // call's working caches — a lazy return would pin them for the
-    // session (s23's k-row convention; the shared sparse artifact
-    // stays registry-owned)
+    // call's working cache (the shared sparse artifact stays
+    // registry-owned)
     val rows = result.collect()
     ranked.unpersist(blocking = false)
-    fusedA.unpersist(blocking = false)
-    fusedX.unpersist(blocking = false)
     s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
   }
 
@@ -3420,14 +3435,19 @@ object SimilarityQueries extends QueryPack {
       |            JOIN rec_p ON stop_a.qid = rec_p.qid
       |ORDER BY stop_a.qid, stop_a.rk""".stripMargin
 
+  /** Dev-only optimization candidates (ABQuery harness); NEVER part of
+    * the declared [[queries]] surface. */
+  private[graft] def devVariants: Map[String, (SparkSession, String) => DataFrame] =
+    Map.empty
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "s30_hybrid_adaptive" -> s30,
-    "s29_cell_resplit" -> s29,
+    "s30_hybrid_adaptive" -> s30v2,
+    "s29_cell_resplit" -> s29v2,
     "s28_forget_quantizer" -> s28,
     "s27_hybrid_serving" -> s27,
-    "s26_adaptive_refine" -> s26,
+    "s26_adaptive_refine" -> s26v2,
     "s25_rrf_fusion" -> s25,
-    "s24_pq_refine" -> s24,
+    "s24_pq_refine" -> s24v2,
     "s23_ivf_retrain" -> s23,
     "s22_index_maintain" -> s22,
     "s21_mmr_serving" -> s21,
@@ -3437,7 +3457,7 @@ object SimilarityQueries extends QueryPack {
     "s17_embed_profile" -> s17,
     "s16_hard_negatives" -> s16,
     "s14_int8_quant" -> s14,
-    "s13_nprobe_sweep" -> s13,
+    "s13_nprobe_sweep" -> s13v2,
     "s12_adc_audit" -> s12,
     "s11_ivfpq_ann" -> s11,
     "s10_pq_codes" -> s10,

@@ -30,8 +30,9 @@ class DiamondAuditSpec extends SparkSpec {
     // d19_leakage_split's entry was pruned in round 13: it now reads
     // the durable cluster-label table instead of re-running the CC
     // build, so the id-scale distinct diamond no longer exists
-    "s13_nprobe_sweep" -> ("the query-side cell-rank frame (10 " +
-      "queries x k centroids) re-planned per probe level"),
+    // s13_nprobe_sweep's entry was pruned in round 18: its cell-rank
+    // frame is now localized (QueryPack.localize), so the per-probe-
+    // level re-plan no longer exists
     "s20_filtered_ann" -> ("the query-side assignment frame (10 " +
       "queries x k centroids) shared by pre/post-filter legs"),
     "t29_mix_schedule" -> ("the #sources-row share frame re-planned " +
