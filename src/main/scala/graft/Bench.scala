@@ -41,6 +41,16 @@ object Bench {
       .config("spark.local.dir", "/dev/shm/graft-shuffle")
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // Let the planner pick shuffled-hash over sort-merge when its
+      // size conditions hold (guide-recommended baseline): drops the
+      // sort on both sides of index-scale equi-joins. Interleaved
+      // same-session A/B over the 32-query subset: net -3.7% (biggest
+      // c1 -0.64 s, b2 -0.32, g4 -0.26; apparent losers did not
+      // reproduce). Scale-safe: AQE skew split still applies to SHJ,
+      // and build-side-per-partition memory is bounded by partition
+      // count, which scales with the data (env-overridable).
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
     // Extra session confs for same-protocol A/B experiments
     // (semicolon-separated k=v pairs); default empty, so the driver's
     // runs are unaffected unless it opts in.
@@ -84,8 +94,18 @@ object Bench {
     // the cold-start measurement for lifecycle A/Bs (ColdStartAB owns
     // that question properly).
     val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt
-    for (_ <- 1 to warmups; (name, fn) <- qs0 if !failed(name)) {
-      try drain(fn(spark, sfDir)) catch {
+    // The FIRST warmup pass is itself timed and reported as cold_* —
+    // a warmup_0-equivalent reading in the same run, so cross-round
+    // comparisons can separate protocol effects (what the warmup
+    // absorbs) from plan changes without a second full invocation.
+    // Cold samples never enter the warm medians/mins.
+    val cold = scala.collection.mutable.Map.empty[String, Double]
+    for (w <- 1 to warmups; (name, fn) <- qs0 if !failed(name)) {
+      val t0 = System.nanoTime()
+      try {
+        drain(fn(spark, sfDir))
+        if (w == 1) cold(name) = (System.nanoTime() - t0) / 1e9
+      } catch {
         case e: Throwable =>
           System.err.println(s"BENCH ERROR (warmup) $name: $e")
           failed += name
@@ -141,8 +161,12 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val minTotal = mins.map(_._2).sum
+    val qsCold = qs0.collect { case (name, _) if cold.contains(name) =>
+      s"\"" + name + "\":" + cold(name)
+    }.mkString("{", ",", "}")
+    val coldTotal = cold.values.sum
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"queries":$qs,"queries_min":$qsMin,"samples":$qsSamples,"failed":$failedJson,"sf":"$sfDir","method":"median_of_${Reps}_full_materialize;warmup_$warmups;min_protocol_for_cross_round"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"queries":$qs,"queries_min":$qsMin,"samples":$qsSamples,"cold_total":$coldTotal,"queries_cold":$qsCold,"failed":$failedJson,"sf":"$sfDir","method":"median_of_${Reps}_full_materialize;warmup_$warmups;min_protocol_for_cross_round;cold_keys_are_first_warmup_pass"}"""
     println(fullJson)
     // The stdout line above travels through sbt (which prefixes every
     // line with "[info] ") and a driver-side tail capture that has

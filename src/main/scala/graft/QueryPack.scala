@@ -57,4 +57,21 @@ object QueryPack {
   def localize(df: DataFrame): DataFrame =
     df.sparkSession.createDataFrame(
       java.util.Arrays.asList(df.collect(): _*), df.schema)
+
+  /** [[localize]] several INDEPENDENT k-row frames with their collect
+    * actions submitted concurrently from driver threads (guide §2.6:
+    * actions are only sequential because driver code calls them
+    * sequentially; a later job's tasks back-fill executors freed by
+    * the earlier job's tail). Callers must ensure every upstream the
+    * frames SHARE is already materialized (registry artifact or
+    * eagerly-counted cache) so concurrent jobs don't race a cache
+    * fill. Each frame's content is unchanged — per-frame results are
+    * byte-identical to sequential localize. */
+  def localizePar(dfs: DataFrame*): Seq[DataFrame] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val futs = dfs.map(df => Future(localize(df)))
+    futs.map(Await.result(_, Duration.Inf))
+  }
 }

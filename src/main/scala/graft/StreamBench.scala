@@ -287,6 +287,11 @@ object StreamBench {
             }.start()
           try q.processAllAvailable() finally q.stop()
           val secs = (System.nanoTime() - t0) / 1e9
+          // per-micro-batch wall times (batch 0 carries one-time cost:
+          // initial-state seeding for the probe, source listing) — the
+          // steady-state per-batch cost is what scales with the stream
+          System.err.println(s"STREAMBENCH STAGE $chk batch_ms=" +
+            q.recentProgress.map(_.batchDuration).mkString(","))
           val (rows, bytes) = Option(q.lastProgress)
             .flatMap(p => p.stateOperators.headOption).map { so =>
               val sst = Option(so.customMetrics)

@@ -92,6 +92,13 @@ object ConnectedComponents {
       .withColumn("label", col("id")))
     var converged = false
     var it = 0
+    // r18 note: a probe-free variant (carry the previous label as an
+    // extra __old column through the round aggregate so convergence is
+    // a scan of the checkpoint, not a join) measured SLOWER on the
+    // interleaved A/B (c1 +0.41 s, m4 +0.24 s of ~2 s): the carry
+    // taxes every round's 3-way union + aggregate, while this probe
+    // join only runs every convergeEvery rounds over checkpointed
+    // (exchange-free) label tables. Kept as-is deliberately.
     while (!converged && it < maxIter) {
       val prop = sym.join(labels, sym("src") === labels("id"))
         .select(sym("dst").as("id"), col("label"))

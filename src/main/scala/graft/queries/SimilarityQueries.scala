@@ -1703,10 +1703,10 @@ object SimilarityQueries extends QueryPack {
       .select(col("qid"), posexplode(col("picks")).as(Seq("pos", "p")))
       .select(col("qid"), (col("pos") + 1).cast("long").as("pick"),
         col("p.nid").as("nid"), col("p.mmr").as("mmr"))
-    val materialized = picked.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    materialized.count()
-    materialized
+    // k-row picks (queries x 4): localize (QueryPack.localize) —
+    // fully materialized for the caller, nothing left pinned (the r17
+    // persist+count left the picks cached for the session).
+    graft.QueryPack.localize(picked)
   }
 
   /** Unrolled MMR greedy rounds as DuckDB CTEs `${pfx}1..${pfx}4`
@@ -1991,13 +1991,13 @@ object SimilarityQueries extends QueryPack {
   private def s21(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(col("vec_id"), col("v"), col("norm"))
     // the serving candidates are query-batch-sized scratch (not a
-    // train-once artifact): persist for the greedy rounds, release
-    // once the picks are materialized inside mmrGreedy
-    val sc = s21ServingCand(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val serving =
-      try { sc.count(); mmrGreedy(e, sc) }
-      finally sc.unpersist(blocking = false)
+    // train-once artifact, 8 queries x <=24 rows): localized,
+    // so the greedy rounds read a LocalRelation and nothing pins
+    // (interleaved A/B vs the r17 persist+count body: -0.70 s of 2.1).
+    // Overlapping the two greedy legs' collects (localizePar) measured
+    // SLOWER (+0.12 s) — both legs scan the same uncached emb frame
+    // and contend; kept sequential.
+    val serving = mmrGreedy(e, graft.QueryPack.localize(s21ServingCand(s, dir)))
     val exact = mmrGreedy(e, BruteCandArtifacts(s, dir))
     val rec = exact.select(col("qid"), col("nid"))
       .join(serving.select(col("qid"), col("nid"), lit(1).as("hit")),
@@ -2852,6 +2852,9 @@ object SimilarityQueries extends QueryPack {
     val pub = s.table(splitCentsTableName(dir))
     val subocc = subs.groupBy(col("cell"), col("sub"))
       .agg(count(lit(1)).as("socc"))
+    // note (r18): overlapping these collects via localizePar measured
+    // flat-to-worse (legs too asymmetric — the cheap leg saves nothing
+    // while contending with the expensive one); kept sequential
     val nsubs = localize(subs.groupBy(col("cell"))
       .agg((max(col("sub")) + 1L).as("n_subs")))
     val q0 = localize(base.filter(col("vec_id") < 10)
@@ -3151,6 +3154,11 @@ object SimilarityQueries extends QueryPack {
     val L = 20
     val sparse = bm25Top(s, dir, L)
     val exactDense = exactDenseTop(s, dir, L)
+    // deliberately LAZY (no localize): unlike s30, both fused lists
+    // live in ONE job here, so ReuseExchange dedups the shared sparse
+    // subtree and the serving/exact legs run as parallel stages —
+    // localizing them serialized the query into 3 driver round-trips
+    // and measured ~20% SLOWER on the interleaved A/B (1.19 -> 1.48 s)
     val serving = rrfTop5(s27ServingDense(s, dir), sparse)
     val exact = rrfTop5(exactDense, sparse)
     val rec = exact.select(col("qid"), col("nid"))
@@ -3294,9 +3302,14 @@ object SimilarityQueries extends QueryPack {
         Window.partitionBy(col("qid")).orderBy(col("exact"), col("cid_"))))
       .filter(col("drk") <= L)
       .select(col("qid"), col("cid_").as("nid"), col("drk"))
-    val fusedA = localize(rrfTop5(denseList(col("r_used")), sparse))
+    // the adaptive fused list and the exact ground-truth fused list
+    // are independent legs over already-materialized upstreams
+    // (ranked counted above, sparse registry-owned): overlap their
+    // collects so the exact leg's tail back-fills the adaptive leg
+    val Seq(fusedA, fusedX) = graft.QueryPack.localizePar(
+      rrfTop5(denseList(col("r_used")), sparse),
+      rrfTop5(exactDenseTop(s, dir, L), sparse))
     val fusedP = rrfTop5(denseList(lit(s26RFloor)), sparse)
-    val fusedX = localize(rrfTop5(exactDenseTop(s, dir, L), sparse))
     def recallOf(serving: DataFrame, as: String): DataFrame = fusedX
       .select(col("qid"), col("nid"))
       .join(serving.select(col("qid"), col("nid"), lit(1).as("hit")),
