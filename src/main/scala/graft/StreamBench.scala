@@ -304,9 +304,27 @@ object StreamBench {
         val (gateSecs, _, _) = runStage(
           StreamingAdmission.gateFlags(docStream, rates, quarantine),
           s"$scratch/admflags", s"$scratch/chk-admflags")
-        val (probeSecs, stRows, stBytes) = runStage(
-          StreamingAdmission.dupHits(docStream, index).toDF(),
-          s"$scratch/admhits", s"$scratch/chk-admhits")
+        // Stateful-operator parallelism is FIXED at first run from
+        // spark.sql.shuffle.partitions (persisted in the checkpoint):
+        // size it to STATE VOLUME, not driver core count — the probe's
+        // state here is ~17k band buckets / <1 MB, for which one
+        // RocksDB instance per core just multiplies per-micro-batch
+        // open/commit/snapshot overhead. Production sizes this by the
+        // expected bucket count the same way (env-overridable; the
+        // gate stage above is the in-run control for the A/B in
+        // OPTIMIZATION_r18.md).
+        // default 8: ~17k buckets / <1 MB state wants few stores; set
+        // higher (e.g. cores) when streaming a corpus whose bucket
+        // count per store would exceed RocksDB-comfortable millions
+        val stateParts = sys.env.getOrElse(
+          "SPARK_GRAFT_STREAM_STATE_PARTS", "8")
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", stateParts)
+        val (probeSecs, stRows, stBytes) =
+          try runStage(
+            StreamingAdmission.dupHits(docStream, index).toDF(),
+            s"$scratch/admhits", s"$scratch/chk-admhits")
+          finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
         val tC = System.nanoTime()
         // window-close decontam RECHECK: the arrivals' own gram
         // evidence vs the benchmark index — the stage that catches
