@@ -92,13 +92,22 @@ object ConnectedComponents {
       .withColumn("label", col("id")))
     var converged = false
     var it = 0
-    // r18 note: a probe-free variant (carry the previous label as an
-    // extra __old column through the round aggregate so convergence is
-    // a scan of the checkpoint, not a join) measured SLOWER on the
-    // interleaved A/B (c1 +0.41 s, m4 +0.24 s of ~2 s): the carry
-    // taxes every round's 3-way union + aggregate, while this probe
-    // join only runs every convergeEvery rounds over checkpointed
-    // (exchange-free) label tables. Kept as-is deliberately.
+    // r18 notes — two variants MEASURED and REJECTED (interleaved
+    // same-session A/B over c1/m4/d20, results identical both arms):
+    //  1. probe-free rounds (carry the previous label as an __old
+    //     column through the round aggregate; convergence = a scan):
+    //     SLOWER (c1 +0.41 s, m4 +0.24 s of ~2 s) — the carry taxes
+    //     every round's 3-way union + aggregate while this probe join
+    //     runs only every convergeEvery rounds over checkpointed
+    //     (broadcast-sized) label tables.
+    //  2. round-1 algebraic specialization (label==id initially, so
+    //     prop reduces to a projection of sym and the pointer-jump is
+    //     a no-op — round 1 join-free, identity init elided): ALSO
+    //     slower (c1 +0.26 s, m4 +0.19 s; d20 flat) — AQE broadcasts
+    //     the tiny label table anyway, so the removed joins cost
+    //     ~nothing, while the specialized round feeds the aggregate
+    //     two full sym projections.
+    // The uniform-round shape below is the measured optimum.
     while (!converged && it < maxIter) {
       val prop = sym.join(labels, sym("src") === labels("id"))
         .select(sym("dst").as("id"), col("label"))
