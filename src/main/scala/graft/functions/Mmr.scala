@@ -32,9 +32,10 @@ final case class MmrPick(nid: Long, mmr: Double)
   *
   * Determinism (the cross-engine contract with the unrolled DuckDB
   * CTE rounds): every input cosine is pre-snapped to 1e-6; each
-  * round's score re-snaps to 1e-6 with the SAME rounding Spark's
-  * `round()` applies (BigDecimal HALF_UP — `math.rint` would be
-  * half-even); the argmax orders by (mmr DESC, nid ASC), a total
+  * round's score re-snaps to 1e-6 via the s7 floor(x·1e6 + ½)/1e6
+  * convention (same IEEE ops on identical doubles in both engines;
+  * BigDecimal HALF_UP and DuckDB ROUND disagree on exact binary
+  * halfway scores); the argmax orders by (mmr DESC, nid ASC), a total
   * order, so buffer order never matters; `max` over the picked-set
   * sims is order-free. Candidates with no pair edge to any picked
   * member are skipped in penalized rounds — the inner-join semantics
@@ -49,8 +50,12 @@ final class MmrGreedyAgg(k: Int, lambda: Double)
   override def merge(a: List[MmrIn], b: List[MmrIn]): List[MmrIn] = a ::: b
 
   override def finish(rows: List[MmrIn]): Seq[MmrPick] = {
-    def r6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // r18: floor(x·1e6 + ½)/1e6 (the s7 convention), NOT BigDecimal
+    // HALF_UP — at sf0.1 an MMR score landed on an exact binary
+    // halfway (0.0724145) where BigDecimal-of-the-exact-double and
+    // DuckDB's ROUND disagree; the floor form is the same IEEE ops on
+    // identical doubles in both engines (mirrored in mmrSqlCtes).
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
     // candidate → query-cos (duplicates collapse; cos1 repeats per edge)
     val cos: Map[Long, Double] =
       rows.iterator.map(r => r.n1 -> r.cos1).toMap

@@ -1007,12 +1007,20 @@ object EventsQueries extends QueryPack {
       .agg(count(lit(1)).as("n_days"), sum(col("c")).as("sc"))
     val tot = daily.groupBy(col("event_type"))
       .agg(count(lit(1)).as("nt"), sum(col("c")).as("st"))
+    // r18 correctness: the two ratio outputs round via the s7
+    // floor(x+0.5) convention instead of round() — at sf0.001 the
+    // mean landed on an exact decimal-halfway cent value (27871.5/100)
+    // where Spark rounds the shortest-decimal representation UP and
+    // DuckDB rounds the binary double DOWN (278.72 vs 278.71). The
+    // floor form is the same IEEE ops on identical doubles in both
+    // engines; non-boundary values are unchanged.
     byDow.join(broadcast(tot), "event_type")
       .select(col("event_type"), col("dow"), col("n_days"),
-        round((col("sc").cast("double") / col("n_days")) / 100, 2)
+        (floor(col("sc").cast("double") / col("n_days") + 0.5) / 100)
           .as("mean_daily"),
-        round((col("sc").cast("double") / col("n_days")) /
-          (col("st").cast("double") / col("nt")), 6).as("season_index"))
+        (floor((col("sc").cast("double") / col("n_days")) /
+          (col("st").cast("double") / col("nt")) * 1e6 + 0.5) / 1e6)
+          .as("season_index"))
       .orderBy(col("event_type"), col("dow"))
   }
 
@@ -1029,9 +1037,9 @@ object EventsQueries extends QueryPack {
       |  SELECT event_type, COUNT(*) AS nt, CAST(SUM(c) AS BIGINT) AS st
       |  FROM daily GROUP BY event_type)
       |SELECT b.event_type, b.dow, b.n_days,
-      |  ROUND((CAST(sc AS DOUBLE) / n_days) / 100, 2) AS mean_daily,
-      |  ROUND((CAST(sc AS DOUBLE) / n_days) / (CAST(st AS DOUBLE) / nt), 6)
-      |    AS season_index
+      |  FLOOR(CAST(sc AS DOUBLE) / n_days + 0.5) / 100 AS mean_daily,
+      |  FLOOR((CAST(sc AS DOUBLE) / n_days) / (CAST(st AS DOUBLE) / nt)
+      |        * 1e6 + 0.5) / 1e6 AS season_index
       |FROM bydow b JOIN tot t ON b.event_type = t.event_type
       |ORDER BY b.event_type, b.dow""".stripMargin
 
@@ -1076,10 +1084,15 @@ object EventsQueries extends QueryPack {
           "'mx', greatest(acc.mx, greatest(0D, acc.s + (cast(x.c as double) - mu - sigma / 2D))), " +
           "'na', acc.na + IF(greatest(0D, acc.s + (cast(x.c as double) - mu - sigma / 2D)) > 3D * sigma, 1L, 0L), " +
           "'fd', coalesce(acc.fd, IF(greatest(0D, acc.s + (cast(x.c as double) - mu - sigma / 2D)) > 3D * sigma, x.day, cast(null as date)))))"))
+      // r18 correctness: round-4 ratios via the s7 floor(x+0.5)
+      // convention — mean_daily hit an exact halfway at sf0.1
+      // (82.22625: Spark's decimal-repr rounding vs DuckDB's double
+      // rounding disagree); same treatment for the two cusum outputs
+      // (identical boundary class)
       .select(col("user_id"), col("n_days"),
-        round(col("mu") / 100, 4).as("mean_daily"),
-        round(col("st.s") / 100, 4).as("cusum_final"),
-        round(col("st.mx") / 100, 4).as("cusum_max"),
+        (floor(col("mu") / 100 * 1e4 + 0.5) / 1e4).as("mean_daily"),
+        (floor(col("st.s") / 100 * 1e4 + 0.5) / 1e4).as("cusum_final"),
+        (floor(col("st.mx") / 100 * 1e4 + 0.5) / 1e4).as("cusum_max"),
         col("st.na").as("alarm_days"), col("st.fd").as("first_alarm"))
       .orderBy(col("user_id"))
   }
@@ -1122,9 +1135,9 @@ object EventsQueries extends QueryPack {
       |          JOIN stats t ON t.user_id = st.user_id),
       |fin AS (SELECT user_id, s, mx, na, fd FROM st WHERE i = n)
       |SELECT t.user_id, t.n_days,
-      |  ROUND(t.mu / 100, 4) AS mean_daily,
-      |  ROUND(f.s / 100, 4) AS cusum_final,
-      |  ROUND(f.mx / 100, 4) AS cusum_max,
+      |  FLOOR(t.mu / 100 * 1e4 + 0.5) / 1e4 AS mean_daily,
+      |  FLOOR(f.s / 100 * 1e4 + 0.5) / 1e4 AS cusum_final,
+      |  FLOOR(f.mx / 100 * 1e4 + 0.5) / 1e4 AS cusum_max,
       |  f.na AS alarm_days, f.fd AS first_alarm
       |FROM stats t JOIN fin f ON t.user_id = f.user_id
       |ORDER BY t.user_id""".stripMargin

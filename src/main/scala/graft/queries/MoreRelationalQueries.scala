@@ -642,11 +642,15 @@ object MoreRelationalQueries extends QueryPack {
       .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
     Tables(s, dir, "lineitem")
       .filter(col("l_suppkey") < 20)
+      // r18 correctness: rank ratios round via the s7 floor(x+0.5)
+      // convention — cume_dist hit an exact binary halfway (41/640 =
+      // 0.0640625) at sf0.001 where Spark's decimal-repr rounding and
+      // DuckDB's double rounding disagree (0.064063 vs 0.064062)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         col("l_extendedprice").as("price"),
         ntile(4).over(w).as("quartile"),
-        round(percent_rank().over(w), 6).as("pct_rank"),
-        round(cume_dist().over(w), 6).as("cume"))
+        (floor(percent_rank().over(w) * 1e6 + 0.5) / 1e6).as("pct_rank"),
+        (floor(cume_dist().over(w) * 1e6 + 0.5) / 1e6).as("cume"))
       .orderBy(col("l_suppkey"), col("price"), col("l_orderkey"),
         col("l_linenumber"))
   }
@@ -654,8 +658,8 @@ object MoreRelationalQueries extends QueryPack {
   private val q24Sql =
     """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice AS price,
       |  NTILE(4) OVER w AS quartile,
-      |  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-      |  ROUND(CUME_DIST() OVER w, 6) AS cume
+      |  FLOOR(PERCENT_RANK() OVER w * 1e6 + 0.5) / 1e6 AS pct_rank,
+      |  FLOOR(CUME_DIST() OVER w * 1e6 + 0.5) / 1e6 AS cume
       |FROM lineitem
       |WHERE l_suppkey < 20
       |WINDOW w AS (PARTITION BY l_suppkey

@@ -1721,7 +1721,7 @@ object SimilarityQueries extends QueryPack {
       val pk = s"(${pickedUnion(r - 1)})"
       s"""${pfx}m$r AS (
          |  SELECT c.qid, c.nid,
-         |    ROUND(0.5*c.cos - 0.5*MAX(p.pcos), 6) AS mmr
+         |    FLOOR((0.5*c.cos - 0.5*MAX(p.pcos)) * 1e6 + 0.5) / 1e6 AS mmr
          |  FROM $cand c
          |  JOIN $pair p ON p.qid = c.qid AND p.n1 = c.nid
          |  JOIN $pk s ON s.qid = p.qid AND s.nid = p.n2
@@ -1737,9 +1737,10 @@ object SimilarityQueries extends QueryPack {
     }
     s"""${pfx}1 AS (
        |  SELECT qid, CAST(1 AS BIGINT) AS pick, nid, mmr
-       |  FROM (SELECT qid, nid, ROUND(0.5*cos, 6) AS mmr,
+       |  FROM (SELECT qid, nid, FLOOR(0.5*cos * 1e6 + 0.5) / 1e6 AS mmr,
        |          ROW_NUMBER() OVER (PARTITION BY qid
-       |            ORDER BY ROUND(0.5*cos, 6) DESC, nid) AS rk FROM $cand)
+       |            ORDER BY FLOOR(0.5*cos * 1e6 + 0.5) / 1e6 DESC, nid) AS rk
+       |        FROM $cand)
        |  WHERE rk = 1),
        |${roundCte(2)},
        |${roundCte(3)},

@@ -372,8 +372,8 @@ class NewFamilyInvariantsSpec extends SparkSpec {
         date_trunc("DAY", col("ts")).cast("date").as("day"))
       .agg((round(sum(dec(col("value"))), 2) * 100).cast("long").as("c"))
       .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2)))
-    def r4(x: Double) =
-      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // mirrors the query's s7 floor-convention rounding (r18)
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
     val model = daily.groupBy(_._1).map { case (uid, rows) =>
       val cs = rows.sortBy(_._2).map(_._3)
       val n = cs.length
